@@ -1,0 +1,445 @@
+package graft.rel
+
+import graft.QueryDef
+import graft.util.Det._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory over the star schema (SURVEY.md §2.2–§2.7
+  * harness extensions). Every query is a declarative DataFrame plan —
+  * filters and projections reach the parquet scan, joins pick broadcast
+  * sides automatically (nation/region/customer are dimension-sized), and
+  * aggregations do map-side partial aggregation. No collect() anywhere.
+  */
+object RelQueries {
+
+  /** Scan + reduce shape (SURVEY §2.1 S1): full-table scan feeding a
+    * single global aggregate. At scale this is a pure map-side pipeline:
+    * parquet column pruning keeps the scan to 3 columns. */
+  def scanLineitem(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      sumMoney(col("l_quantity")).as("sum_qty"),
+      min("l_orderkey").as("min_orderkey"),
+      max("l_orderkey").as("max_orderkey"),
+      countDistinct("l_partkey").as("n_parts"))
+
+  private val scanLineitemSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  min(l_orderkey) AS min_orderkey,
+      |  max(l_orderkey) AS max_orderkey,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+      |FROM lineitem""".stripMargin
+
+  /** Filter + project (SURVEY §2.2 P1): both predicates push down to the
+    * parquet reader (`PushedFilters` in explain), projection prunes the
+    * scan to 5 of 11 columns. */
+  def filterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("1995-06-01").cast("timestamp") &&
+        col("l_discount") > 0.05)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"),
+        col("l_returnflag"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val filterProjectSql =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  l_extendedprice, l_returnflag, CAST(l_shipdate AS DATE) AS ship_date
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Fact-to-dimension join chain (orders ⋈ customer ⋈ nation) + group.
+    * customer and nation are dimension tables: Spark broadcasts them
+    * (auto under autoBroadcastJoinThreshold; explicit hint keeps the plan
+    * stable at any scale factor — orders never shuffles). */
+  def joinOrdersCustomer(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("total_price"),
+        avgMoney(col("o_totalprice")).as("avg_price"))
+      .orderBy("n_name")
+
+  private val joinOrdersCustomerSql =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** LEFT SEMI join (EXISTS): customers that placed at least one
+    * high-value order. Semi joins never duplicate the left side and only
+    * ship the join key of the right side across the shuffle. */
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 150000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"))
+      .orderBy("c_custkey")
+
+  private val semiJoinSql =
+    """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** LEFT ANTI join (NOT EXISTS): customers with no order on file. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** TPC-H Q1 shape (SURVEY §2.4 harness extension): wide grouped
+    * aggregation with derived measures. All sums run in DECIMAL so they
+    * are exact and reduction-order independent; means are exact-sum /
+    * count. Map-side partial aggregation collapses 600k rows to 8 groups
+    * before the (tiny) shuffle. */
+  def aggPricingSummary(s: SparkSession, d: String): DataFrame = {
+    val qty  = col("l_quantity").cast(DecimalType(12, 2))
+    val ext  = col("l_extendedprice").cast(DecimalType(12, 2))
+    val disc = col("l_discount").cast(DecimalType(4, 2))
+    val tax  = col("l_tax").cast(DecimalType(4, 2))
+    val oneMinusDisc = (lit(1).cast(DecimalType(1, 0)) - disc)
+      .cast(DecimalType(4, 2))
+    val onePlusTax = (lit(1).cast(DecimalType(1, 0)) + tax)
+      .cast(DecimalType(4, 2))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(ext).cast("double").as("sum_base_price"),
+        sum(ext * oneMinusDisc).cast("double").as("sum_disc_price"),
+        sum(ext * oneMinusDisc * onePlusTax).cast("double").as("sum_charge"),
+        round(sum(qty).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(ext).cast("double") / count(lit(1)), 6).as("avg_price"),
+        round(sum(disc).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val aggPricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+      |           * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+      |  round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** UNION ALL with provenance tag (SURVEY §2.3 J1 relational shape). */
+  def unionAll(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val hi = o.filter(col("o_totalprice") >= 300000)
+      .select(lit("high").as("src"), col("o_orderkey"), col("o_totalprice"))
+    val lo = o.filter(col("o_totalprice") < 30000)
+      .select(lit("low").as("src"), col("o_orderkey"), col("o_totalprice"))
+    hi.unionByName(lo).orderBy("src", "o_orderkey")
+  }
+
+  private val unionAllSql =
+    """SELECT * FROM (
+      |  SELECT 'high' AS src, o_orderkey, o_totalprice FROM orders
+      |  WHERE o_totalprice >= 300000
+      |  UNION ALL
+      |  SELECT 'low' AS src, o_orderkey, o_totalprice FROM orders
+      |  WHERE o_totalprice < 30000
+      |) u ORDER BY src, o_orderkey""".stripMargin
+
+  /** INTERSECT / EXCEPT (set semantics, SURVEY §2.6): nations that have
+    * both customers and suppliers vs customers only. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val custN = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("long").as("nationkey"))
+    val suppN = Tables.supplier(s, d)
+      .select(col("s_nationkey").cast("long").as("nationkey"))
+    val both = custN.intersect(suppN).select(lit("both").as("tag"),
+      col("nationkey"))
+    val custOnly = custN.except(suppN).select(lit("cust_only").as("tag"),
+      col("nationkey"))
+    both.unionByName(custOnly).orderBy("tag", "nationkey")
+  }
+
+  private val setOpsSql =
+    """SELECT * FROM (
+      |  SELECT 'both' AS tag, nationkey FROM (
+      |    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |    INTERSECT
+      |    SELECT CAST(s_nationkey AS BIGINT) FROM supplier) i
+      |  UNION ALL
+      |  SELECT 'cust_only' AS tag, nationkey FROM (
+      |    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |    EXCEPT
+      |    SELECT CAST(s_nationkey AS BIGINT) FROM supplier) e
+      |) u ORDER BY tag, nationkey""".stripMargin
+
+  /** Ranking window (SURVEY §2.5 extension): top-3 orders per customer.
+    * The window shuffles once on o_custkey; ties broken by o_orderkey so
+    * row_number is deterministic. */
+  def windowTopkOrders(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val windowTopkOrdersSql =
+    """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) r
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running-total analytic window with an explicit ROWS frame; the sum
+    * runs over DECIMAL so the prefix sums are exact in both engines. */
+  def windowRunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        row_number().over(w).cast("long").as("order_seq"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  private val windowRunningSumSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_total,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+      |FROM orders
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  /** ROLLUP over the region → nation hierarchy (SURVEY §2.4 extension). */
+  // Spark SQL (not the Dataset rollup API): Dataset.rollup + a downstream
+  // select of the grouping keys trips Spark 4's ambiguous-self-join
+  // detection. The SQL form plans identically (Expand + Aggregate).
+  def rollupRegion(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT coalesce(r_name, 'ALL') AS region,
+         |  coalesce(n_name, 'ALL') AS nation,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+         |FROM parquet.`$d/customer.parquet`
+         |JOIN parquet.`$d/nation.parquet` ON c_nationkey = n_nationkey
+         |JOIN parquet.`$d/region.parquet` ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY region, nation""".stripMargin)
+
+  private val rollupRegionSql =
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |  coalesce(n_name, 'ALL') AS nation,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** String / date / JSON scalar functions (SURVEY §2.7 extension).
+    * JSON extraction uses regexp_extract rather than a JSON parser so the
+    * exact same expression runs in DuckDB (whose json extension may not
+    * be loadable offline). */
+  def stringDateJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      upper(col("event_type")).as("et_upper"),
+      substring(col("event_type"), 1, 3).as("et_pre"),
+      length(col("props")).cast("long").as("props_len"),
+      regexp_extract(col("props"), """"k":\s*(-?\d+)""", 1)
+        .cast("long").as("k_val"),
+      year(col("ts")).cast("long").as("yr"),
+      date_trunc("day", col("ts")).cast("date").as("day"),
+      concat(col("event_type"), lit("#"), col("user_id").cast("string"))
+        .as("tag"))
+      .orderBy("event_id")
+
+  private val stringDateJsonSql =
+    """SELECT event_id, upper(event_type) AS et_upper,
+      |  substring(event_type, 1, 3) AS et_pre,
+      |  CAST(length(props) AS BIGINT) AS props_len,
+      |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k_val,
+      |  CAST(year(ts) AS BIGINT) AS yr,
+      |  CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  concat(event_type, '#', CAST(user_id AS VARCHAR)) AS tag
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** Tumbling event-time window (SURVEY §2.8): batch form of the
+    * streaming aggregation, via Spark's window() so the identical plan
+    * runs under Structured Streaming (graft.streaming.EventStreams).
+    * Output key is the window start as epoch seconds (BIGINT), never a
+    * raw timestamp. */
+  def eventsTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("total_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("hour_epoch", "event_type")
+
+  private val eventsTumblingSql =
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+      |  event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_epoch, event_type""".stripMargin
+
+  /** Sessionization (gap > 30 min ⇒ new session): the lag/flag/prefix-sum
+    * islands pattern (SURVEY §2.8). All time math in epoch seconds. */
+  def eventsSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("e"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("e"),
+        col("value"))
+    val flagged = ev.withColumn("is_new",
+      when(lag(col("e"), 1).over(byUser).isNull ||
+        col("e") - lag(col("e"), 1).over(byUser) > 1800, 1L).otherwise(0L))
+    flagged
+      .withColumn("session_id",
+        sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("e")).as("session_start"),
+        (max(col("e")) - min(col("e"))).as("duration_sec"),
+        round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val eventsSessionizeSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, value
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(e) OVER w IS NULL
+      |                   OR e - lag(e) OVER w > 1800
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)),
+      |sessions AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY e, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  min(e) AS session_start,
+      |  max(e) - min(e) AS duration_sec,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Content hashing (SURVEY §2.7 F8): md5 over a canonicalized row
+    * string — the content-identity replacement for the reference's
+    * plan-identity __hash__ (core/dask_traj.py:661-669). Only strings,
+    * ints and formatted dates go into the hash (float formatting differs
+    * across engines). */
+  def contentHash(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      md5(concat_ws("|",
+        col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        col("o_orderstatus"),
+        col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("row_hash"))
+      .orderBy("o_orderkey")
+
+  private val contentHashSql =
+    """SELECT o_orderkey,
+      |  md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+      |    CAST(o_custkey AS VARCHAR), o_orderstatus, o_orderpriority,
+      |    strftime(o_orderdate, '%Y-%m-%d'))) AS row_hash
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Sketch aggregation: HyperLogLog++ approximate distinct counts.
+    * No DuckDB oracle (different sketch algorithm) → rows-only check;
+    * exact counts emitted alongside for the spec's sanity bound. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
+      approx_count_distinct("l_orderkey").as("approx_orders"),
+      countDistinct("l_orderkey").as("exact_orders"),
+      approx_count_distinct("l_partkey").as("approx_parts"),
+      countDistinct("l_partkey").as("exact_parts"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_scan_lineitem", scanLineitem, Some(scanLineitemSql)),
+    QueryDef("q_filter_project", filterProject, Some(filterProjectSql)),
+    QueryDef("q_join_orders_customer", joinOrdersCustomer,
+      Some(joinOrdersCustomerSql)),
+    QueryDef("q_semi_join", semiJoin, Some(semiJoinSql)),
+    QueryDef("q_anti_join", antiJoin, Some(antiJoinSql)),
+    QueryDef("q_agg_pricing_summary", aggPricingSummary,
+      Some(aggPricingSummarySql)),
+    QueryDef("q_union_all", unionAll, Some(unionAllSql)),
+    QueryDef("q_set_ops", setOps, Some(setOpsSql)),
+    QueryDef("q_window_topk_orders", windowTopkOrders,
+      Some(windowTopkOrdersSql)),
+    QueryDef("q_window_running_sum", windowRunningSum,
+      Some(windowRunningSumSql)),
+    QueryDef("q_rollup_region", rollupRegion, Some(rollupRegionSql)),
+    QueryDef("q_string_date_json", stringDateJson, Some(stringDateJsonSql)),
+    QueryDef("q_events_tumbling", eventsTumbling, Some(eventsTumblingSql)),
+    QueryDef("q_events_sessionize", eventsSessionize,
+      Some(eventsSessionizeSql)),
+    QueryDef("q_content_hash", contentHash, Some(contentHashSql)),
+    QueryDef("q_approx_distinct", approxDistinct, None))
+}
