@@ -16,7 +16,9 @@ object SparkEntry {
     rel.RelQueries.defs ++
       traj.TrajQueries.defs ++
       text.TextQueries.defs ++
-      sim.SimQueries.defs
+      sim.SimQueries.defs :+
+      QueryDef("q_multimodal_features",
+        multimodal.MultimodalPipeline.multimodalFeatures, None)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

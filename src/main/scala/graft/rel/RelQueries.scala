@@ -319,14 +319,8 @@ object RelQueries {
     * Output key is the window start as epoch seconds (BIGINT), never a
     * raw timestamp. */
   def eventsTumbling(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 6)
-          .as("total_value"))
-      .select(
-        unix_timestamp(col("window.start")).as("hour_epoch"),
-        col("event_type"), col("n"), col("total_value"))
+    graft.streaming.EventStreams
+      .tumblingCounts(Tables.events(s, d), streaming = false)
       .orderBy("hour_epoch", "event_type")
 
   private val eventsTumblingSql =

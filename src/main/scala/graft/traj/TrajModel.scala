@@ -1,0 +1,95 @@
+package graft.traj
+
+import graft.rel.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic trajectory views over the harness tables (FIXTURES.md §C).
+  *
+  * The reference's data model is a frame-chunked positions array
+  * (`/root/reference/dask_traj/core/dask_traj.py:364-436`). Here the
+  * long/exploded relational layout — one row per (frame_id, atom_id) with
+  * x,y,z — is derived deterministically from lineitem so DuckDB can build
+  * the identical view for the oracle compare.
+  *
+  * Scale note: atom identity comes from a ranked *distinct partkey*
+  * dimension (small — one row per part), broadcast-joined back to the
+  * fact table. The window that ranks it only ever sees the distinct keys,
+  * never the fact rows, so nothing funnels through a single partition at
+  * 100 TB; the fact-side work is an embarrassingly parallel projection +
+  * one keyed aggregation, mirroring the reference's chunk-parallel design
+  * (core/dask_traj.py:87-100).
+  */
+object TrajModel {
+
+  /** Atom dimension: distinct l_partkey ranked 1..n_atoms. */
+  def atomDim(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_partkey").distinct()
+      .withColumn("atom_id",
+        row_number().over(Window.orderBy("l_partkey")).cast("long"))
+
+  /** positions(frame_id, atom_id, x, y, z) — unique key (frame_id,
+    * atom_id); min() collapses duplicate observations exactly
+    * (order-independent, unlike avg over doubles). */
+  def positions(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(atomDim(s, d)), "l_partkey")
+      .select(
+        col("l_linenumber").cast("long").as("frame_id"),
+        col("atom_id"),
+        col("l_quantity").as("x"),
+        (col("l_discount") * 10).as("y"),
+        (col("l_tax") * 10).as("z"))
+      .groupBy("frame_id", "atom_id")
+      .agg(round(min("x"), 6).as("x"), round(min("y"), 6).as("y"),
+        round(min("z"), 6).as("z"))
+
+  /** DuckDB CTE producing the identical view; prefix of every trajectory
+    * oracle query. */
+  val positionsSql: String =
+    """WITH pkr AS (
+      |  SELECT l_partkey,
+      |    CAST(row_number() OVER (ORDER BY l_partkey) AS BIGINT) AS atom_id
+      |  FROM (SELECT DISTINCT l_partkey FROM lineitem) pk),
+      |raw AS (
+      |  SELECT CAST(l_linenumber AS BIGINT) AS frame_id, atom_id,
+      |    l_quantity AS x, l_discount * 10 AS y, l_tax * 10 AS z
+      |  FROM lineitem JOIN pkr USING (l_partkey)),
+      |positions AS (
+      |  SELECT frame_id, atom_id, round(min(x), 6) AS x,
+      |    round(min(y), 6) AS y, round(min(z), 6) AS z
+      |  FROM raw GROUP BY frame_id, atom_id)""".stripMargin
+
+  /** Fixed atom-pair list — the analog of the user-supplied `atom_pairs`
+    * argument (geometry/distance.py:69-106). Broadcast side of the
+    * pair-expansion join (SURVEY §2.3 J2). */
+  val pairs: Seq[(Long, Long)] = Seq(
+    (1L, 2L), (2L, 9L), (3L, 5L), (4L, 25L), (6L, 40L),
+    (7L, 11L), (8L, 33L), (10L, 20L), (15L, 30L), (21L, 42L))
+
+  /** Fixed angle triplets (geometry/angle.py:58-107). */
+  val triplets: Seq[(Long, Long, Long)] = Seq(
+    (1L, 2L, 3L), (2L, 4L, 8L), (5L, 10L, 15L), (7L, 11L, 13L),
+    (20L, 30L, 40L))
+
+  def pairsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    pairs.toDF("a1", "a2")
+  }
+
+  def tripletsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    triplets.toDF("ai", "aj", "ak")
+  }
+
+  val pairsSql: String =
+    pairs.map { case (a, b) => s"($a, $b)" }.mkString(
+      "pairs AS (SELECT CAST(a1 AS BIGINT) AS a1, CAST(a2 AS BIGINT) AS a2 " +
+        "FROM (VALUES ", ", ", ") v(a1, a2))")
+
+  val tripletsSql: String =
+    triplets.map { case (a, b, c) => s"($a, $b, $c)" }.mkString(
+      "triplets AS (SELECT CAST(ai AS BIGINT) AS ai, CAST(aj AS BIGINT) AS aj," +
+        " CAST(ak AS BIGINT) AS ak FROM (VALUES ", ", ", ") v(ai, aj, ak))")
+}

@@ -1,7 +1,360 @@
 package graft.traj
 
 import graft.QueryDef
+import graft.traj.TrajOps._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
+/** Trajectory operator queries — reference-semantics parity, oracle
+  * checked (SURVEY §2 rows F1–F6, A1–A2, J1–J3, W1–W2).
+  *
+  * Plan shape shared by the pair/triplet queries: positions is scanned
+  * per role (Catalyst reuses the exchange), the tiny index list joins as
+  * a broadcast — the Spark analog of the reference capturing atom_pairs
+  * into every chunk task (geometry/distance.py:131-141). The only
+  * shuffles are the keyed aggregation building `positions` and the final
+  * orderBy; frame×pair expansion itself is shuffle-free, so the plan
+  * scales linearly in frames like the reference's chunk loop.
+  */
 object TrajQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  private val P = TrajModel.positionsSql
+
+  private def pos(s: SparkSession, d: String, alias: String): DataFrame = {
+    val p = TrajModel.positions(s, d)
+    p.select(
+      col("frame_id"),
+      col("atom_id").as(s"${alias}_atom"),
+      col("x").as(s"${alias}x"),
+      col("y").as(s"${alias}y"),
+      col("z").as(s"${alias}z"))
+  }
+
+  /** F1: per-(frame, pair) Euclidean distance (distance.py:15-66). */
+  def trajDistances(s: SparkSession, d: String): DataFrame = {
+    val p1 = pos(s, d, "p")
+    val p2 = pos(s, d, "q")
+    TrajModel.pairsDf(s)
+      .join(p1, col("p_atom") === col("a1"))
+      .join(p2, col("q_atom") === col("a2") &&
+        p1("frame_id") === p2("frame_id"))
+      .select(p1("frame_id").as("frame_id"), col("a1"), col("a2"),
+        round(dist(col("px"), col("py"), col("pz"),
+          col("qx"), col("qy"), col("qz")), 6).as("dist"))
+      .orderBy("frame_id", "a1", "a2")
+  }
+
+  private val trajDistancesSql =
+    s"""$P, ${TrajModel.pairsSql}
+       |SELECT p1.frame_id AS frame_id, a1, a2,
+       |  round(sqrt((p1.x-p2.x)*(p1.x-p2.x) + (p1.y-p2.y)*(p1.y-p2.y)
+       |             + (p1.z-p2.z)*(p1.z-p2.z)), 6) AS dist
+       |FROM pairs
+       |JOIN positions p1 ON p1.atom_id = a1
+       |JOIN positions p2 ON p2.atom_id = a2 AND p2.frame_id = p1.frame_id
+       |ORDER BY frame_id, a1, a2""".stripMargin
+
+  /** F6: periodic distance under an orthorhombic 6×6×6 box — the
+    * reference's orthogonal MIC fast path (distance.py:50-58). */
+  def trajDistancesPeriodic(s: SparkSession, d: String): DataFrame = {
+    val p1 = pos(s, d, "p")
+    val p2 = pos(s, d, "q")
+    val box = lit(6.0)
+    TrajModel.pairsDf(s)
+      .join(p1, col("p_atom") === col("a1"))
+      .join(p2, col("q_atom") === col("a2") &&
+        p1("frame_id") === p2("frame_id"))
+      .select(p1("frame_id").as("frame_id"), col("a1"), col("a2"),
+        round(distMic(col("px"), col("py"), col("pz"),
+          col("qx"), col("qy"), col("qz"), box, box, box), 6)
+          .as("dist_mic"))
+      .orderBy("frame_id", "a1", "a2")
+  }
+
+  private val trajDistancesPeriodicSql =
+    s"""$P, ${TrajModel.pairsSql}
+       |SELECT p1.frame_id AS frame_id, a1, a2,
+       |  round(sqrt(
+       |    ((p1.x-p2.x) - 6.0*round((p1.x-p2.x)/6.0, 0))
+       |      * ((p1.x-p2.x) - 6.0*round((p1.x-p2.x)/6.0, 0))
+       |    + ((p1.y-p2.y) - 6.0*round((p1.y-p2.y)/6.0, 0))
+       |      * ((p1.y-p2.y) - 6.0*round((p1.y-p2.y)/6.0, 0))
+       |    + ((p1.z-p2.z) - 6.0*round((p1.z-p2.z)/6.0, 0))
+       |      * ((p1.z-p2.z) - 6.0*round((p1.z-p2.z)/6.0, 0))), 6) AS dist_mic
+       |FROM pairs
+       |JOIN positions p1 ON p1.atom_id = a1
+       |JOIN positions p2 ON p2.atom_id = a2 AND p2.frame_id = p1.frame_id
+       |ORDER BY frame_id, a1, a2""".stripMargin
+
+  /** F2: per-(frame, pair) displacement 3-vector (distance.py:148-199). */
+  def trajDisplacements(s: SparkSession, d: String): DataFrame = {
+    val p1 = pos(s, d, "p")
+    val p2 = pos(s, d, "q")
+    TrajModel.pairsDf(s)
+      .join(p1, col("p_atom") === col("a1"))
+      .join(p2, col("q_atom") === col("a2") &&
+        p1("frame_id") === p2("frame_id"))
+      .select(p1("frame_id").as("frame_id"), col("a1"), col("a2"),
+        round(col("qx") - col("px"), 6).as("dx"),
+        round(col("qy") - col("py"), 6).as("dy"),
+        round(col("qz") - col("pz"), 6).as("dz"))
+      .orderBy("frame_id", "a1", "a2")
+  }
+
+  private val trajDisplacementsSql =
+    s"""$P, ${TrajModel.pairsSql}
+       |SELECT p1.frame_id AS frame_id, a1, a2,
+       |  round(p2.x - p1.x, 6) AS dx,
+       |  round(p2.y - p1.y, 6) AS dy,
+       |  round(p2.z - p1.z, 6) AS dz
+       |FROM pairs
+       |JOIN positions p1 ON p1.atom_id = a1
+       |JOIN positions p2 ON p2.atom_id = a2 AND p2.frame_id = p1.frame_id
+       |ORDER BY frame_id, a1, a2""".stripMargin
+
+  /** F3: per-(frame, triplet) angle in radians (angle.py:10-55). Rows
+    * where either displacement vector is zero-length are filtered in
+    * both engines (the reference would emit NaN there). */
+  def trajAngles(s: SparkSession, d: String): DataFrame = {
+    val pa = pos(s, d, "a")
+    val pb = pos(s, d, "b")
+    val pc = pos(s, d, "c")
+    val ux = col("ax") - col("bx"); val uy = col("ay") - col("by")
+    val uz = col("az") - col("bz")
+    val vx = col("cx") - col("bx"); val vy = col("cy") - col("by")
+    val vz = col("cz") - col("bz")
+    TrajModel.tripletsDf(s)
+      .join(pa, col("a_atom") === col("ai"))
+      .join(pb, col("b_atom") === col("aj") &&
+        pa("frame_id") === pb("frame_id"))
+      .join(pc, col("c_atom") === col("ak") &&
+        pa("frame_id") === pc("frame_id"))
+      .filter(norm2(ux, uy, uz) > 0 && norm2(vx, vy, vz) > 0)
+      .select(pa("frame_id").as("frame_id"), col("ai"), col("aj"),
+        col("ak"),
+        round(angleRad(ux, uy, uz, vx, vy, vz), 6).as("angle_rad"))
+      .orderBy("frame_id", "ai", "aj", "ak")
+  }
+
+  private val trajAnglesSql =
+    s"""$P, ${TrajModel.tripletsSql}
+       |SELECT pa.frame_id AS frame_id, ai, aj, ak,
+       |  round(acos(least(greatest(
+       |    ((pa.x-pb.x)*(pc.x-pb.x) + (pa.y-pb.y)*(pc.y-pb.y)
+       |      + (pa.z-pb.z)*(pc.z-pb.z))
+       |    / (sqrt((pa.x-pb.x)*(pa.x-pb.x) + (pa.y-pb.y)*(pa.y-pb.y)
+       |            + (pa.z-pb.z)*(pa.z-pb.z))
+       |       * sqrt((pc.x-pb.x)*(pc.x-pb.x) + (pc.y-pb.y)*(pc.y-pb.y)
+       |              + (pc.z-pb.z)*(pc.z-pb.z))), -1.0), 1.0)), 6)
+       |    AS angle_rad
+       |FROM triplets
+       |JOIN positions pa ON pa.atom_id = ai
+       |JOIN positions pb ON pb.atom_id = aj AND pb.frame_id = pa.frame_id
+       |JOIN positions pc ON pc.atom_id = ak AND pc.frame_id = pa.frame_id
+       |WHERE (pa.x-pb.x)*(pa.x-pb.x) + (pa.y-pb.y)*(pa.y-pb.y)
+       |        + (pa.z-pb.z)*(pa.z-pb.z) > 0
+       |  AND (pc.x-pb.x)*(pc.x-pb.x) + (pc.y-pb.y)*(pc.y-pb.y)
+       |        + (pc.z-pb.z)*(pc.z-pb.z) > 0
+       |ORDER BY frame_id, ai, aj, ak""".stripMargin
+
+  /** Synthetic per-atom mass (topology dimension stand-in, SURVEY §1.1):
+    * 0.5 + (atom_id mod 10), in DECIMAL so weighted sums are exact. */
+  private def massCol: Column =
+    (col("atom_id") % 10).cast(DecimalType(4, 1)) +
+      lit(0.5).cast(DecimalType(2, 1))
+
+  private val massSql =
+    "(CAST(atom_id % 10 AS DECIMAL(4,1)) + CAST(0.5 AS DECIMAL(2,1)))"
+
+  /** A1: per-frame weighted mean = center of mass
+    * (distance.py:282-337; float64 accumulation :295 → exact DECIMAL
+    * accumulation here). */
+  def trajCom(s: SparkSession, d: String): DataFrame = {
+    def com(c: String) = round(
+      sum(col(c).cast(DecimalType(18, 6)) * massCol).cast("double") /
+        sum(massCol).cast("double"), 6).as(s"com_$c")
+    TrajModel.positions(s, d)
+      .groupBy("frame_id")
+      .agg(com("x"), com("y"), com("z"))
+      .orderBy("frame_id")
+  }
+
+  private val trajComSql = {
+    def com(c: String) =
+      s"""round(CAST(sum(CAST($c AS DECIMAL(18,6)) * $massSql) AS DOUBLE)
+         |    / CAST(sum($massSql) AS DOUBLE), 6) AS com_$c""".stripMargin
+    s"""$P
+       |SELECT frame_id, ${com("x")}, ${com("y")}, ${com("z")}
+       |FROM positions GROUP BY frame_id ORDER BY frame_id""".stripMargin
+  }
+
+  /** A2: per-frame unweighted mean = center of geometry
+    * (distance.py:340-390). */
+  def trajCog(s: SparkSession, d: String): DataFrame = {
+    def cog(c: String) = round(
+      sum(col(c).cast(DecimalType(18, 6))).cast("double") / count(lit(1)),
+      6).as(s"cog_$c")
+    TrajModel.positions(s, d)
+      .groupBy("frame_id")
+      .agg(cog("x"), cog("y"), cog("z"), count(lit(1)).as("n_atoms"))
+      .orderBy("frame_id")
+  }
+
+  private val trajCogSql = {
+    def cog(c: String) =
+      s"round(CAST(sum(CAST($c AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)" +
+        s" AS cog_$c"
+    s"""$P
+       |SELECT frame_id, ${cog("x")}, ${cog("y")}, ${cog("z")},
+       |  CAST(count(*) AS BIGINT) AS n_atoms
+       |FROM positions GROUP BY frame_id ORDER BY frame_id""".stripMargin
+  }
+
+  /** J3+W2: cross join of two atom groups in one frame + global top-1 —
+    * find_closest_contact (distance.py:393-464). Ordered on the rounded
+    * distance so both engines break ties identically. */
+  def trajClosestContact(s: SparkSession, d: String): DataFrame = {
+    val g1 = pos(s, d, "p").filter(col("frame_id") === 1 &&
+      col("p_atom").between(1, 50))
+    val g2 = pos(s, d, "q").filter(col("frame_id") === 1 &&
+      col("q_atom").between(51, 100))
+    g1.crossJoin(g2)
+      .select(col("p_atom").as("a1"), col("q_atom").as("a2"),
+        round(dist(col("px"), col("py"), col("pz"),
+          col("qx"), col("qy"), col("qz")), 6).as("dist"))
+      .orderBy(col("dist"), col("a1"), col("a2"))
+      .limit(1)
+  }
+
+  private val trajClosestContactSql =
+    s"""$P
+       |SELECT p1.atom_id AS a1, p2.atom_id AS a2,
+       |  round(sqrt((p1.x-p2.x)*(p1.x-p2.x) + (p1.y-p2.y)*(p1.y-p2.y)
+       |             + (p1.z-p2.z)*(p1.z-p2.z)), 6) AS dist
+       |FROM positions p1, positions p2
+       |WHERE p1.frame_id = 1 AND p2.frame_id = 1
+       |  AND p1.atom_id BETWEEN 1 AND 50 AND p2.atom_id BETWEEN 51 AND 100
+       |ORDER BY dist, a1, a2 LIMIT 1""".stripMargin
+
+  /** J1+W1: trajectory concatenation with overlapping-boundary dedup
+    * (core/dask_traj.py:591-659: UNION ALL ordered by source, drop
+    * duplicated boundary frames). Earlier source wins per (frame, atom);
+    * output is a per-frame summary. */
+  def trajJoinDedup(s: SparkSession, d: String): DataFrame = {
+    val a = TrajModel.positions(s, d)
+      .filter(col("frame_id").between(1, 4)).withColumn("src", lit(0))
+    val b = TrajModel.positions(s, d)
+      .filter(col("frame_id").between(4, 7)).withColumn("src", lit(1))
+    val w = Window.partitionBy("frame_id", "atom_id").orderBy("src")
+    a.unionByName(b)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("frame_id")
+      .agg(count(lit(1)).as("n_atoms"),
+        round(sum(col("x").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("sum_x"),
+        round(sum(col("y").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("sum_y"))
+      .orderBy("frame_id")
+  }
+
+  private val trajJoinDedupSql =
+    s"""$P, unioned AS (
+       |  SELECT 0 AS src, * FROM positions WHERE frame_id BETWEEN 1 AND 4
+       |  UNION ALL
+       |  SELECT 1 AS src, * FROM positions WHERE frame_id BETWEEN 4 AND 7),
+       |deduped AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY frame_id, atom_id
+       |                                 ORDER BY src) AS rn
+       |    FROM unioned) r
+       |  WHERE rn = 1)
+       |SELECT frame_id, CAST(count(*) AS BIGINT) AS n_atoms,
+       |  round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_x,
+       |  round(CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_y
+       |FROM deduped GROUP BY frame_id ORDER BY frame_id""".stripMargin
+
+  /** F4+F5: box (lengths, angles) → Bravais vectors → back; the
+    * round-trip must recover the input (validation.py:146-292,
+    * tests/test_utils.py:106-111). Literal boxes, no table scan. */
+  def trajBoxRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val boxes = Seq(
+      (1L, 6.0, 6.0, 6.0, 90.0, 90.0, 90.0),
+      (2L, 5.0, 6.0, 7.0, 60.0, 70.0, 80.0),
+      (3L, 3.5, 4.5, 5.5, 75.0, 85.0, 95.0),
+      (4L, 10.0, 10.0, 10.0, 120.0, 90.0, 90.0))
+      .toDF("box_id", "la", "lb", "lc", "alpha", "beta", "gamma")
+    val withVec = boxVectors(col("la"), col("lb"), col("lc"),
+      col("alpha"), col("beta"), col("gamma"))
+      .foldLeft(boxes) { case (df, (n, c)) => df.withColumn(n, c) }
+    val withBack = vectorsToBox(col("vax"), col("vay"), col("vaz"),
+      col("vbx"), col("vby"), col("vbz"),
+      col("vcx"), col("vcy"), col("vcz"))
+      .foldLeft(withVec) { case (df, (n, c)) => df.withColumn(n, round(c, 6)) }
+    withBack.select(col("box_id"), col("la"), col("lb"), col("lc"),
+      col("alpha"), col("beta"), col("gamma"),
+      col("r_a"), col("r_b"), col("r_c"),
+      col("r_alpha"), col("r_beta"), col("r_gamma"))
+      .orderBy("box_id")
+  }
+
+  private val trajBoxRoundtripSql =
+    """WITH boxes(box_id, la, lb, lc, alpha, beta, gamma) AS (VALUES
+      |  (CAST(1 AS BIGINT), 6.0, 6.0, 6.0, 90.0, 90.0, 90.0),
+      |  (2, 5.0, 6.0, 7.0, 60.0, 70.0, 80.0),
+      |  (3, 3.5, 4.5, 5.5, 75.0, 85.0, 95.0),
+      |  (4, 10.0, 10.0, 10.0, 120.0, 90.0, 90.0)),
+      |vec0 AS (
+      |  SELECT box_id, la, lb, lc, alpha, beta, gamma,
+      |    la AS ax0,
+      |    lb * cos(radians(gamma)) AS bx0,
+      |    lb * sin(radians(gamma)) AS by0,
+      |    lc * cos(radians(beta)) AS cx0,
+      |    lc * (cos(radians(alpha)) - cos(radians(beta))*cos(radians(gamma)))
+      |       / sin(radians(gamma)) AS cy0
+      |  FROM boxes),
+      |vec AS (
+      |  SELECT box_id, la, lb, lc, alpha, beta, gamma,
+      |    CASE WHEN abs(ax0) < 1e-6 THEN 0.0 ELSE ax0 END AS vax,
+      |    0.0 AS vay, 0.0 AS vaz,
+      |    CASE WHEN abs(bx0) < 1e-6 THEN 0.0 ELSE bx0 END AS vbx,
+      |    CASE WHEN abs(by0) < 1e-6 THEN 0.0 ELSE by0 END AS vby,
+      |    0.0 AS vbz,
+      |    CASE WHEN abs(cx0) < 1e-6 THEN 0.0 ELSE cx0 END AS vcx,
+      |    CASE WHEN abs(cy0) < 1e-6 THEN 0.0 ELSE cy0 END AS vcy,
+      |    CASE WHEN abs(sqrt(lc*lc - cx0*cx0 - cy0*cy0)) < 1e-6 THEN 0.0
+      |         ELSE sqrt(lc*lc - cx0*cx0 - cy0*cy0) END AS vcz
+      |  FROM vec0),
+      |norms AS (
+      |  SELECT *, sqrt(vax*vax + vay*vay + vaz*vaz) AS na,
+      |    sqrt(vbx*vbx + vby*vby + vbz*vbz) AS nb,
+      |    sqrt(vcx*vcx + vcy*vcy + vcz*vcz) AS nc
+      |  FROM vec)
+      |SELECT box_id, la, lb, lc, alpha, beta, gamma,
+      |  round(na, 6) AS r_a, round(nb, 6) AS r_b, round(nc, 6) AS r_c,
+      |  round(degrees(acos(least(greatest(
+      |    (vbx*vcx + vby*vcy + vbz*vcz)/(nb*nc), -1.0), 1.0))), 6) AS r_alpha,
+      |  round(degrees(acos(least(greatest(
+      |    (vax*vcx + vay*vcy + vaz*vcz)/(na*nc), -1.0), 1.0))), 6) AS r_beta,
+      |  round(degrees(acos(least(greatest(
+      |    (vax*vbx + vay*vby + vaz*vbz)/(na*nb), -1.0), 1.0))), 6) AS r_gamma
+      |FROM norms ORDER BY box_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_traj_distances", trajDistances, Some(trajDistancesSql)),
+    QueryDef("q_traj_distances_periodic", trajDistancesPeriodic,
+      Some(trajDistancesPeriodicSql)),
+    QueryDef("q_traj_displacements", trajDisplacements,
+      Some(trajDisplacementsSql)),
+    QueryDef("q_traj_angles", trajAngles, Some(trajAnglesSql)),
+    QueryDef("q_traj_com", trajCom, Some(trajComSql)),
+    QueryDef("q_traj_cog", trajCog, Some(trajCogSql)),
+    QueryDef("q_traj_closest_contact", trajClosestContact,
+      Some(trajClosestContactSql)),
+    QueryDef("q_traj_join_dedup", trajJoinDedup, Some(trajJoinDedupSql)),
+    QueryDef("q_traj_box_roundtrip", trajBoxRoundtrip,
+      Some(trajBoxRoundtripSql)))
 }

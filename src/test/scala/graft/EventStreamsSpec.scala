@@ -1,0 +1,40 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming plan produces the same rows as the batch plan when fed
+  * the same parquet as a bounded stream (memory sink, complete mode). */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    // the file source requires a directory; stage the single parquet file
+    val src = java.nio.file.Paths.get(s"${SparkTestBase.sf}/events.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(src, tmp.resolve("events.parquet"))
+    val dir = tmp.toString
+    // nanosAsLong session flag → ts arrives as LONG nanos, like batch
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.tumblingCounts(stream, streaming = true)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .orderBy("hour_epoch", "event_type")
+        .collect().map(_.toString).toSeq
+      val want = rel.RelQueries.eventsTumbling(spark, SparkTestBase.sf)
+        .collect().map(_.toString).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+}

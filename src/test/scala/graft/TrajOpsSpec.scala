@@ -1,0 +1,84 @@
+package graft
+
+import graft.traj.TrajOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-checkable geometry — the analog of the reference's 2-atom
+  * tests/test.xyz fixture unit tests (SURVEY §5). */
+class TrajOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def one(colExprs: (String, org.apache.spark.sql.Column)*)
+      : Map[String, Double] = {
+    val df0 = spark.range(1).toDF("i")
+    val df = colExprs.foldLeft(df0) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
+    val row = df.collect()(0)
+    colExprs.map { case (n, _) =>
+      n -> row.getAs[Any](n).toString.toDouble
+    }.toMap
+  }
+
+  test("Euclidean distance: 3-4-5 triangle") {
+    val r = one("d" -> TrajOps.dist(lit(0.0), lit(0.0), lit(0.0),
+      lit(3.0), lit(4.0), lit(0.0)))
+    assert(r("d") === 5.0)
+  }
+
+  test("MIC folds displacement into half-box (distance.py:50-58)") {
+    // delta=5 in a box of 6 → image at -1
+    val r = one(
+      "m" -> TrajOps.micDelta(lit(5.0), lit(6.0)),
+      "d" -> TrajOps.distMic(lit(0.0), lit(0.0), lit(0.0),
+        lit(5.0), lit(0.0), lit(0.0), lit(6.0), lit(6.0), lit(6.0)))
+    assert(r("m") === -1.0)
+    assert(r("d") === 1.0)
+  }
+
+  test("right angle is pi/2 (angle.py:142-176)") {
+    val r = one("a" -> TrajOps.angleRad(lit(1.0), lit(0.0), lit(0.0),
+      lit(0.0), lit(1.0), lit(0.0)))
+    assert(math.abs(r("a") - math.Pi / 2) < 1e-12)
+  }
+
+  test("degenerate cosine is clamped, not NaN") {
+    // parallel vectors with rounding noise would push |cos| past 1
+    val r = one("a" -> TrajOps.angleRad(lit(1.0), lit(1.0), lit(1.0),
+      lit(1.0), lit(1.0), lit(1.0)))
+    assert(r("a") === 0.0)
+  }
+
+  test("orthorhombic box vectors are diagonal after snap " +
+    "(validation.py:146-229)") {
+    val cols = TrajOps.boxVectors(lit(6.0), lit(6.0), lit(6.0),
+      lit(90.0), lit(90.0), lit(90.0))
+    val r = one(cols: _*)
+    assert(r("vax") === 6.0 && r("vby") === 6.0 && r("vcz") === 6.0)
+    assert(r("vbx") === 0.0 && r("vcx") === 0.0 && r("vcy") === 0.0)
+  }
+
+  test("box roundtrip recovers lengths and angles " +
+    "(tests/test_utils.py:106-111 analog)") {
+    val vecs = TrajOps.boxVectors(lit(5.0), lit(6.0), lit(7.0),
+      lit(60.0), lit(70.0), lit(80.0))
+    val df0 = spark.range(1).toDF("i")
+    val withVec = vecs.foldLeft(df0) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
+    val back = TrajOps.vectorsToBox(col("vax"), col("vay"), col("vaz"),
+      col("vbx"), col("vby"), col("vbz"),
+      col("vcx"), col("vcy"), col("vcz"))
+    val df = back.foldLeft(withVec) { case (d, (n, c)) =>
+      d.withColumn(n, c)
+    }
+    val row = df.collect()(0)
+    val got = Seq("r_a", "r_b", "r_c", "r_alpha", "r_beta", "r_gamma")
+      .map(row.getAs[Double])
+    val want = Seq(5.0, 6.0, 7.0, 60.0, 70.0, 80.0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-9, s"$g != $w")
+    }
+  }
+}
