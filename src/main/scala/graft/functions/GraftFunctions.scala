@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions (SURVEY §2.9 preference level 3): used
+  * where pure expression composition proved too slow — the higher-order
+  * -function forms of these kernels run interpreted (HOFs don't
+  * participate in whole-stage codegen) at O(tokens × 64) expression-tree
+  * evaluations per document. Each expression here generates a single
+  * static kernel call inside the codegen'd stage instead.
+  *
+  * Register with [[GraftFunctions.register]]; use from SQL/expr as
+  * `simhash64(text)`, `minhash_doc(text)`, `min_fingerprint(text)`.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sim_lo", LongType, nullable = false),
+    StructField("sim_hi", LongType, nullable = false)))
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhashRow(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.simhashRow($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+case class MinHashDoc(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sh", ArrayType(StringType, containsNull = false)),
+    StructField("bkeys", ArrayType(StringType, containsNull = false))))
+  override def prettyName: String = "minhash_doc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashDocRow(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.minhashDocRow($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+case class MinFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.fingerprintUtf8(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.fingerprintUtf8($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object GraftFunctions {
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_doc",
+      es => MinHashDoc(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("min_fingerprint",
+      es => MinFingerprint(es.head), "scala_udf")
+  }
+}

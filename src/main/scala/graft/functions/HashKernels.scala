@@ -1,0 +1,148 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the custom Catalyst expressions in
+  * [[GraftFunctions]]. Each is a single tight pass over the document —
+  * the Spark analog of the reference's per-chunk C kernels
+  * (geometry/distance.py:39-66 dispatches to MDTraj's SSE library the
+  * same way: expression tree for orchestration, native kernel for the
+  * inner loop).
+  *
+  * Bit/character conventions are pinned to what the pure-SQL forms (and
+  * the DuckDB oracles) compute:
+  *  - md5 hex is lowercase;
+  *  - simhash bit B reads hex char B/4 (0-based), bit B%4 of its nibble
+  *    value, votes +1/-1 per token occurrence, ties (vote sum 0) → 1;
+  *  - minhash_k = lexicographic min of md5("k:" + shingle) over the
+  *    distinct word-3-gram shingles;
+  *  - fingerprint = lexicographic min of md5 over all char 8-grams.
+  */
+object HashKernels {
+
+  private val md5tl: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val Hex = "0123456789abcdef".toCharArray
+
+  private def md5bytes(s: String): Array[Byte] = {
+    val md = md5tl.get()
+    md.reset()
+    md.digest(s.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def md5hex(s: String): String = {
+    val b = md5bytes(s)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Split on every single space, keeping empty tokens — the exact
+    * semantics of Spark's split(text, ' ') and DuckDB's string_split. */
+  private def tokens(text: String): Array[String] = text.split(" ", -1)
+
+  /** 64-bit frequency-weighted SimHash → (sim_lo, sim_hi) 32-bit
+    * halves. */
+  def simhash(text: String): (Long, Long) = {
+    val votes = new Array[Int](64)
+    val ws = tokens(text)
+    var wi = 0
+    while (wi < ws.length) {
+      val dg = md5bytes(ws(wi))
+      var b = 0
+      while (b < 64) {
+        val c = b >> 2                    // hex char index, 0-based
+        val byte = dg(c >> 1)
+        val nib = if ((c & 1) == 0) (byte >> 4) & 0xf else byte & 0xf
+        if (((nib >> (b & 3)) & 1) == 1) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      wi += 1
+    }
+    var lo = 0L; var hi = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) >= 0) lo |= 1L << b
+      if (votes(b + 32) >= 0) hi |= 1L << b
+      b += 1
+    }
+    (lo, hi)
+  }
+
+  def simhashRow(text: UTF8String): InternalRow = {
+    val (lo, hi) = simhash(text.toString)
+    new GenericInternalRow(Array[Any](lo, hi))
+  }
+
+  /** Distinct word-3-gram shingles + 8-seed MinHash signature + 4
+    * banded LSH bucket keys → (sh: array<string>, bkeys: array<string>).
+    * Fewer than 3 words → empty arrays (caller filters). */
+  def minhashDoc(text: String): (Array[String], Array[String]) = {
+    val ws = tokens(text)
+    if (ws.length < 3) return (Array.empty, Array.empty)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= ws.length - 3) {
+      seen.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+      i += 1
+    }
+    val sh = seen.toArray(new Array[String](seen.size))
+    val mhs = new Array[String](8)
+    var k = 0
+    while (k < 8) {
+      var min: String = null
+      var j = 0
+      while (j < sh.length) {
+        val h = md5hex(k.toString + ":" + sh(j))
+        if (min == null || h.compareTo(min) < 0) min = h
+        j += 1
+      }
+      mhs(k) = min
+      k += 1
+    }
+    val bkeys = new Array[String](4)
+    var band = 0
+    while (band < 4) {
+      bkeys(band) =
+        md5hex(band.toString + "|" + mhs(2 * band) + "|" + mhs(2 * band + 1))
+      band += 1
+    }
+    (sh, bkeys)
+  }
+
+  def minhashDocRow(text: UTF8String): InternalRow = {
+    val (sh, bkeys) = minhashDoc(text.toString)
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(sh.map(UTF8String.fromString(_: String))),
+      new GenericArrayData(bkeys.map(UTF8String.fromString(_: String)))))
+  }
+
+  /** Lexicographic-min md5 over all char 8-grams (whole text when
+    * shorter than 8 chars). */
+  def fingerprint(text: String): String = {
+    if (text.length < 8) return md5hex(text)
+    var min: String = null
+    var i = 0
+    while (i <= text.length - 8) {
+      val h = md5hex(text.substring(i, i + 8))
+      if (min == null || h.compareTo(min) < 0) min = h
+      i += 1
+    }
+    min
+  }
+
+  def fingerprintUtf8(text: UTF8String): UTF8String =
+    UTF8String.fromString(fingerprint(text.toString))
+}

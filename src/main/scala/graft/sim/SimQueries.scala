@@ -30,6 +30,8 @@ object SimQueries {
   /** embeddings with double-cast vector and precomputed L2 norm. */
   private def withNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      // single parquet split → spread before the vector kernels
+      .repartition(col("vec_id"))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm",
@@ -40,7 +42,7 @@ object SimQueries {
     * (vec_id % 50 = 0), excluding self. */
   def simTopk(s: SparkSession, d: String): DataFrame = {
     val corpus = withNorm(s, d)
-    val queries = withNorm(s, d)
+    val queries = corpus
       .filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"))
@@ -83,36 +85,42 @@ object SimQueries {
       |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
   /** Sign-LSH bucket id per vector: bit p = [v · h_p > 0] with
-    * h_p[i] = sin(997p + 31i), packed into a BIGINT. */
+    * h_p[i] = sin(997p + 31i) (1-based i, matching DuckDB's
+    * generate_subscripts), packed into a BIGINT. Row-local nested array
+    * folds — no explode, no shuffle; the hyperplane family is a pure
+    * function of (p, i) so it needs no materialized table on either
+    * engine. */
   private def lshBuckets(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        posexplode(col("embedding").cast("array<double>"))
-          .as(Seq("pos", "v")))
-      // DuckDB's generate_subscripts is 1-based; mirror it
-      .withColumn("idx", col("pos") + 1)
-      .crossJoin(broadcast(s.range(8).toDF("p")))
-      .groupBy("vec_id", "p")
-      .agg(sum(col("v") * sin(col("p") * 997 + col("idx") * 31)).as("dot"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("dot") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))"))
-        .otherwise(0L)).as("bkt"))
+      .repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), expr(
+        """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) ->
+          |  acc + CASE WHEN
+          |    aggregate(zip_with(emb,
+          |        transform(sequence(1, size(emb)), i -> sin(p * 997 + i * 31)),
+          |        (a, b) -> a * b),
+          |      CAST(0 AS DOUBLE), (x, y) -> x + y) > 0
+          |    THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))
+          |    ELSE 0 END)""".stripMargin).as("bkt"))
 
   /** Embedding near-dup pairs: sign-LSH bucket candidates + exact cosine
     * ≥ 0.4 verify. The all-pairs comparison only ever happens inside a
     * bucket (1/2^8 of the corpus per bucket in expectation). */
   def simNeardupLsh(s: SparkSession, d: String): DataFrame = {
-    val b1 = lshBuckets(s, d)
-      .select(col("vec_id").as("v1"), col("bkt"))
-    val b2 = lshBuckets(s, d)
-      .select(col("vec_id").as("v2"), col("bkt").as("bkt2"))
+    // lineage barrier: keeps bucket ids / norms evaluated once per
+    // vector rather than re-derived inside the self-join predicate
+    // (see TextQueries.dedupMinhash)
+    val buckets = lshBuckets(s, d).localCheckpoint(false)
+    val b1 = buckets.select(col("vec_id").as("v1"), col("bkt"))
+    val b2 = buckets.select(col("vec_id").as("v2"), col("bkt").as("bkt2"))
     val cand = b1.join(b2,
       col("bkt") === col("bkt2") && col("v1") < col("v2"))
       .select("v1", "v2")
-    val e1 = withNorm(s, d).select(col("vec_id").as("v1"),
+    val vecs = withNorm(s, d).localCheckpoint(false)
+    val e1 = vecs.select(col("vec_id").as("v1"),
       col("emb").as("emb1"), col("nrm").as("nrm1"))
-    val e2 = withNorm(s, d).select(col("vec_id").as("v2b"),
+    val e2 = vecs.select(col("vec_id").as("v2b"),
       col("emb").as("emb2"), col("nrm").as("nrm2"))
     cand.join(e1, "v1")
       .join(e2, col("v2") === col("v2b"))

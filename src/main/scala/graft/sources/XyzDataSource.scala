@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.io.Source
+
+/** DataSourceV2 connector for the plain-text XYZ trajectory format —
+  * the Spark-native re-expression of the reference's chunked lazy scan
+  * (SURVEY §2.1 S1–S5):
+  *
+  *  - `load` / length probe (core/dask_traj.py:61-100) →
+  *    `XyzScan.planInputPartitions`: probe the frame count once on the
+  *    driver, emit one `InputPartition` per `chunks` frames;
+  *  - `read_chunk` positioned read (core/dask_traj.py:329-361) →
+  *    `XyzPartitionReader`: each task skips to its frame range and
+  *    parses only its own frames;
+  *  - per-extension schema registry (`file_returns`,
+  *    core/dask_traj.py:26-56) → static `Table.schema()` — analysis-time
+  *    schema, no sample-chunk execution needed (SURVEY §3.1);
+  *  - units-on-scan `in_units_of` (core/dask_traj.py:240-243) → the
+  *    `unit_scale` read option, applied in the reader;
+  *  - column pruning (`SupportsPushDownRequiredColumns`) — the pushdown
+  *    the reference lists as TODO (core/dask_traj.py:126, SURVEY O5).
+  *
+  * File layout per frame: natoms line, comment line
+  * (`# Step: N Box: lx ly lz`), then natoms `element x y z` lines.
+  * Output is the long layout: one row per (frame, atom).
+  *
+  * Usage: `spark.read.format("xyz").option("chunks", 100).load(path)`.
+  */
+class XyzDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "xyz"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    XyzTable.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("xyz source requires a path"))
+    val chunks = Option(properties.get("chunks")).map(_.toInt).getOrElse(10)
+    val unitScale =
+      Option(properties.get("unit_scale")).map(_.toDouble).getOrElse(1.0)
+    new XyzTable(path, chunks, unitScale)
+  }
+}
+
+object XyzTable {
+  /** Long/exploded trajectory schema (SURVEY §1.4): frame axis + atom
+    * axis + coords + per-frame box, mirroring
+    * file_returns[".xyz"]-style column sets. */
+  val Schema: StructType = StructType(Seq(
+    StructField("frame_id", LongType, nullable = false),
+    StructField("time", DoubleType, nullable = false),
+    StructField("atom_id", IntegerType, nullable = false),
+    StructField("element", StringType, nullable = false),
+    StructField("x", FloatType, nullable = false),
+    StructField("y", FloatType, nullable = false),
+    StructField("z", FloatType, nullable = false),
+    StructField("box_x", FloatType, nullable = true),
+    StructField("box_y", FloatType, nullable = true),
+    StructField("box_z", FloatType, nullable = true)))
+}
+
+class XyzTable(path: String, chunks: Int, unitScale: Double)
+    extends Table with SupportsRead {
+  override def name(): String = s"xyz:$path"
+  override def schema(): StructType = XyzTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new XyzScanBuilder(path, chunks, unitScale)
+}
+
+class XyzScanBuilder(path: String, chunks: Int, unitScale: Double)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = XyzTable.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve pruning even when the requested set is empty (count(*))
+    required = requiredSchema
+  override def build(): Scan = new XyzScan(path, chunks, unitScale, required)
+}
+
+case class XyzFrameRange(startFrame: Long, endFrame: Long, nAtoms: Int)
+    extends InputPartition
+
+class XyzScan(path: String, chunks: Int, unitScale: Double,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Driver-side length probe (the analog of opening the file to read
+    * `len(f)`, core/dask_traj.py:86): one cheap line-count pass. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val src = Source.fromFile(path)
+    try {
+      val it = src.getLines()
+      if (!it.hasNext) return Array.empty
+      val nAtoms = it.next().trim.toInt
+      var lines = 1L
+      while (it.hasNext) { it.next(); lines += 1 }
+      val frameLines = nAtoms + 2
+      val nFrames = lines / frameLines
+      (0L until nFrames by chunks.toLong).map { start =>
+        XyzFrameRange(start, math.min(start + chunks, nFrames), nAtoms)
+          : InputPartition
+      }.toArray
+    } finally src.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XyzReaderFactory(path, unitScale, required)
+}
+
+class XyzReaderFactory(path: String, unitScale: Double,
+    required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new XyzPartitionReader(path, unitScale, required,
+      partition.asInstanceOf[XyzFrameRange])
+}
+
+/** Positioned chunk read (core/dask_traj.py:329-361): skip to the
+  * partition's first frame, parse frames until the range ends. */
+class XyzPartitionReader(path: String, unitScale: Double,
+    required: StructType, range: XyzFrameRange)
+    extends PartitionReader[InternalRow] {
+
+  private val src = Source.fromFile(path)
+  private val lines = src.getLines()
+  private val frameLines = range.nAtoms + 2
+  // seek: skip whole frames before our range
+  (0L until range.startFrame * frameLines).foreach { _ =>
+    if (lines.hasNext) lines.next()
+  }
+
+  private var frame = range.startFrame
+  private var atomInFrame = range.nAtoms // force header read on first next()
+  private var time = 0.0
+  private var box: Option[(Float, Float, Float)] = None
+  private var current: InternalRow = _
+
+  private val boxRe =
+    """#\s*Step:\s*(\S+)(?:\s+Box:\s*(\S+)\s+(\S+)\s+(\S+))?.*""".r
+
+  override def next(): Boolean = {
+    if (frame >= range.endFrame) return false
+    if (atomInFrame == range.nAtoms) {
+      // frame header: natoms line + comment line
+      if (!lines.hasNext) return false
+      lines.next() // natoms (validated at plan time)
+      val comment = if (lines.hasNext) lines.next() else ""
+      comment match {
+        case boxRe(t, bx, by, bz) =>
+          time = t.toDouble
+          box = Option(bx).map(_ =>
+            ((bx.toDouble * unitScale).toFloat,
+              (by.toDouble * unitScale).toFloat,
+              (bz.toDouble * unitScale).toFloat))
+        case _ => time = frame.toDouble; box = None
+      }
+      atomInFrame = 0
+    }
+    if (!lines.hasNext) return false
+    val parts = lines.next().trim.split("\\s+")
+    val atomId = atomInFrame
+    val vals: Map[String, Any] = Map(
+      "frame_id" -> frame,
+      "time" -> time,
+      "atom_id" -> atomId,
+      "element" -> UTF8String.fromString(parts(0)),
+      "x" -> (parts(1).toDouble * unitScale).toFloat,
+      "y" -> (parts(2).toDouble * unitScale).toFloat,
+      "z" -> (parts(3).toDouble * unitScale).toFloat,
+      "box_x" -> box.map(_._1).orNull,
+      "box_y" -> box.map(_._2).orNull,
+      "box_z" -> box.map(_._3).orNull)
+    current = InternalRow.fromSeq(
+      required.fields.map(f => vals(f.name)).toIndexedSeq)
+    atomInFrame += 1
+    if (atomInFrame == range.nAtoms) frame += 1
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = src.close()
+}

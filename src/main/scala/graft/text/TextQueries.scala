@@ -38,66 +38,57 @@ object TextQueries {
 
   // -------------------------------------------------------------- minhash
 
-  /** Distinct word-3-gram shingles per doc. concat() (not concat_ws)
-    * null-propagates past the document tail, matching SQL `||`. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
-    val win = Window.partitionBy("doc_id").orderBy("pos")
+  /** Per-doc distinct word-3-gram shingle array, 8-hash MinHash
+    * signature and 4 banded bucket keys — one native-kernel call per
+    * document (graft.functions.MinHashDoc; SURVEY §2.9 level 3: the
+    * HOF-composed form of this signature ran interpreted at
+    * O(shingles × 8) md5+concat expression-tree evals per doc).
+    * min(md5(seed:shingle)) is a string-min minhash — same total order
+    * in both engines. */
+  private def docShingles(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .select(col("doc_id"),
-        concat(col("w"), lit(" "), lead("w", 1).over(win), lit(" "),
-          lead("w", 2).over(win)).as("shingle"))
-      .filter(col("shingle").isNotNull)
-      .distinct()
+      // documents is a single parquet split; spread it so the kernel
+      // runs at full core parallelism — the analog of the reference's
+      // frame-chunk fan-out
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), expr("minhash_doc(text)").as("m"))
+      .select(col("doc_id"), col("m.sh").as("sh"),
+        col("m.bkeys").as("bkeys"))
+      .filter(size(col("sh")) > 0)
   }
-
-  /** Per-(doc, band) LSH bucket key from an 8-hash MinHash signature,
-    * banded 4×2. min(md5(seed:shingle)) is a string-min minhash — same
-    * total order in both engines. */
-  private def buckets(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
-      .crossJoin(broadcast(s.range(8).toDF("seed")))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"),
-        col("shingle")))).as("mh"))
-      .groupBy(col("doc_id"),
-        floor(col("seed") / 2.0).cast("long").as("band"))
-      .agg(min(when(col("seed") % 2 === 0, col("mh"))).as("mh0"),
-        min(when(col("seed") % 2 === 1, col("mh"))).as("mh1"))
-      .select(col("doc_id"), col("band"),
-        md5(concat(col("band").cast("string"), lit("|"), col("mh0"),
-          lit("|"), col("mh1"))).as("bkey"))
 
   /** MinHash+LSH near-duplicate detection (SURVEY §2.10): shingle →
     * 8-hash signature → 4 bands → bucket-join candidates → exact
     * Jaccard verify ≥ 0.8. Candidate generation is a keyed equi-join on
-    * (band, bucket) — never an all-pairs cross join. */
+    * (band, bucket) — never an all-pairs cross join — and the shingle
+    * work happens once: both join sides project the same plan, so
+    * Catalyst reuses the subtree instead of recomputing it. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val b1 = buckets(s, d)
-      .select(col("doc_id").as("d1"), col("band"), col("bkey"))
-    val b2 = buckets(s, d)
-      .select(col("doc_id").as("d2"), col("band").as("band2"),
-        col("bkey").as("bkey2"))
+    // lineage barrier: without it PushPredicateThroughJoin folds the
+    // Jaccard filter into the self-join condition and the optimizer
+    // re-derives the shingle/signature arrays per candidate PAIR
+    // (interpreted HOFs, O(pairs × doc_len)). The barrier pins one
+    // evaluation per doc. At cluster scale this would be a persisted
+    // signature table instead of RDD-local blocks.
+    val ds = docShingles(s, d).localCheckpoint(false)
+    val bands = ds.select(col("doc_id"),
+      posexplode(col("bkeys")).as(Seq("band", "bkey")))
+    val b1 = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
+    val b2 = bands.select(col("doc_id").as("d2"), col("band").as("band2"),
+      col("bkey").as("bkey2"))
     val cand = b1.join(b2,
       col("band") === col("band2") && col("bkey") === col("bkey2") &&
         col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-
-    val s1 = shingles(s, d)
-      .select(col("doc_id").as("d1"), col("shingle"))
-    val s2 = shingles(s, d)
-      .select(col("doc_id").as("d2b"), col("shingle").as("shingle2"))
-    val inter = cand.join(s1, "d1")
-      .join(s2, col("d2") === col("d2b") && col("shingle") === col("shingle2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
-    val sizes1 = shingles(s, d).groupBy(col("doc_id").as("d1"))
-      .agg(count(lit(1)).as("n1"))
-    val sizes2 = shingles(s, d).groupBy(col("doc_id").as("d2"))
-      .agg(count(lit(1)).as("n2"))
-    inter.join(sizes1, "d1").join(sizes2, "d2")
-      .withColumn("jaccard", round(col("n_inter").cast("double") /
-        (col("n1") + col("n2") - col("n_inter")), 6))
+    val sh1 = ds.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val sh2 = ds.select(col("doc_id").as("d2b"), col("sh").as("sh2"))
+    cand.join(sh1, "d1")
+      .join(sh2, col("d2") === col("d2b"))
+      .withColumn("ni",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", round(col("ni") /
+        (size(col("sh1")) + size(col("sh2")) - col("ni")), 6))
       .filter(col("jaccard") >= 0.8)
       .select("d1", "d2", "jaccard")
       .orderBy("d1", "d2")
@@ -149,50 +140,61 @@ object TextQueries {
   // -------------------------------------------------------------- simhash
 
   /** 64-bit frequency-weighted SimHash signature per doc, as two 32-bit
-    * halves in BIGINTs (integer math only — bit-exact across engines). */
+    * halves in BIGINTs (integer math only — bit-exact across engines).
+    * One native-kernel call per document (graft.functions.SimHash64) —
+    * the HOF-composed form ran interpreted at O(tokens × 64)
+    * expression-tree evals per doc and dominated the benchmark. Bit b
+    * of md5 hex h: floor(nibble(h, b div 4) / 2^(b mod 4)) mod 2. */
   private def simhashSig(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), md5(col("w")).as("hx"))
-    val nib = tok
-      .crossJoin(broadcast(s.range(1, 17).toDF("p")))
-      .withColumn("nibval",
-        expr("instr('0123456789abcdef', substring(hx, CAST(p AS INT), 1)) - 1"))
-    val bitsTable = {
-      import s.implicits._
-      Seq((0L, 1L), (1L, 2L), (2L, 4L), (3L, 8L)).toDF("b", "dv")
-    }
-    nib.crossJoin(broadcast(bitsTable))
-      // floor-division: DuckDB CAST(double AS BIGINT) rounds while Spark
-      // truncates, so both sides use explicit floor()
-      .select(col("doc_id"), ((col("p") - 1) * 4 + col("b")).as("bitpos"),
-        when(floor(col("nibval") / col("dv")) % 2 === 1, 1L)
-          .otherwise(-1L).as("contrib"))
-      .groupBy("doc_id", "bitpos").agg(sum("contrib").as("sgn"))
-      .groupBy("doc_id")
-      .agg(
-        sum(when(col("bitpos") < 32 && col("sgn") >= 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos AS INT))"))
-          .otherwise(0L)).as("sim_lo"),
-        sum(when(col("bitpos") >= 32 && col("sgn") >= 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos - 32 AS INT))"))
-          .otherwise(0L)).as("sim_hi"))
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), expr("simhash64(text)").as("sig"))
+      .select(col("doc_id"), col("sig.sim_lo").as("sim_lo"),
+        col("sig.sim_hi").as("sim_hi"))
   }
 
-  /** SimHash near-dup pairs: hamming(sig1, sig2) ≤ 8 over all doc pairs.
-    * (Bit-sampling LSH would band the signature at larger corpus sizes;
-    * at 5k docs the O(n²) BIGINT compare is trivially cheap.) */
+  /** 7-bit band value b∈[0,8] of the 64-bit signature held as two
+    * 32-bit halves (band 4 straddles the boundary). Bits 0..62 are
+    * banded; bit 63 only participates in the hamming verify. */
+  private def bandVal(b: Int): org.apache.spark.sql.Column =
+    if (b <= 3)
+      shiftright(col("sim_lo"), 7 * b).bitwiseAND(lit(127L))
+    else if (b == 4)
+      shiftright(col("sim_lo"), 28).bitwiseAND(lit(15L)) +
+        col("sim_hi").bitwiseAND(lit(7L)) * 16
+    else
+      shiftright(col("sim_hi"), 7 * b - 32).bitwiseAND(lit(127L))
+
+  /** SimHash near-dup pairs: hamming(sig1, sig2) ≤ 8, found via 9-band
+    * bit-sampling LSH + exact verify. Pigeonhole: ≤ 8 differing bits
+    * cannot corrupt all 9 bands, so every qualifying pair shares at
+    * least one (band, value) key — the equi-join is exhaustive, never
+    * an O(n²) cross join, and shuffles on the band key at scale. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val g1 = simhashSig(s, d).select(col("doc_id").as("d1"),
-      col("sim_lo").as("lo1"), col("sim_hi").as("hi1"))
-    val g2 = simhashSig(s, d).select(col("doc_id").as("d2"),
-      col("sim_lo").as("lo2"), col("sim_hi").as("hi2"))
-    g1.join(g2, col("d1") < col("d2"))
+    // lineage barrier — same rationale as dedupMinhash: signatures must
+    // evaluate once per doc, not once per candidate pair inside the
+    // join predicate
+    val sig = simhashSig(s, d).localCheckpoint(false)
+    val banded = sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+      explode(array((0 to 8).map(b =>
+        struct(lit(b).as("band"), bandVal(b).as("bval"))): _*)).as("bd"))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        col("bd.band").as("band"), col("bd.bval").as("bval"))
+    val g1 = banded.select(col("doc_id").as("d1"),
+      col("sim_lo").as("lo1"), col("sim_hi").as("hi1"),
+      col("band"), col("bval"))
+    val g2 = banded.select(col("doc_id").as("d2"),
+      col("sim_lo").as("lo2"), col("sim_hi").as("hi2"),
+      col("band").as("band2"), col("bval").as("bval2"))
+    g1.join(g2, col("band") === col("band2") &&
+        col("bval") === col("bval2") && col("d1") < col("d2"))
       .withColumn("hamming",
         (bit_count(col("lo1").bitwiseXOR(col("lo2"))) +
           bit_count(col("hi1").bitwiseXOR(col("hi2")))).cast("long"))
       .filter(col("hamming") <= 8)
       .select("d1", "d2", "hamming")
+      .distinct()
       .orderBy("d1", "d2")
   }
 
@@ -215,11 +217,18 @@ object TextQueries {
       |      THEN (CAST(1 AS BIGINT) << CAST(bitpos AS INT)) ELSE 0 END) AS BIGINT) AS sim_lo,
       |    CAST(sum(CASE WHEN bitpos >= 32 AND sgn >= 0
       |      THEN (CAST(1 AS BIGINT) << CAST(bitpos - 32 AS INT)) ELSE 0 END) AS BIGINT) AS sim_hi
-      |  FROM sums GROUP BY doc_id)
-      |SELECT s1.doc_id AS d1, s2.doc_id AS d2,
+      |  FROM sums GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, sim_lo, sim_hi, b AS band,
+      |    CASE WHEN b <= 3 THEN (sim_lo >> CAST(7 * b AS INT)) & 127
+      |         WHEN b = 4 THEN ((sim_lo >> 28) & 15) + ((sim_hi & 7) * 16)
+      |         ELSE (sim_hi >> CAST(7 * b - 32 AS INT)) & 127 END AS bval
+      |  FROM sig, (SELECT unnest(range(9)) AS b) bs)
+      |SELECT DISTINCT s1.doc_id AS d1, s2.doc_id AS d2,
       |  CAST(bit_count(xor(s1.sim_lo, s2.sim_lo))
       |     + bit_count(xor(s1.sim_hi, s2.sim_hi)) AS BIGINT) AS hamming
-      |FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+      |FROM banded s1 JOIN banded s2
+      |  ON s1.band = s2.band AND s1.bval = s2.bval AND s1.doc_id < s2.doc_id
       |WHERE bit_count(xor(s1.sim_lo, s2.sim_lo))
       |    + bit_count(xor(s1.sim_hi, s2.sim_hi)) <= 8
       |ORDER BY d1, d2""".stripMargin
@@ -339,16 +348,15 @@ object TextQueries {
     * winnowing's global-min special case (SURVEY §2.10 fingerprinting).
     * The 8-gram explosion is a narrow generator (no shuffle) followed by
     * one keyed min-aggregation. */
-  def fingerprint(s: SparkSession, d: String): DataFrame =
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      // native single-pass kernel (see graft.functions.MinFingerprint)
       .select(col("doc_id"),
-        explode(sequence(lit(1),
-          greatest(length(col("text")) - 7, lit(1)))).as("i"),
-        col("text"))
-      .groupBy("doc_id")
-      .agg(min(md5(expr("substring(text, CAST(i AS INT), 8)")))
-        .as("fingerprint"))
+        expr("min_fingerprint(text)").as("fingerprint"))
       .orderBy("doc_id")
+  }
 
   private val fingerprintSql =
     """WITH pos AS (

@@ -22,25 +22,25 @@ object TrajQueries {
 
   private val P = TrajModel.positionsSql
 
-  private def pos(s: SparkSession, d: String, alias: String): DataFrame = {
-    val p = TrajModel.positions(s, d)
+  /** Project one join role out of a shared positions instance: all
+    * roles reference the same subplan, so Catalyst reuses the exchange
+    * that built `positions` instead of recomputing it per role. */
+  private def role(p: DataFrame, alias: String): DataFrame =
     p.select(
-      col("frame_id"),
+      col("frame_id").as(s"${alias}_frame"),
       col("atom_id").as(s"${alias}_atom"),
       col("x").as(s"${alias}x"),
       col("y").as(s"${alias}y"),
       col("z").as(s"${alias}z"))
-  }
 
   /** F1: per-(frame, pair) Euclidean distance (distance.py:15-66). */
   def trajDistances(s: SparkSession, d: String): DataFrame = {
-    val p1 = pos(s, d, "p")
-    val p2 = pos(s, d, "q")
+    val p = TrajModel.positions(s, d)
     TrajModel.pairsDf(s)
-      .join(p1, col("p_atom") === col("a1"))
-      .join(p2, col("q_atom") === col("a2") &&
-        p1("frame_id") === p2("frame_id"))
-      .select(p1("frame_id").as("frame_id"), col("a1"), col("a2"),
+      .join(role(p, "p"), col("p_atom") === col("a1"))
+      .join(role(p, "q"), col("q_atom") === col("a2") &&
+        col("p_frame") === col("q_frame"))
+      .select(col("p_frame").as("frame_id"), col("a1"), col("a2"),
         round(dist(col("px"), col("py"), col("pz"),
           col("qx"), col("qy"), col("qz")), 6).as("dist"))
       .orderBy("frame_id", "a1", "a2")
@@ -59,14 +59,13 @@ object TrajQueries {
   /** F6: periodic distance under an orthorhombic 6×6×6 box — the
     * reference's orthogonal MIC fast path (distance.py:50-58). */
   def trajDistancesPeriodic(s: SparkSession, d: String): DataFrame = {
-    val p1 = pos(s, d, "p")
-    val p2 = pos(s, d, "q")
+    val p = TrajModel.positions(s, d)
     val box = lit(6.0)
     TrajModel.pairsDf(s)
-      .join(p1, col("p_atom") === col("a1"))
-      .join(p2, col("q_atom") === col("a2") &&
-        p1("frame_id") === p2("frame_id"))
-      .select(p1("frame_id").as("frame_id"), col("a1"), col("a2"),
+      .join(role(p, "p"), col("p_atom") === col("a1"))
+      .join(role(p, "q"), col("q_atom") === col("a2") &&
+        col("p_frame") === col("q_frame"))
+      .select(col("p_frame").as("frame_id"), col("a1"), col("a2"),
         round(distMic(col("px"), col("py"), col("pz"),
           col("qx"), col("qy"), col("qz"), box, box, box), 6)
           .as("dist_mic"))
@@ -90,13 +89,12 @@ object TrajQueries {
 
   /** F2: per-(frame, pair) displacement 3-vector (distance.py:148-199). */
   def trajDisplacements(s: SparkSession, d: String): DataFrame = {
-    val p1 = pos(s, d, "p")
-    val p2 = pos(s, d, "q")
+    val p = TrajModel.positions(s, d)
     TrajModel.pairsDf(s)
-      .join(p1, col("p_atom") === col("a1"))
-      .join(p2, col("q_atom") === col("a2") &&
-        p1("frame_id") === p2("frame_id"))
-      .select(p1("frame_id").as("frame_id"), col("a1"), col("a2"),
+      .join(role(p, "p"), col("p_atom") === col("a1"))
+      .join(role(p, "q"), col("q_atom") === col("a2") &&
+        col("p_frame") === col("q_frame"))
+      .select(col("p_frame").as("frame_id"), col("a1"), col("a2"),
         round(col("qx") - col("px"), 6).as("dx"),
         round(col("qy") - col("py"), 6).as("dy"),
         round(col("qz") - col("pz"), 6).as("dz"))
@@ -118,21 +116,19 @@ object TrajQueries {
     * where either displacement vector is zero-length are filtered in
     * both engines (the reference would emit NaN there). */
   def trajAngles(s: SparkSession, d: String): DataFrame = {
-    val pa = pos(s, d, "a")
-    val pb = pos(s, d, "b")
-    val pc = pos(s, d, "c")
+    val p = TrajModel.positions(s, d)
     val ux = col("ax") - col("bx"); val uy = col("ay") - col("by")
     val uz = col("az") - col("bz")
     val vx = col("cx") - col("bx"); val vy = col("cy") - col("by")
     val vz = col("cz") - col("bz")
     TrajModel.tripletsDf(s)
-      .join(pa, col("a_atom") === col("ai"))
-      .join(pb, col("b_atom") === col("aj") &&
-        pa("frame_id") === pb("frame_id"))
-      .join(pc, col("c_atom") === col("ak") &&
-        pa("frame_id") === pc("frame_id"))
+      .join(role(p, "a"), col("a_atom") === col("ai"))
+      .join(role(p, "b"), col("b_atom") === col("aj") &&
+        col("a_frame") === col("b_frame"))
+      .join(role(p, "c"), col("c_atom") === col("ak") &&
+        col("a_frame") === col("c_frame"))
       .filter(norm2(ux, uy, uz) > 0 && norm2(vx, vy, vz) > 0)
-      .select(pa("frame_id").as("frame_id"), col("ai"), col("aj"),
+      .select(col("a_frame").as("frame_id"), col("ai"), col("aj"),
         col("ak"),
         round(angleRad(ux, uy, uz, vx, vy, vz), 6).as("angle_rad"))
       .orderBy("frame_id", "ai", "aj", "ak")
@@ -216,9 +212,10 @@ object TrajQueries {
     * find_closest_contact (distance.py:393-464). Ordered on the rounded
     * distance so both engines break ties identically. */
   def trajClosestContact(s: SparkSession, d: String): DataFrame = {
-    val g1 = pos(s, d, "p").filter(col("frame_id") === 1 &&
+    val p = TrajModel.positions(s, d)
+    val g1 = role(p, "p").filter(col("p_frame") === 1 &&
       col("p_atom").between(1, 50))
-    val g2 = pos(s, d, "q").filter(col("frame_id") === 1 &&
+    val g2 = role(p, "q").filter(col("q_frame") === 1 &&
       col("q_atom").between(51, 100))
     g1.crossJoin(g2)
       .select(col("p_atom").as("a1"), col("q_atom").as("a2"),
@@ -243,10 +240,11 @@ object TrajQueries {
     * duplicated boundary frames). Earlier source wins per (frame, atom);
     * output is a per-frame summary. */
   def trajJoinDedup(s: SparkSession, d: String): DataFrame = {
-    val a = TrajModel.positions(s, d)
-      .filter(col("frame_id").between(1, 4)).withColumn("src", lit(0))
-    val b = TrajModel.positions(s, d)
-      .filter(col("frame_id").between(4, 7)).withColumn("src", lit(1))
+    val p = TrajModel.positions(s, d)
+    val a = p.filter(col("frame_id").between(1, 4))
+      .withColumn("src", lit(0))
+    val b = p.filter(col("frame_id").between(4, 7))
+      .withColumn("src", lit(1))
     val w = Window.partitionBy("frame_id", "atom_id").orderBy("src")
     a.unionByName(b)
       .withColumn("rn", row_number().over(w))

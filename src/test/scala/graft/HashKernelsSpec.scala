@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.{GraftFunctions, HashKernels}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential tests: the native kernels must compute exactly what the
+  * pure-SQL compositions (and therefore the DuckDB oracles) compute —
+  * the same trusted-oracle pattern as the reference's function_test
+  * (tests/helpers.py:4-18). */
+class HashKernelsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val samples = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b c",
+    "one two",          // < 3 words → empty minhash
+    "spark data batch hash sort value filter big dup group line",
+    "short",
+    "x y z x y z x y z")
+
+  test("md5hex matches Spark md5()") {
+    import spark.implicits._
+    val got = samples.toDF("t")
+      .select(md5(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq == samples.map(HashKernels.md5hex))
+  }
+
+  test("simhash64 kernel == HOF-composed simhash") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = samples.toDF("text")
+      .withColumn("hs", expr("transform(split(text, ' '), w -> md5(w))"))
+      .withColumn("votes", expr(
+        """transform(sequence(0, 63), b ->
+          |  aggregate(hs, CAST(0 AS BIGINT), (acc, h) -> acc +
+          |    CASE WHEN (CAST(conv(substring(h, CAST(b div 4 AS INT) + 1, 1),
+          |                        16, 10) AS BIGINT)
+          |               div shiftleft(CAST(1 AS BIGINT), CAST(b % 4 AS INT)))
+          |              % 2 = 1 THEN 1 ELSE -1 END))""".stripMargin))
+      .select(col("text"),
+        expr("""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) ->
+               |  acc + CASE WHEN votes[b] >= 0
+               |  THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))
+               |  ELSE 0 END)""".stripMargin).as("lo_sql"),
+        expr("""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) ->
+               |  acc + CASE WHEN votes[b + 32] >= 0
+               |  THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))
+               |  ELSE 0 END)""".stripMargin).as("hi_sql"),
+        expr("simhash64(text)").as("k"))
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("lo_sql") ==
+        r.getAs[org.apache.spark.sql.Row]("k").getAs[Long]("sim_lo"),
+        s"lo mismatch for '${r.getString(0)}'")
+      assert(r.getAs[Long]("hi_sql") ==
+        r.getAs[org.apache.spark.sql.Row]("k").getAs[Long]("sim_hi"),
+        s"hi mismatch for '${r.getString(0)}'")
+    }
+  }
+
+  test("minhash_doc kernel == HOF-composed shingles/signature/bands") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = samples.toDF("text")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("sh_sql",
+        when(size(col("ws")) >= 3, expr(
+          "array_distinct(transform(sequence(0, size(ws) - 3)," +
+            " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .withColumn("mhs", expr(
+        "transform(sequence(0, 7), k -> array_min(transform(sh_sql," +
+          " x -> md5(concat(CAST(k AS STRING), ':', x)))))"))
+      .withColumn("bkeys_sql",
+        when(size(col("sh_sql")) > 0, expr(
+          "transform(sequence(0, 3), j -> md5(concat(CAST(j AS STRING)," +
+            " '|', mhs[2*j], '|', mhs[2*j+1])))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .withColumn("k", expr("minhash_doc(text)"))
+    df.collect().foreach { r =>
+      val k = r.getAs[org.apache.spark.sql.Row]("k")
+      assert(r.getAs[scala.collection.Seq[String]]("sh_sql").toSeq ==
+        k.getAs[scala.collection.Seq[String]]("sh").toSeq)
+      assert(r.getAs[scala.collection.Seq[String]]("bkeys_sql").toSeq ==
+        k.getAs[scala.collection.Seq[String]]("bkeys").toSeq)
+    }
+  }
+
+  test("min_fingerprint kernel == HOF-composed 8-gram min") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = samples.toDF("text").select(
+      expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1))," +
+        " i -> md5(substring(text, i, 8))))").as("sql"),
+      expr("min_fingerprint(text)").as("k"))
+    df.collect().foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+}
