@@ -404,6 +404,54 @@ object RelQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** CUBE over two independent order dimensions (SURVEY §2.4 grouping
+    * sets family, complementing the rollup hierarchy). */
+  def cubeStatus(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         |FROM parquet.`$d/orders.parquet`
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin)
+
+  private val cubeStatusSql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Sliding event-time window (1h window, 15min slide): each event
+    * lands in 4 overlapping windows. Spark's window() generator; the
+    * oracle reproduces the window family arithmetically on epoch
+    * seconds. */
+  def eventsSliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("win_epoch"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy("win_epoch", "event_type")
+
+  private val eventsSlidingSql =
+    """WITH ev AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type, value
+      |  FROM events),
+      |exploded AS (
+      |  SELECT (e // 900) * 900 - k * 900 AS win_epoch, event_type, value
+      |  FROM ev, (SELECT unnest(range(4)) AS k) ks)
+      |SELECT win_epoch, event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+      |FROM exploded
+      |GROUP BY win_epoch, event_type
+      |ORDER BY win_epoch, event_type""".stripMargin
+
   /** Sketch aggregation: HyperLogLog++ approximate distinct counts.
     * No DuckDB oracle (different sketch algorithm) → rows-only check;
     * exact counts emitted alongside for the spec's sanity bound. */
@@ -430,6 +478,8 @@ object RelQueries {
     QueryDef("q_window_running_sum", windowRunningSum,
       Some(windowRunningSumSql)),
     QueryDef("q_rollup_region", rollupRegion, Some(rollupRegionSql)),
+    QueryDef("q_cube_status", cubeStatus, Some(cubeStatusSql)),
+    QueryDef("q_events_sliding", eventsSliding, Some(eventsSlidingSql)),
     QueryDef("q_string_date_json", stringDateJson, Some(stringDateJsonSql)),
     QueryDef("q_events_tumbling", eventsTumbling, Some(eventsTumblingSql)),
     QueryDef("q_events_sessionize", eventsSessionize,

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming surface (SURVEY §2.8). The reference is batch
@@ -25,5 +26,44 @@ object EventStreams {
           .as("total_value"))
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("total_value"))
+  }
+
+  final case class SessionInput(user_id: Long, e: Long)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: Long,
+      n_events: Long, duration_sec: Long)
+
+  /** Stateful streaming sessionization (SURVEY §2.8): custom per-key
+    * state via flatMapGroupsWithState — the streaming counterpart of the
+    * batch islands query (RelQueries.eventsSessionize). A session
+    * closes when a later event for the key exceeds the gap; the open
+    * tail session stays in (bounded per-key) state. Production would
+    * layer an EventTimeTimeout + watermark to flush idle tails; the
+    * event-driven core below is the semantics the batch oracle checks. */
+  def sessionize(events: Dataset[SessionInput],
+      gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionInput],
+         state: GroupState[SessionState]) =>
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var cur = state.getOption
+          rows.toSeq.sortBy(e => e.e).foreach { ev =>
+            cur match {
+              case Some(st) if ev.e - st.last <= gapSec =>
+                cur = Some(st.copy(last = ev.e, n = st.n + 1))
+              case Some(st) =>
+                closed += SessionOut(user, st.start, st.n,
+                  st.last - st.start)
+                cur = Some(SessionState(ev.e, ev.e, 1))
+              case None =>
+                cur = Some(SessionState(ev.e, ev.e, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
   }
 }

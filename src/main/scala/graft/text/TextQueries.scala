@@ -233,6 +233,68 @@ object TextQueries {
       |    + bit_count(xor(s1.sim_hi, s2.sim_hi)) <= 8
       |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------- ngram jaccard
+
+  /** Char-5-gram Jaccard near-dup detection with winnowing-style
+    * blocking (SURVEY §2.10 n-gram Jaccard): candidates must share BOTH
+    * the min-8-gram fingerprint (near-dups almost surely keep the
+    * globally minimal shingle; random docs rarely collide — 40× pair
+    * reduction on this corpus) AND the length bucket. Length-bucket
+    * blocking alone left Σ block² ≈ corpus²/6 here — measured 1120 s at
+    * sf0.1 before the fingerprint key was added. Exact Jaccard on
+    * distinct 5-gram sets over the surviving candidates. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val g = Tables.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        floor(length(col("text")) / 100).cast("long").as("lenb"),
+        expr("min_fingerprint(text)").as("fp"),
+        expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1))," +
+          " i -> substring(text, i, 5)))").as("grams"))
+      .localCheckpoint(false)
+    val a = g.select(col("doc_id").as("d1"), col("lenb"), col("fp"),
+      col("grams").as("g1"))
+    val b = g.select(col("doc_id").as("d2"), col("lenb").as("lenb2"),
+      col("fp").as("fp2"), col("grams").as("g2"))
+    a.join(b, col("fp") === col("fp2") && col("lenb") === col("lenb2") &&
+        col("d1") < col("d2"))
+      // cheap necessary condition first (|A∩B| ≤ min(|A|,|B|)), then the
+      // exact integer form of jaccard ≥ 0.5 (3·|∩| ≥ |A|+|B|) — one
+      // array_intersect per pair instead of the 3 evaluations the
+      // double-division form costs once folded into the join residual
+      .filter(least(size(col("g1")), size(col("g2"))) * 3 >=
+        size(col("g1")) + size(col("g2")))
+      .filter(size(array_intersect(col("g1"), col("g2"))) * 3 >=
+        size(col("g1")) + size(col("g2")))
+      .withColumn("ni", size(array_intersect(col("g1"), col("g2")))
+        .cast("double"))
+      .select(col("d1"), col("d2"), round(col("ni") /
+        (size(col("g1")) + size(col("g2")) - col("ni")), 6).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  private val dedupNgramSql =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(floor(length(text) / 100) AS BIGINT) AS lenb,
+      |    list_min(list_transform(
+      |      range(1, greatest(length(text) - 7, 1) + 1),
+      |      i -> md5(substr(text, CAST(i AS INT), 8)))) AS fp,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(length(text) - 4, 1) + 1),
+      |      i -> substr(text, CAST(i AS INT), 5))) AS grams
+      |  FROM documents)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |    / (len(a.grams) + len(b.grams)
+      |       - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+      |FROM g a JOIN g b ON a.fp = b.fp AND a.lenb = b.lenb
+      |  AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      |    / (len(a.grams) + len(b.grams)
+      |       - len(list_intersect(a.grams, b.grams))) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
   // ------------------------------------------------------------ text stats
 
   /** Per-language corpus stats (SURVEY §2.10 q_text_stats). */
@@ -370,6 +432,7 @@ object TextQueries {
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    QueryDef("q_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("q_text_stats", textStats, Some(textStatsSql)),
     QueryDef("q_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("q_quality_score", qualityScore, Some(qualityScoreSql)),

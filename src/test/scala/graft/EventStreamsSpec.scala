@@ -37,4 +37,29 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("stateful streaming sessionization matches batch islands " +
+    "on closed sessions") {
+    import spark.implicits._
+    // bounded memory stream: two users, sessions split by >30min gaps
+    val events = Seq(
+      EventStreams.SessionInput(1L, 1000L),
+      EventStreams.SessionInput(1L, 1600L),
+      EventStreams.SessionInput(1L, 1000L + 4000L), // new session (gap 3400s)
+      EventStreams.SessionInput(2L, 500L))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStreams.SessionInput](spark)
+    ms.addData(events: _*)
+    val q = EventStreams.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // only sessions closed by a later event are emitted (open state
+      // waits for its timeout): user 1's first session
+      val got = spark.table("sessions_out")
+        .as[EventStreams.SessionOut].collect().toSet
+      assert(got == Set(EventStreams.SessionOut(1L, 1000L, 2L, 600L)))
+    } finally q.stop()
+  }
 }
