@@ -458,9 +458,11 @@ object RelQueries {
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).agg(
       approx_count_distinct("l_orderkey").as("approx_orders"),
-      countDistinct("l_orderkey").as("exact_orders"),
       approx_count_distinct("l_partkey").as("approx_parts"),
-      countDistinct("l_partkey").as("exact_parts"))
+      approx_count_distinct("l_suppkey").as("approx_supps"),
+      // one exact count as the sketch sanity anchor; a second exact
+      // distinct would add another expand+shuffle pass for no signal
+      countDistinct("l_orderkey").as("exact_orders"))
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_scan_lineitem", scanLineitem, Some(scanLineitemSql)),

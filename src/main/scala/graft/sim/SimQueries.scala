@@ -108,16 +108,18 @@ object SimQueries {
     * ≥ 0.4 verify. The all-pairs comparison only ever happens inside a
     * bucket (1/2^8 of the corpus per bucket in expectation). */
   def simNeardupLsh(s: SparkSession, d: String): DataFrame = {
-    // lineage barrier: keeps bucket ids / norms evaluated once per
-    // vector rather than re-derived inside the self-join predicate
-    // (see TextQueries.dedupMinhash)
-    val buckets = lshBuckets(s, d).localCheckpoint(false)
-    val b1 = buckets.select(col("vec_id").as("v1"), col("bkt"))
-    val b2 = buckets.select(col("vec_id").as("v2"), col("bkt").as("bkt2"))
+    // one pass computes bucket id + norm + vector per row; the lineage
+    // barrier keeps them evaluated once per vector rather than
+    // re-derived inside the self-join predicate (see
+    // TextQueries.dedupMinhash)
+    val vecs = withNorm(s, d)
+      .join(lshBuckets(s, d), "vec_id")
+      .localCheckpoint(false)
+    val b1 = vecs.select(col("vec_id").as("v1"), col("bkt"))
+    val b2 = vecs.select(col("vec_id").as("v2"), col("bkt").as("bkt2"))
     val cand = b1.join(b2,
       col("bkt") === col("bkt2") && col("v1") < col("v2"))
       .select("v1", "v2")
-    val vecs = withNorm(s, d).localCheckpoint(false)
     val e1 = vecs.select(col("vec_id").as("v1"),
       col("emb").as("emb1"), col("nrm").as("nrm1"))
     val e2 = vecs.select(col("vec_id").as("v2b"),

@@ -253,12 +253,18 @@ object TextQueries {
         expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1))," +
           " i -> substring(text, i, 5)))").as("grams"))
       .localCheckpoint(false)
+    // salt the self-join: fingerprint buckets are skewed (one bucket
+    // holds ~6% of the corpus), and a bucket = one join key = one
+    // reducer. Left side gets salt = doc_id mod 8, right side is
+    // replicated to all 8 salts → identical pair set, 8-way parallel.
+    val salts = s.range(8).toDF("salt2")
     val a = g.select(col("doc_id").as("d1"), col("lenb"), col("fp"),
-      col("grams").as("g1"))
+      col("grams").as("g1"), pmod(col("doc_id"), lit(8)).as("salt"))
     val b = g.select(col("doc_id").as("d2"), col("lenb").as("lenb2"),
       col("fp").as("fp2"), col("grams").as("g2"))
+      .crossJoin(broadcast(salts))
     a.join(b, col("fp") === col("fp2") && col("lenb") === col("lenb2") &&
-        col("d1") < col("d2"))
+        col("salt") === col("salt2") && col("d1") < col("d2"))
       // cheap necessary condition first (|A∩B| ≤ min(|A|,|B|)), then the
       // exact integer form of jaccard ≥ 0.5 (3·|∩| ≥ |A|+|B|) — one
       // array_intersect per pair instead of the 3 evaluations the
