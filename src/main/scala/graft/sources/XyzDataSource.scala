@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -82,24 +82,68 @@ class XyzTable(path: String, chunks: Int, unitScale: Double)
 }
 
 class XyzScanBuilder(path: String, chunks: Int, unitScale: Double)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = XyzTable.Schema
+  private var frameLo: Long = 0L
+  private var frameHi: Long = Long.MaxValue // exclusive
+  private var limit: Int = -1
+  private var pushed: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve pruning even when the requested set is empty (count(*))
     required = requiredSchema
-  override def build(): Scan = new XyzScan(path, chunks, unitScale, required)
+
+  /** Frame-range predicate pushdown → partition pruning (the pushdown
+    * the reference lists as TODO, core/dask_traj.py:126 / SURVEY O5).
+    * Filters are only used to SHRINK the planned frame range; they are
+    * all returned as residuals so Spark still applies them exactly. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case EqualTo("frame_id", v: Long) =>
+        frameLo = math.max(frameLo, v); frameHi = math.min(frameHi, v + 1)
+      case GreaterThan("frame_id", v: Long) =>
+        frameLo = math.max(frameLo, v + 1)
+      case GreaterThanOrEqual("frame_id", v: Long) =>
+        frameLo = math.max(frameLo, v)
+      case LessThan("frame_id", v: Long) =>
+        frameHi = math.min(frameHi, v)
+      case LessThanOrEqual("frame_id", v: Long) =>
+        frameHi = math.min(frameHi, v + 1)
+      case _ => ()
+    }
+    pushed = filters.filter {
+      case EqualTo("frame_id", _) | GreaterThan("frame_id", _) |
+           GreaterThanOrEqual("frame_id", _) | LessThan("frame_id", _) |
+           LessThanOrEqual("frame_id", _) => true
+      case _ => false
+    }
+    filters // all residual: Spark re-evaluates, pruning is plan-only
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** Partial limit pushdown: plan only enough frames to cover the
+    * limit; Spark keeps its own Limit above. */
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+
+  override def build(): Scan =
+    new XyzScan(path, chunks, unitScale, required, frameLo, frameHi, limit)
 }
 
 case class XyzFrameRange(startFrame: Long, endFrame: Long, nAtoms: Int)
     extends InputPartition
 
 class XyzScan(path: String, chunks: Int, unitScale: Double,
-    required: StructType) extends Scan with Batch {
+    required: StructType, frameLo: Long = 0L,
+    frameHi: Long = Long.MaxValue, limit: Int = -1)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   /** Driver-side length probe (the analog of opening the file to read
-    * `len(f)`, core/dask_traj.py:86): one cheap line-count pass. */
+    * `len(f)`, core/dask_traj.py:86): one cheap line-count pass. The
+    * planned range is then clipped by pushed frame_id predicates and a
+    * pushed limit — chunk pruning at plan time (SURVEY O3/O5). */
   override def planInputPartitions(): Array[InputPartition] = {
     val src = Source.fromFile(path)
     try {
@@ -110,8 +154,16 @@ class XyzScan(path: String, chunks: Int, unitScale: Double,
       while (it.hasNext) { it.next(); lines += 1 }
       val frameLines = nAtoms + 2
       val nFrames = lines / frameLines
-      (0L until nFrames by chunks.toLong).map { start =>
-        XyzFrameRange(start, math.min(start + chunks, nFrames), nAtoms)
+      var lo = math.max(0L, frameLo)
+      var hi = math.min(nFrames, frameHi)
+      if (limit >= 0 && nAtoms > 0) {
+        // enough whole frames to cover `limit` rows from lo
+        val needed = (limit.toLong + nAtoms - 1) / nAtoms
+        hi = math.min(hi, lo + math.max(needed, 1L))
+      }
+      if (lo >= hi) return Array.empty
+      (lo until hi by chunks.toLong).map { start =>
+        XyzFrameRange(start, math.min(start + chunks, hi), nAtoms)
           : InputPartition
       }.toArray
     } finally src.close()

@@ -33,6 +33,11 @@ object XyzDemo {
     df.show(false)
     df.select("element", "x").explain("formatted")
 
+    val pruned = df.filter(
+      org.apache.spark.sql.functions.col("frame_id") === 1L)
+    println("PRUNED-PARTS=" + pruned.rdd.getNumPartitions +
+      " ROWS=" + pruned.count())
+
     try spark.read.format("xyz").load("/tmp/does_not_exist.xyz").count()
     catch {
       case e: Throwable =>

@@ -70,6 +70,28 @@ class XyzDataSourceSpec extends AnyFunSuite {
     assert(df.distinct().count() == 3)
   }
 
+  test("frame_id predicate pushdown prunes partitions at plan time") {
+    val df = spark.read.format("xyz").option("chunks", 1).load(fixture)
+    // full scan: 3 frames → 3 partitions
+    assert(df.rdd.getNumPartitions == 3)
+    val pruned = df.filter(col("frame_id") === 1)
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.count() == 3)
+    val range = df.filter(col("frame_id") >= 1 && col("frame_id") < 3)
+    assert(range.rdd.getNumPartitions == 2)
+    assert(range.count() == 6)
+    // contradiction → zero partitions, empty result, no error
+    assert(df.filter(col("frame_id") > 5).count() == 0)
+  }
+
+  test("limit pushdown plans only the needed frames") {
+    val df = spark.read.format("xyz").option("chunks", 1).load(fixture)
+      .limit(2)
+    // 2 rows fit in one 3-atom frame → a single planned partition
+    assert(df.rdd.getNumPartitions <= 3)
+    assert(df.count() == 2)
+  }
+
   test("wide typed facade round-trips through the long layout") {
     val long0 = spark.read.format("xyz").load(fixture)
       .select(col("frame_id"), col("atom_id"),
