@@ -18,7 +18,8 @@ object SparkEntry {
       text.TextQueries.defs ++
       sim.SimQueries.defs :+
       QueryDef("q_multimodal_features",
-        multimodal.MultimodalPipeline.multimodalFeatures, None)
+        multimodal.MultimodalPipeline.multimodalFeatures,
+        Some(multimodal.MultimodalPipeline.multimodalFeaturesSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

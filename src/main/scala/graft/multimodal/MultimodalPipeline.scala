@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * partition, streamed rows, no driver materialization), and a
   * downstream aggregation that stays fully relational.
   *
+  * Oracle checkability: alongside the float feature vector (the real
+  * product of a decoder), the transform emits integer-exact decode
+  * stats (byte_len, big-endian 4-byte header, first-quarter byte sum and
+  * count). Those are plain arithmetic over the payload bytes, which
+  * DuckDB reproduces on the text source (corpus is ASCII, so character
+  * ops = byte ops), making the registered query hash-checkable.
+  *
   * At 100 TB: payloads live in the fact table, features are a narrow
   * projection of it; the only shuffle is the final keyed aggregate.
   */
@@ -26,7 +33,8 @@ object MultimodalPipeline {
       payload: Array[Byte])
 
   final case class Features(doc_id: Long, media_type: String,
-      byte_len: Long, header: Long, feature: Array[Float])
+      byte_len: Long, header: Long, f0_sum: Long, f0_len: Long,
+      feature: Array[Float])
 
   /** STUB — stands in for a real image/audio decoder (libs unavailable
     * here). Deterministic fake: 4 "channel features" = mean byte value
@@ -68,19 +76,60 @@ object MultimodalPipeline {
           ((a.payload(0) & 0xffL) << 24) | ((a.payload(1) & 0xffL) << 16) |
             ((a.payload(2) & 0xffL) << 8) | (a.payload(3) & 0xffL)
         else 0L
-        Features(a.doc_id, a.media_type, a.payload.length.toLong, header, f)
+        // integer-exact first-quarter stats: the oracle-checkable twin
+        // of feature(0) (whose float math is engine-specific)
+        val q = math.max(a.payload.length / 4, 1)
+        val n = math.min(q, a.payload.length)
+        var s = 0L; var i = 0
+        while (i < n) { s += (a.payload(i) & 0xff); i += 1 }
+        Features(a.doc_id, a.media_type, a.payload.length.toLong, header,
+          s, n.toLong, f)
       }
     }
   }
 
-  /** Registered query: decode → per-media-type feature aggregate.
-    * No DuckDB oracle (binary decode isn't SQL-expressible) → the
-    * driver records a rows-only check. */
+  /** Registered query: decode → per-media-type aggregate over the
+    * integer-exact decode stats (DuckDB reproduces them from the text
+    * bytes — see the oracle below). The float feature vector is
+    * spec-tested (MultimodalSpec), not oracle-hashed. */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
     features(assets(s, d)).toDF()
       .groupBy("media_type")
       .agg(count(lit(1)).as("n_assets"),
         sum("byte_len").as("total_bytes"),
-        round(avg(element_at(col("feature"), 1)), 4).as("avg_f0"))
+        sum("header").as("sum_header"),
+        round(sum("f0_sum").cast("double") / sum("f0_len"), 6).as("avg_f0"))
       .orderBy("media_type")
+
+  /** DuckDB twin: byte_len/header/first-quarter mean re-derived from the
+    * text characters (ASCII corpus ⇒ ord(char) = payload byte). */
+  val multimodalFeaturesSql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    text, length(text) AS bl,
+      |    greatest(length(text) // 4, 1) AS q
+      |  FROM documents),
+      |hdr AS (
+      |  SELECT doc_id, media_type, bl, q, text,
+      |    CASE WHEN bl >= 4 THEN
+      |      ord(substr(text, 1, 1)) * 16777216 + ord(substr(text, 2, 1)) * 65536
+      |      + ord(substr(text, 3, 1)) * 256 + ord(substr(text, 4, 1))
+      |    ELSE 0 END AS header
+      |  FROM a),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(1, least(q, bl) + 1)) AS i, text
+      |  FROM hdr),
+      |f0 AS (
+      |  SELECT doc_id, sum(ord(substr(text, CAST(i AS INT), 1))) AS f0_sum,
+      |    count(*) AS f0_len
+      |  FROM pos GROUP BY doc_id)
+      |SELECT media_type, CAST(count(*) AS BIGINT) AS n_assets,
+      |  CAST(sum(bl) AS BIGINT) AS total_bytes,
+      |  CAST(sum(header) AS BIGINT) AS sum_header,
+      |  round(CAST(sum(coalesce(f0_sum, 0)) AS DOUBLE)
+      |        / sum(coalesce(f0_len, 0)), 6) AS avg_f0
+      |FROM hdr LEFT JOIN f0 USING (doc_id)
+      |GROUP BY media_type ORDER BY media_type""".stripMargin
 }

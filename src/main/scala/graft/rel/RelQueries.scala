@@ -453,16 +453,42 @@ object RelQueries {
       |ORDER BY win_epoch, event_type""".stripMargin
 
   /** Sketch aggregation: HyperLogLog++ approximate distinct counts.
-    * No DuckDB oracle (different sketch algorithm) → rows-only check;
-    * exact counts emitted alongside for the spec's sanity bound. */
-  def approxDistinct(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).agg(
-      approx_count_distinct("l_orderkey").as("approx_orders"),
-      approx_count_distinct("l_partkey").as("approx_parts"),
-      approx_count_distinct("l_suppkey").as("approx_supps"),
-      // one exact count as the sketch sanity anchor; a second exact
-      // distinct would add another expand+shuffle pass for no signal
-      countDistinct("l_orderkey").as("exact_orders"))
+    * DuckDB can't reproduce Spark's HLL sketch, so the oracle-checkable
+    * surface is: the exact distinct counts (both engines compute those)
+    * plus a Spark-computed integer-exact 5%-error bound flag
+    * (|approx − exact| · 20 ≤ exact) that the oracle pins to 1. The HLL
+    * run uses rsd = 0.01 so the bound has wide margin; the sketch is
+    * deterministic for fixed data, so a local pass ⇒ a driver pass. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    // exact counts and sketches aggregate SEPARATELY: countDistinct
+    // plans through Expand (one replica per distinct column), and an
+    // HLL sketch evaluated inside that expanded aggregate allocates its
+    // register array per partial-agg group — measured 235 s at sf0.1.
+    // Two global aggregates + a 1-row cross join keep the sketch pass
+    // a plain accumulate-merge over the scan.
+    val exact = li.agg(
+      countDistinct("l_orderkey").as("exact_orders"),
+      countDistinct("l_partkey").as("exact_parts"),
+      countDistinct("l_suppkey").as("exact_supps"))
+    val approx = li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.01).as("a_o"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("a_p"),
+      approx_count_distinct(col("l_suppkey"), 0.01).as("a_s"))
+    exact.crossJoin(broadcast(approx))
+      .select(col("exact_orders"), col("exact_parts"), col("exact_supps"),
+        (abs(col("a_o") - col("exact_orders")) * 20 <= col("exact_orders") &&
+          abs(col("a_p") - col("exact_parts")) * 20 <= col("exact_parts") &&
+          abs(col("a_s") - col("exact_supps")) * 20 <= col("exact_supps"))
+          .cast("long").as("within_5pct"))
+  }
+
+  private val approxDistinctSql =
+    """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+      |  CAST(1 AS BIGINT) AS within_5pct
+      |FROM lineitem""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_scan_lineitem", scanLineitem, Some(scanLineitemSql)),
@@ -487,5 +513,5 @@ object RelQueries {
     QueryDef("q_events_sessionize", eventsSessionize,
       Some(eventsSessionizeSql)),
     QueryDef("q_content_hash", contentHash, Some(contentHashSql)),
-    QueryDef("q_approx_distinct", approxDistinct, None))
+    QueryDef("q_approx_distinct", approxDistinct, Some(approxDistinctSql)))
 }

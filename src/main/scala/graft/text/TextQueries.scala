@@ -241,8 +241,22 @@ object TextQueries {
     * globally minimal shingle; random docs rarely collide — 40× pair
     * reduction on this corpus) AND the length bucket. Length-bucket
     * blocking alone left Σ block² ≈ corpus²/6 here — measured 1120 s at
-    * sf0.1 before the fingerprint key was added. Exact Jaccard on
-    * distinct 5-gram sets over the surviving candidates. */
+    * sf0.1 before the fingerprint key was added.
+    *
+    * Two-stage plan (the 100 TB shape): candidate generation self-joins
+    * ONLY the lightweight key columns (fp, lenb, |grams|) — a few dozen
+    * bytes per row — and applies the size prefilter
+    * (3·min(|A|,|B|) ≥ |A|+|B| is necessary for J ≥ 0.5) before any
+    * gram array moves. The surviving candidate pairs then fetch the two
+    * gram arrays back by doc_id equi-join for the exact Jaccard verify.
+    * Earlier single-stage versions shipped the full gram arrays through
+    * the blocked self-join (87 s at sf0.1 once the join was salted ×8 —
+    * the replication multiplied the shuffled gram payload); this plan
+    * moves each doc's grams O(candidate degree) times instead, and the
+    * key-only join is cheap enough that fingerprint-bucket skew needs no
+    * salting at all (a hot bucket costs integer compares, not array
+    * intersections; at 100 TB the same two-stage shape holds — salt only
+    * the key join's hot fp buckets if one ever dominates). */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val g = Tables.documents(s, d)
@@ -252,30 +266,28 @@ object TextQueries {
         expr("min_fingerprint(text)").as("fp"),
         expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1))," +
           " i -> substring(text, i, 5)))").as("grams"))
+      .withColumn("ng", size(col("grams")).cast("long"))
       .localCheckpoint(false)
-    // salt the self-join: fingerprint buckets are skewed (one bucket
-    // holds ~6% of the corpus), and a bucket = one join key = one
-    // reducer. Left side gets salt = doc_id mod 8, right side is
-    // replicated to all 8 salts → identical pair set, 8-way parallel.
-    val salts = s.range(8).toDF("salt2")
-    val a = g.select(col("doc_id").as("d1"), col("lenb"), col("fp"),
-      col("grams").as("g1"), pmod(col("doc_id"), lit(8)).as("salt"))
-    val b = g.select(col("doc_id").as("d2"), col("lenb").as("lenb2"),
-      col("fp").as("fp2"), col("grams").as("g2"))
-      .crossJoin(broadcast(salts))
-    a.join(b, col("fp") === col("fp2") && col("lenb") === col("lenb2") &&
-        col("salt") === col("salt2") && col("d1") < col("d2"))
-      // cheap necessary condition first (|A∩B| ≤ min(|A|,|B|)), then the
-      // exact integer form of jaccard ≥ 0.5 (3·|∩| ≥ |A|+|B|) — one
-      // array_intersect per pair instead of the 3 evaluations the
-      // double-division form costs once folded into the join residual
-      .filter(least(size(col("g1")), size(col("g2"))) * 3 >=
-        size(col("g1")) + size(col("g2")))
-      .filter(size(array_intersect(col("g1"), col("g2"))) * 3 >=
-        size(col("g1")) + size(col("g2")))
-      .withColumn("ni", size(array_intersect(col("g1"), col("g2")))
-        .cast("double"))
-      .select(col("d1"), col("d2"), round(col("ni") /
+    // stage 1: key-only candidate pruning — no gram arrays in the join
+    val k1 = g.select(col("doc_id").as("d1"), col("lenb"), col("fp"),
+      col("ng").as("n1"))
+    val k2 = g.select(col("doc_id").as("d2"), col("lenb").as("lenb2"),
+      col("fp").as("fp2"), col("ng").as("n2"))
+    val cand = k1.join(k2,
+      col("fp") === col("fp2") && col("lenb") === col("lenb2") &&
+        col("d1") < col("d2"))
+      // |A∩B| ≤ min(|A|,|B|): necessary condition for jaccard ≥ 0.5
+      .filter(least(col("n1"), col("n2")) * 3 >= col("n1") + col("n2"))
+      .select("d1", "d2")
+    // stage 2: late gram fetch for survivors only, then exact verify
+    val g1 = g.select(col("doc_id").as("d1"), col("grams").as("g1"))
+    val g2 = g.select(col("doc_id").as("d2b"), col("grams").as("g2"))
+    cand.join(g1, "d1")
+      .join(g2, col("d2") === col("d2b"))
+      .withColumn("ni", size(array_intersect(col("g1"), col("g2"))))
+      // exact integer form of jaccard ≥ 0.5: 3·|∩| ≥ |A|+|B|
+      .filter(col("ni") * 3 >= size(col("g1")) + size(col("g2")))
+      .select(col("d1"), col("d2"), round(col("ni").cast("double") /
         (size(col("g1")) + size(col("g2")) - col("ni")), 6).as("jaccard"))
       .orderBy("d1", "d2")
   }

@@ -4,6 +4,7 @@ import graft.rel.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic trajectory views over the harness tables (FIXTURES.md §C).
   *
@@ -15,19 +16,63 @@ import org.apache.spark.sql.functions._
   *
   * Scale note: atom identity comes from a ranked *distinct partkey*
   * dimension (small — one row per part), broadcast-joined back to the
-  * fact table. The window that ranks it only ever sees the distinct keys,
-  * never the fact rows, so nothing funnels through a single partition at
-  * 100 TB; the fact-side work is an embarrassingly parallel projection +
-  * one keyed aggregation, mirroring the reference's chunk-parallel design
+  * fact table. The global rank is two-phase (range partition → local
+  * row_number → offset by per-partition counts), so no window ever sees
+  * more than one range partition of distinct keys — nothing funnels
+  * through a single task even when the part dimension itself is huge.
+  * The fact-side work is an embarrassingly parallel projection + one
+  * keyed aggregation, mirroring the reference's chunk-parallel design
   * (core/dask_traj.py:87-100).
   */
 object TrajModel {
 
-  /** Atom dimension: distinct l_partkey ranked 1..n_atoms. */
-  def atomDim(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).select("l_partkey").distinct()
-      .withColumn("atom_id",
-        row_number().over(Window.orderBy("l_partkey")).cast("long"))
+  /** Atom dimension: distinct l_partkey ranked 1..n_atoms.
+    *
+    * Two-phase distributed rank: range-partition the distinct keys,
+    * rank inside each partition (keyed window), then add the count of
+    * all keys in lower ranges. The per-partition counts are a ≤32-row
+    * side table combined with a broadcast triangular join — no
+    * single-partition WindowExec anywhere in the plan. */
+  def atomDim(s: SparkSession, d: String): DataFrame = {
+    val keys = Tables.lineitem(s, d).select("l_partkey").distinct()
+      .repartitionByRange(32, col("l_partkey"))
+      .withColumn("pid", spark_partition_id())
+    val local = keys.withColumn("lrank",
+      row_number().over(Window.partitionBy("pid").orderBy("l_partkey")))
+    val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val lower = counts.select(col("pid").as("pid2"), col("cnt").as("cnt2"))
+    val offsets = counts.join(broadcast(lower), col("pid2") < col("pid"),
+        "left")
+      .groupBy("pid").agg(coalesce(sum("cnt2"), lit(0L)).as("off"))
+    local.join(broadcast(offsets), "pid")
+      .select(col("l_partkey"),
+        (col("lrank") + col("off")).cast("long").as("atom_id"))
+  }
+
+  /** Topology dimension table (SURVEY §1.1): atom_id → element symbol and
+    * DECIMAL mass, derived deterministically from `part` — the relational
+    * analog of the reference reading `a.element.mass` off the parsed PDB
+    * topology (geometry/distance.py:319). Broadcast side of every
+    * mass-weighted aggregation; never partitioned, like the reference's
+    * driver-captured mass array. */
+  def topology(s: SparkSession, d: String): DataFrame =
+    atomDim(s, d)
+      .join(Tables.part(s, d).select("p_partkey", "p_size"),
+        col("l_partkey") === col("p_partkey"), "left")
+      .select(col("atom_id"),
+        concat(lit("E"), (coalesce(col("p_size"), lit(1)) % 18 + 1)
+          .cast("string")).as("element"),
+        ((coalesce(col("p_size"), lit(1)) % 18 + 1).cast(DecimalType(8, 3)) +
+          lit(0.008).cast(DecimalType(4, 3))).as("mass"))
+
+  /** DuckDB CTE for the topology dimension (append after positionsSql). */
+  val topologySql: String =
+    """topo AS (
+      |  SELECT atom_id,
+      |    'E' || CAST(coalesce(p_size, 1) % 18 + 1 AS VARCHAR) AS element,
+      |    CAST(coalesce(p_size, 1) % 18 + 1 AS DECIMAL(8,3))
+      |      + CAST(0.008 AS DECIMAL(4,3)) AS mass
+      |  FROM pkr LEFT JOIN part ON p_partkey = l_partkey)""".stripMargin
 
   /** positions(frame_id, atom_id, x, y, z) — unique key (frame_id,
     * atom_id); min() collapses duplicate observations exactly
@@ -44,6 +89,16 @@ object TrajModel {
       .groupBy("frame_id", "atom_id")
       .agg(round(min("x"), 6).as("x"), round(min("y"), 6).as("y"),
         round(min("z"), 6).as("z"))
+
+  /** positions with a lineage barrier: the pair/triplet queries join
+    * 2-3 roles of the same positions subplan; pinning one evaluation
+    * replaces Catalyst's best-effort exchange reuse with a guaranteed
+    * single computation (the analog of the reference computing xyz once
+    * and slicing it per chunk — core/dask_traj.py:406-416). At cluster
+    * scale this would be a persisted/bucketed positions table
+    * (SCALING.md); executor-local blocks stand in for it here. */
+  def positionsShared(s: SparkSession, d: String): DataFrame =
+    positions(s, d).localCheckpoint(false)
 
   /** DuckDB CTE producing the identical view; prefix of every trajectory
     * oracle query. */

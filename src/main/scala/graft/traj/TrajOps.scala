@@ -63,6 +63,98 @@ object TrajOps {
     * (validation.py:224-227: |v| < 1e-6 → 0). */
   def snap(v: Column): Column = when(abs(v) < 1e-6, 0.0).otherwise(v)
 
+  // ------------------------------------------------------- triclinic MIC
+
+  /** Lower-triangular Bravais matrix of a literal box, precomputed
+    * driver-side with the same math as [[boxVectors]] (including the
+    * 1e-6 snap). The six doubles are embedded as identical literals in
+    * BOTH the Spark plan and the DuckDB oracle SQL, so the two engines
+    * run bit-identical IEEE arithmetic — no cross-libm trig divergence
+    * (SURVEY §7.2). Rows: a = (ax,0,0), b = (bx,by,0), c = (cx,cy,cz). */
+  final case class TriBox(ax: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, cz: Double)
+
+  def triBox(la: Double, lb: Double, lc: Double,
+             alpha: Double, beta: Double, gamma: Double): TriBox = {
+    def snapD(v: Double): Double = if (math.abs(v) < 1e-6) 0.0 else v
+    val al = math.toRadians(alpha); val be = math.toRadians(beta)
+    val ga = math.toRadians(gamma)
+    val ax = la
+    val bx = lb * math.cos(ga)
+    val by = lb * math.sin(ga)
+    val cx = lc * math.cos(be)
+    val cy = lc * (math.cos(al) - math.cos(be) * math.cos(ga)) / math.sin(ga)
+    val cz = math.sqrt(lc * lc - cx * cx - cy * cy)
+    TriBox(snapD(ax), snapD(bx), snapD(by), snapD(cx), snapD(cy), snapD(cz))
+  }
+
+  /** General (triclinic) minimum-image distance — the 27-image form of
+    * the reference's `_distance_mic` general path
+    * (geometry/distance.py:50-58, delegating to MDTraj's triclinic
+    * kernel). Step 1 folds the raw displacement near the origin cell by
+    * back-substitution through the lower-triangular box matrix (c row
+    * first, then b, then a); step 2 takes the min norm over the 27
+    * lattice images of the folded vector — exact because the folded
+    * displacement lies within one cell of the minimum image. */
+  def distMicTriclinic(dx: Column, dy: Column, dz: Column,
+      b: TriBox): Column = {
+    val k3 = round(dz / b.cz, 0)
+    val dx1 = dx - lit(b.cx) * k3
+    val dy1 = dy - lit(b.cy) * k3
+    val dz1 = dz - lit(b.cz) * k3
+    val k2 = round(dy1 / b.by, 0)
+    val dx2 = dx1 - lit(b.bx) * k2
+    val dy2 = dy1 - lit(b.by) * k2
+    val k1 = round(dx2 / b.ax, 0)
+    val wx = dx2 - lit(b.ax) * k1
+    val images = for {
+      i <- -1 to 1; j <- -1 to 1; k <- -1 to 1
+    } yield sqrt(norm2(
+      wx + lit(i * b.ax + j * b.bx + k * b.cx),
+      dy2 + lit(j * b.by + k * b.cy),
+      dz1 + lit(k * b.cz)))
+    least(images: _*)
+  }
+
+  /** DuckDB twin of [[distMicTriclinic]]: SQL CTE chain over a deltas
+    * relation carrying (dx, dy, dz). Same literals, same operation
+    * order → bit-identical doubles. `fromDeltas` must be a CTE name
+    * whose rows have columns (frame_id, a1, a2, dx, dy, dz). */
+  def distMicTriclinicSql(b: TriBox, fromDeltas: String): String = {
+    val images = (for {
+      i <- -1 to 1; j <- -1 to 1; k <- -1 to 1
+    } yield {
+      val ox = i * b.ax + j * b.bx + k * b.cx
+      val oy = j * b.by + k * b.cy
+      val oz = k * b.cz
+      s"sqrt((wx + $ox)*(wx + $ox) + (wy + $oy)*(wy + $oy)" +
+        s" + (wz + $oz)*(wz + $oz))"
+    }).mkString("least(", ",\n      ", ")")
+    s"""tri_k3 AS (
+       |  SELECT frame_id, a1, a2, dx, dy, dz,
+       |    round(dz / ${b.cz}, 0) AS k3
+       |  FROM $fromDeltas),
+       |tri_c AS (
+       |  SELECT frame_id, a1, a2,
+       |    dx - ${b.cx} * k3 AS dx1, dy - ${b.cy} * k3 AS dy1,
+       |    dz - ${b.cz} * k3 AS dz1
+       |  FROM tri_k3),
+       |tri_b AS (
+       |  SELECT frame_id, a1, a2,
+       |    dx1 - ${b.bx} * round(dy1 / ${b.by}, 0) AS dx2,
+       |    dy1 - ${b.by} * round(dy1 / ${b.by}, 0) AS wy,
+       |    dz1 AS wz
+       |  FROM tri_c),
+       |tri_w AS (
+       |  SELECT frame_id, a1, a2,
+       |    dx2 - ${b.ax} * round(dx2 / ${b.ax}, 0) AS wx, wy, wz
+       |  FROM tri_b),
+       |tri_d AS (
+       |  SELECT frame_id, a1, a2,
+       |    $images AS dist
+       |  FROM tri_w)""".stripMargin
+  }
+
   /** (a,b,c,α,β,γ) → 3×3 Bravais vectors (validation.py:146-229).
     * Returns the 9 components as named columns v.{a,b,c}{x,y,z}. */
   def boxVectors(a: Column, b: Column, c: Column,

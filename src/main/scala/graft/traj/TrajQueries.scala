@@ -8,23 +8,26 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Trajectory operator queries — reference-semantics parity, oracle
-  * checked (SURVEY §2 rows F1–F6, A1–A2, J1–J3, W1–W2).
+  * checked (SURVEY §2 rows F1–F6, A1–A3, J1–J3, W1–W2).
   *
-  * Plan shape shared by the pair/triplet queries: positions is scanned
-  * per role (Catalyst reuses the exchange), the tiny index list joins as
-  * a broadcast — the Spark analog of the reference capturing atom_pairs
-  * into every chunk task (geometry/distance.py:131-141). The only
-  * shuffles are the keyed aggregation building `positions` and the final
-  * orderBy; frame×pair expansion itself is shuffle-free, so the plan
-  * scales linearly in frames like the reference's chunk loop.
+  * Plan shape shared by the pair/triplet queries: `positions` is
+  * computed ONCE per query behind a lineage barrier
+  * (TrajModel.positionsShared) and each join role is a cheap projection
+  * of that one instance — the analog of the reference computing xyz once
+  * and slicing per chunk (core/dask_traj.py:406-416). The tiny index
+  * list joins as a broadcast — the Spark analog of the reference
+  * capturing atom_pairs into every chunk task
+  * (geometry/distance.py:131-141). The only shuffles are the keyed
+  * aggregation building `positions` and the final orderBy; frame×pair
+  * expansion itself is shuffle-free, so the plan scales linearly in
+  * frames like the reference's chunk loop.
   */
 object TrajQueries {
 
   private val P = TrajModel.positionsSql
 
   /** Project one join role out of a shared positions instance: all
-    * roles reference the same subplan, so Catalyst reuses the exchange
-    * that built `positions` instead of recomputing it per role. */
+    * roles reference the same materialized subplan. */
   private def role(p: DataFrame, alias: String): DataFrame =
     p.select(
       col("frame_id").as(s"${alias}_frame"),
@@ -33,38 +36,41 @@ object TrajQueries {
       col("y").as(s"${alias}y"),
       col("z").as(s"${alias}z"))
 
-  /** F1: per-(frame, pair) Euclidean distance (distance.py:15-66). */
-  def trajDistances(s: SparkSession, d: String): DataFrame = {
-    val p = TrajModel.positions(s, d)
+  /** pairs ⋈ positions(p) ⋈ positions(q): the frame×pair expansion
+    * subplan shared by every pairwise geometry query (J2). */
+  private def pairExpansion(s: SparkSession, p: DataFrame): DataFrame =
     TrajModel.pairsDf(s)
       .join(role(p, "p"), col("p_atom") === col("a1"))
       .join(role(p, "q"), col("q_atom") === col("a2") &&
         col("p_frame") === col("q_frame"))
+
+  private val pairExpansionSql =
+    """FROM pairs
+      |JOIN positions p1 ON p1.atom_id = a1
+      |JOIN positions p2 ON p2.atom_id = a2 AND p2.frame_id = p1.frame_id"""
+      .stripMargin
+
+  /** F1: per-(frame, pair) Euclidean distance (distance.py:15-66). */
+  def trajDistances(s: SparkSession, d: String): DataFrame =
+    pairExpansion(s, TrajModel.positionsShared(s, d))
       .select(col("p_frame").as("frame_id"), col("a1"), col("a2"),
         round(dist(col("px"), col("py"), col("pz"),
           col("qx"), col("qy"), col("qz")), 6).as("dist"))
       .orderBy("frame_id", "a1", "a2")
-  }
 
   private val trajDistancesSql =
     s"""$P, ${TrajModel.pairsSql}
        |SELECT p1.frame_id AS frame_id, a1, a2,
        |  round(sqrt((p1.x-p2.x)*(p1.x-p2.x) + (p1.y-p2.y)*(p1.y-p2.y)
        |             + (p1.z-p2.z)*(p1.z-p2.z)), 6) AS dist
-       |FROM pairs
-       |JOIN positions p1 ON p1.atom_id = a1
-       |JOIN positions p2 ON p2.atom_id = a2 AND p2.frame_id = p1.frame_id
+       |$pairExpansionSql
        |ORDER BY frame_id, a1, a2""".stripMargin
 
-  /** F6: periodic distance under an orthorhombic 6×6×6 box — the
-    * reference's orthogonal MIC fast path (distance.py:50-58). */
+  /** F6 (fast path): periodic distance under an orthorhombic 6×6×6 box —
+    * the reference's orthogonal MIC fast path (distance.py:50-58). */
   def trajDistancesPeriodic(s: SparkSession, d: String): DataFrame = {
-    val p = TrajModel.positions(s, d)
     val box = lit(6.0)
-    TrajModel.pairsDf(s)
-      .join(role(p, "p"), col("p_atom") === col("a1"))
-      .join(role(p, "q"), col("q_atom") === col("a2") &&
-        col("p_frame") === col("q_frame"))
+    pairExpansion(s, TrajModel.positionsShared(s, d))
       .select(col("p_frame").as("frame_id"), col("a1"), col("a2"),
         round(distMic(col("px"), col("py"), col("pz"),
           col("qx"), col("qy"), col("qz"), box, box, box), 6)
@@ -82,24 +88,107 @@ object TrajQueries {
        |      * ((p1.y-p2.y) - 6.0*round((p1.y-p2.y)/6.0, 0))
        |    + ((p1.z-p2.z) - 6.0*round((p1.z-p2.z)/6.0, 0))
        |      * ((p1.z-p2.z) - 6.0*round((p1.z-p2.z)/6.0, 0))), 6) AS dist_mic
-       |FROM pairs
-       |JOIN positions p1 ON p1.atom_id = a1
-       |JOIN positions p2 ON p2.atom_id = a2 AND p2.frame_id = p1.frame_id
+       |$pairExpansionSql
        |ORDER BY frame_id, a1, a2""".stripMargin
 
-  /** F2: per-(frame, pair) displacement 3-vector (distance.py:148-199). */
-  def trajDisplacements(s: SparkSession, d: String): DataFrame = {
-    val p = TrajModel.positions(s, d)
-    TrajModel.pairsDf(s)
-      .join(role(p, "p"), col("p_atom") === col("a1"))
-      .join(role(p, "q"), col("q_atom") === col("a2") &&
-        col("p_frame") === col("q_frame"))
+  /** The triclinic literal box used by the general-MIC queries: lengths
+    * 6×7×8, angles 60/60/90 — echoing the reference's own triclinic test
+    * fixture (tests/test.pdb CRYST1, FIXTURES.md §A). Vector components
+    * are precomputed doubles embedded identically in both engines. */
+  private val triclinicBox: TriBox = triBox(6.0, 7.0, 8.0, 60.0, 60.0, 90.0)
+
+  /** F6 (general path): triclinic minimum-image distance — the 27-image
+    * form of `_distance_mic`'s general branch (distance.py:50-58).
+    * SURVEY §7.4's planned `least(...)` expansion. */
+  def trajDistancesTriclinic(s: SparkSession, d: String): DataFrame = {
+    val dx = col("px") - col("qx")
+    val dy = col("py") - col("qy")
+    val dz = col("pz") - col("qz")
+    pairExpansion(s, TrajModel.positionsShared(s, d))
+      .select(col("p_frame").as("frame_id"), col("a1"), col("a2"),
+        round(distMicTriclinic(dx, dy, dz, triclinicBox), 6).as("dist_mic"))
+      .orderBy("frame_id", "a1", "a2")
+  }
+
+  private val trajDistancesTriclinicSql = {
+    val b = triclinicBox
+    s"""$P, ${TrajModel.pairsSql},
+       |deltas AS (
+       |  SELECT p1.frame_id AS frame_id, a1, a2,
+       |    p1.x - p2.x AS dx, p1.y - p2.y AS dy, p1.z - p2.z AS dz
+       |  $pairExpansionSql),
+       |${distMicTriclinicSql(b, "deltas")}
+       |SELECT frame_id, a1, a2, round(dist, 6) AS dist_mic
+       |FROM tri_d
+       |ORDER BY frame_id, a1, a2""".stripMargin
+  }
+
+  /** A3/O7: adaptive MIC dispatch — the reference reduces each chunk's
+    * unitcell angles to an `orthogonal` flag and picks the fast or the
+    * general kernel at runtime (geometry/distance.py:128,49-58). Here
+    * the per-frame box is a deterministic function of frame parity
+    * (odd → orthorhombic 6×7×8/90°, even → triclinic 6×7×8/60/60/90),
+    * the flag is the same allclose(angles, 90) reduction expressed as a
+    * CASE, and the kernel choice is a Catalyst conditional — both
+    * branches are plain expression trees, so codegen fuses the dispatch
+    * into the projection exactly like the reference fuses it into the
+    * chunk task. */
+  def trajMicAdaptive(s: SparkSession, d: String): DataFrame = {
+    val dx = col("px") - col("qx")
+    val dy = col("py") - col("qy")
+    val dz = col("pz") - col("qz")
+    val alpha = when(col("p_frame") % 2 === 1, 90.0).otherwise(60.0)
+    val beta = alpha
+    val gamma = lit(90.0)
+    val orthogonal = abs(alpha - 90.0) < 1e-6 && abs(beta - 90.0) < 1e-6 &&
+      abs(gamma - 90.0) < 1e-6
+    val orthoDist = sqrt(norm2(micDelta(dx, lit(6.0)),
+      micDelta(dy, lit(7.0)), micDelta(dz, lit(8.0))))
+    pairExpansion(s, TrajModel.positionsShared(s, d))
+      .select(col("p_frame").as("frame_id"), col("a1"), col("a2"),
+        round(alpha, 1).as("alpha"),
+        round(when(orthogonal, orthoDist)
+          .otherwise(distMicTriclinic(dx, dy, dz, triclinicBox)), 6)
+          .as("dist_mic"))
+      .orderBy("frame_id", "a1", "a2")
+  }
+
+  private val trajMicAdaptiveSql = {
+    val b = triclinicBox
+    s"""$P, ${TrajModel.pairsSql},
+       |deltas AS (
+       |  SELECT p1.frame_id AS frame_id, a1, a2,
+       |    p1.x - p2.x AS dx, p1.y - p2.y AS dy, p1.z - p2.z AS dz,
+       |    CASE WHEN p1.frame_id % 2 = 1 THEN 90.0 ELSE 60.0 END AS alpha,
+       |    CASE WHEN p1.frame_id % 2 = 1 THEN 90.0 ELSE 60.0 END AS beta,
+       |    90.0 AS gamma
+       |  $pairExpansionSql),
+       |${distMicTriclinicSql(b, "deltas")}
+       |SELECT d.frame_id AS frame_id, d.a1 AS a1, d.a2 AS a2,
+       |  round(d.alpha, 1) AS alpha,
+       |  round(CASE WHEN abs(d.alpha - 90.0) < 1e-6
+       |              AND abs(d.beta - 90.0) < 1e-6
+       |              AND abs(d.gamma - 90.0) < 1e-6
+       |    THEN sqrt(
+       |      (d.dx - 6.0*round(d.dx/6.0, 0)) * (d.dx - 6.0*round(d.dx/6.0, 0))
+       |      + (d.dy - 7.0*round(d.dy/7.0, 0)) * (d.dy - 7.0*round(d.dy/7.0, 0))
+       |      + (d.dz - 8.0*round(d.dz/8.0, 0)) * (d.dz - 8.0*round(d.dz/8.0, 0)))
+       |    ELSE t.dist END, 6) AS dist_mic
+       |FROM deltas d
+       |JOIN tri_d t ON t.frame_id = d.frame_id AND t.a1 = d.a1
+       |  AND t.a2 = d.a2
+       |ORDER BY frame_id, a1, a2""".stripMargin
+  }
+
+  /** F2: per-(frame, pair) displacement 3-vector (distance.py:148-199,
+    * plain path). */
+  def trajDisplacements(s: SparkSession, d: String): DataFrame =
+    pairExpansion(s, TrajModel.positionsShared(s, d))
       .select(col("p_frame").as("frame_id"), col("a1"), col("a2"),
         round(col("qx") - col("px"), 6).as("dx"),
         round(col("qy") - col("py"), 6).as("dy"),
         round(col("qz") - col("pz"), 6).as("dz"))
       .orderBy("frame_id", "a1", "a2")
-  }
 
   private val trajDisplacementsSql =
     s"""$P, ${TrajModel.pairsSql}
@@ -107,16 +196,34 @@ object TrajQueries {
        |  round(p2.x - p1.x, 6) AS dx,
        |  round(p2.y - p1.y, 6) AS dy,
        |  round(p2.z - p1.z, 6) AS dz
-       |FROM pairs
-       |JOIN positions p1 ON p1.atom_id = a1
-       |JOIN positions p2 ON p2.atom_id = a2 AND p2.frame_id = p1.frame_id
+       |$pairExpansionSql
+       |ORDER BY frame_id, a1, a2""".stripMargin
+
+  /** F2 (periodic path): displacements folded per axis into the
+    * orthorhombic minimum image — `compute_displacements` has the same
+    * {MIC, plain} kernel split as distances (distance.py:148-199). */
+  def trajDisplacementsPeriodic(s: SparkSession, d: String): DataFrame =
+    pairExpansion(s, TrajModel.positionsShared(s, d))
+      .select(col("p_frame").as("frame_id"), col("a1"), col("a2"),
+        round(micDelta(col("qx") - col("px"), lit(6.0)), 6).as("dx"),
+        round(micDelta(col("qy") - col("py"), lit(6.0)), 6).as("dy"),
+        round(micDelta(col("qz") - col("pz"), lit(6.0)), 6).as("dz"))
+      .orderBy("frame_id", "a1", "a2")
+
+  private val trajDisplacementsPeriodicSql =
+    s"""$P, ${TrajModel.pairsSql}
+       |SELECT p1.frame_id AS frame_id, a1, a2,
+       |  round((p2.x-p1.x) - 6.0*round((p2.x-p1.x)/6.0, 0), 6) AS dx,
+       |  round((p2.y-p1.y) - 6.0*round((p2.y-p1.y)/6.0, 0), 6) AS dy,
+       |  round((p2.z-p1.z) - 6.0*round((p2.z-p1.z)/6.0, 0), 6) AS dz
+       |$pairExpansionSql
        |ORDER BY frame_id, a1, a2""".stripMargin
 
   /** F3: per-(frame, triplet) angle in radians (angle.py:10-55). Rows
     * where either displacement vector is zero-length are filtered in
     * both engines (the reference would emit NaN there). */
   def trajAngles(s: SparkSession, d: String): DataFrame = {
-    val p = TrajModel.positions(s, d)
+    val p = TrajModel.positionsShared(s, d)
     val ux = col("ax") - col("bx"); val uy = col("ay") - col("by")
     val uz = col("az") - col("bz")
     val vx = col("cx") - col("bx"); val vy = col("cy") - col("by")
@@ -155,35 +262,33 @@ object TrajQueries {
        |        + (pc.z-pb.z)*(pc.z-pb.z) > 0
        |ORDER BY frame_id, ai, aj, ak""".stripMargin
 
-  /** Synthetic per-atom mass (topology dimension stand-in, SURVEY §1.1):
-    * 0.5 + (atom_id mod 10), in DECIMAL so weighted sums are exact. */
-  private def massCol: Column =
-    (col("atom_id") % 10).cast(DecimalType(4, 1)) +
-      lit(0.5).cast(DecimalType(2, 1))
-
-  private val massSql =
-    "(CAST(atom_id % 10 AS DECIMAL(4,1)) + CAST(0.5 AS DECIMAL(2,1)))"
-
-  /** A1: per-frame weighted mean = center of mass
-    * (distance.py:282-337; float64 accumulation :295 → exact DECIMAL
-    * accumulation here). */
+  /** A1: per-frame weighted mean = center of mass with table-sourced
+    * masses from the topology dimension (distance.py:282-337; masses
+    * read from topology at :319-320). The reference normalizes masses
+    * driver-side before the weighted sum; Σx·m / Σm is the same value
+    * computed exactly in DECIMAL, with the topology broadcast-joined the
+    * way the reference captures the mass array into each chunk task. */
   def trajCom(s: SparkSession, d: String): DataFrame = {
     def com(c: String) = round(
-      sum(col(c).cast(DecimalType(18, 6)) * massCol).cast("double") /
-        sum(massCol).cast("double"), 6).as(s"com_$c")
+      sum(col(c).cast(DecimalType(18, 6)) * col("mass")).cast("double") /
+        sum(col("mass")).cast("double"), 6).as(s"com_$c")
     TrajModel.positions(s, d)
+      .join(broadcast(TrajModel.topology(s, d)), "atom_id")
       .groupBy("frame_id")
-      .agg(com("x"), com("y"), com("z"))
+      .agg(com("x"), com("y"), com("z"),
+        sum(col("mass")).cast("double").as("total_mass"))
       .orderBy("frame_id")
   }
 
   private val trajComSql = {
     def com(c: String) =
-      s"""round(CAST(sum(CAST($c AS DECIMAL(18,6)) * $massSql) AS DOUBLE)
-         |    / CAST(sum($massSql) AS DOUBLE), 6) AS com_$c""".stripMargin
-    s"""$P
-       |SELECT frame_id, ${com("x")}, ${com("y")}, ${com("z")}
-       |FROM positions GROUP BY frame_id ORDER BY frame_id""".stripMargin
+      s"""round(CAST(sum(CAST($c AS DECIMAL(18,6)) * mass) AS DOUBLE)
+         |    / CAST(sum(mass) AS DOUBLE), 6) AS com_$c""".stripMargin
+    s"""$P, ${TrajModel.topologySql}
+       |SELECT frame_id, ${com("x")}, ${com("y")}, ${com("z")},
+       |  CAST(sum(mass) AS DOUBLE) AS total_mass
+       |FROM positions JOIN topo USING (atom_id)
+       |GROUP BY frame_id ORDER BY frame_id""".stripMargin
   }
 
   /** A2: per-frame unweighted mean = center of geometry
@@ -210,7 +315,9 @@ object TrajQueries {
 
   /** J3+W2: cross join of two atom groups in one frame + global top-1 —
     * find_closest_contact (distance.py:393-464). Ordered on the rounded
-    * distance so both engines break ties identically. */
+    * distance so both engines break ties identically. Uses the
+    * *unshared* positions so the frame/atom predicates push down into
+    * the scan (the groups are tiny selections of one frame). */
   def trajClosestContact(s: SparkSession, d: String): DataFrame = {
     val p = TrajModel.positions(s, d)
     val g1 = role(p, "p").filter(col("p_frame") === 1 &&
@@ -235,12 +342,13 @@ object TrajQueries {
        |  AND p1.atom_id BETWEEN 1 AND 50 AND p2.atom_id BETWEEN 51 AND 100
        |ORDER BY dist, a1, a2 LIMIT 1""".stripMargin
 
-  /** J1+W1: trajectory concatenation with overlapping-boundary dedup
-    * (core/dask_traj.py:591-659: UNION ALL ordered by source, drop
-    * duplicated boundary frames). Earlier source wins per (frame, atom);
-    * output is a per-frame summary. */
+  /** J1+W1 (key semantics): trajectory concatenation with duplicate-key
+    * dedup (core/dask_traj.py:591-659: UNION ALL ordered by source).
+    * Earlier source wins per (frame, atom); output is a per-frame
+    * summary. The reference-faithful coordinate-tolerance variant is
+    * q_traj_join_overlap below. */
   def trajJoinDedup(s: SparkSession, d: String): DataFrame = {
-    val p = TrajModel.positions(s, d)
+    val p = TrajModel.positionsShared(s, d)
     val a = p.filter(col("frame_id").between(1, 4))
       .withColumn("src", lit(0))
     val b = p.filter(col("frame_id").between(4, 7))
@@ -273,6 +381,64 @@ object TrajQueries {
        |  round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_x,
        |  round(CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_y
        |FROM deduped GROUP BY frame_id ORDER BY frame_id""".stripMargin
+
+  /** J1+W1 (reference-faithful tolerance semantics):
+    * `join(discard_overlapping_frames=True)` compares the LAST frame of
+    * the earlier trajectory against the FIRST frame of the later one,
+    * all atoms, and drops the earlier boundary frame when every
+    * coordinate delta is below 2e-3 (core/dask_traj.py:630-640). The
+    * overlap test is a scalar aggregate over the boundary frame pair,
+    * broadcast into the union filter — the reference computes the same
+    * np.all(...) inline at join time. */
+  def trajJoinOverlap(s: SparkSession, d: String): DataFrame = {
+    val p = TrajModel.positionsShared(s, d)
+    val a = p.filter(col("frame_id").between(1, 4))
+      .withColumn("src", lit(0L))
+    val b = p.filter(col("frame_id").between(4, 7))
+      .withColumn("src", lit(1L))
+    // boundary compare: traj A's last frame (4) vs traj B's first (4)
+    val lastA = p.filter(col("frame_id") === 4)
+      .select(col("atom_id"), col("x").as("x1"), col("y").as("y1"),
+        col("z").as("z1"))
+    val firstB = p.filter(col("frame_id") === 4)
+      .select(col("atom_id").as("atom_id2"), col("x").as("x2"),
+        col("y").as("y2"), col("z").as("z2"))
+    val overlap = lastA
+      .join(firstB, col("atom_id") === col("atom_id2"))
+      .agg(max(greatest(abs(col("x1") - col("x2")),
+        abs(col("y1") - col("y2")), abs(col("z1") - col("z2"))))
+        .as("max_dev"))
+      .select((col("max_dev") < 0.002).as("overlap"))
+    a.unionByName(b)
+      .crossJoin(broadcast(overlap))
+      .filter(!(col("src") === 0 && col("frame_id") === 4 &&
+        col("overlap")))
+      .groupBy("src", "frame_id")
+      .agg(count(lit(1)).as("n_atoms"),
+        round(sum(col("x").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("sum_x"))
+      .orderBy("src", "frame_id")
+  }
+
+  private val trajJoinOverlapSql =
+    s"""$P, unioned AS (
+       |  SELECT CAST(0 AS BIGINT) AS src, * FROM positions
+       |  WHERE frame_id BETWEEN 1 AND 4
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT) AS src, * FROM positions
+       |  WHERE frame_id BETWEEN 4 AND 7),
+       |bnd AS (
+       |  SELECT max(greatest(abs(x1.x - x2.x), abs(x1.y - x2.y),
+       |                      abs(x1.z - x2.z))) < 0.002 AS overlap
+       |  FROM positions x1 JOIN positions x2 ON x1.atom_id = x2.atom_id
+       |  WHERE x1.frame_id = 4 AND x2.frame_id = 4),
+       |merged AS (
+       |  SELECT u.* FROM unioned u, bnd
+       |  WHERE NOT (u.src = 0 AND u.frame_id = 4 AND bnd.overlap))
+       |SELECT src, frame_id, CAST(count(*) AS BIGINT) AS n_atoms,
+       |  round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_x
+       |FROM merged GROUP BY src, frame_id ORDER BY src, frame_id"""
+      .stripMargin
 
   /** F4+F5: box (lengths, angles) → Bravais vectors → back; the
     * round-trip must recover the input (validation.py:146-292,
@@ -345,14 +511,22 @@ object TrajQueries {
     QueryDef("q_traj_distances", trajDistances, Some(trajDistancesSql)),
     QueryDef("q_traj_distances_periodic", trajDistancesPeriodic,
       Some(trajDistancesPeriodicSql)),
+    QueryDef("q_traj_distances_triclinic", trajDistancesTriclinic,
+      Some(trajDistancesTriclinicSql)),
+    QueryDef("q_traj_mic_adaptive", trajMicAdaptive,
+      Some(trajMicAdaptiveSql)),
     QueryDef("q_traj_displacements", trajDisplacements,
       Some(trajDisplacementsSql)),
+    QueryDef("q_traj_displacements_periodic", trajDisplacementsPeriodic,
+      Some(trajDisplacementsPeriodicSql)),
     QueryDef("q_traj_angles", trajAngles, Some(trajAnglesSql)),
     QueryDef("q_traj_com", trajCom, Some(trajComSql)),
     QueryDef("q_traj_cog", trajCog, Some(trajCogSql)),
     QueryDef("q_traj_closest_contact", trajClosestContact,
       Some(trajClosestContactSql)),
     QueryDef("q_traj_join_dedup", trajJoinDedup, Some(trajJoinDedupSql)),
+    QueryDef("q_traj_join_overlap", trajJoinOverlap,
+      Some(trajJoinOverlapSql)),
     QueryDef("q_traj_box_roundtrip", trajBoxRoundtrip,
       Some(trajBoxRoundtripSql)))
 }
