@@ -130,13 +130,28 @@ object HashKernels {
   }
 
   /** Lexicographic-min md5 over all char 8-grams (whole text when
-    * shorter than 8 chars). */
+    * shorter than 8 chars). Windows are CODE POINTS, not UTF-16 units,
+    * so the kernel matches the character semantics of Spark SQL
+    * substring()/length() and the DuckDB oracle on non-BMP text
+    * (surrogate pairs count as one character in both engines). */
   def fingerprint(text: String): String = {
-    if (text.length < 8) return md5hex(text)
+    // fast path: no surrogates → code units == code points
+    var ascii = true
+    var j = 0
+    while (ascii && j < text.length) {
+      if (Character.isHighSurrogate(text.charAt(j))) ascii = false
+      j += 1
+    }
+    val cps: Array[Int] =
+      if (ascii) null else text.codePoints().toArray
+    val n = if (ascii) text.length else cps.length
+    if (n < 8) return md5hex(text)
     var min: String = null
     var i = 0
-    while (i <= text.length - 8) {
-      val h = md5hex(text.substring(i, i + 8))
+    while (i <= n - 8) {
+      val gram =
+        if (ascii) text.substring(i, i + 8) else new String(cps, i, 8)
+      val h = md5hex(gram)
       if (min == null || h.compareTo(min) < 0) min = h
       i += 1
     }

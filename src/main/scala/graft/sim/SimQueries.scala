@@ -13,46 +13,62 @@ import org.apache.spark.sql.functions._
   *
   * Spark-side vector math uses higher-order array functions
   * (zip_with + aggregate) — whole-stage-codegen'd, no UDFs, vectors
-  * never explode into rows on the hot path. The oracle recomputes the
-  * same dot products via unnest+join in DuckDB; all similarities are
-  * rounded to 6 decimals before any ranking/threshold so both engines
-  * rank identically.
+  * never explode into rows on the hot path.
   *
-  * Scale notes: top-k broadcasts the (small) query set — one pass over
-  * the corpus, no shuffle until the per-query top-k window on qid.
-  * The LSH variant buckets vectors by the sign pattern of 8 fixed
-  * pseudo-random hyperplanes (h_p[i] = sin(997p + 31i) — deterministic
-  * in any engine), so candidate generation is a keyed self-join on the
-  * bucket id, never all-pairs.
+  * Determinism (QueryDef contract): every vector reduction accumulates
+  * in scaled BIGINT — each product is rounded to 1e-12 resolution and
+  * cast to a long, so the sum is exact integer arithmetic and therefore
+  * reduction-order independent. Spark's sequential array fold and
+  * DuckDB's hash-aggregate over unnested rows then agree bit-for-bit
+  * (plain double sums are order-dependent; round(6) can't mask a
+  * last-ulp divergence that lands on a rounding or threshold boundary).
+  *
+  * Scale notes: top-k broadcasts a FIXED query set (vec_id % 50 = 0 and
+  * vec_id < 2500 — at most 50 queries at any corpus size), so the
+  * broadcast and the per-row compare work are constant in corpus size;
+  * one pass over the corpus, no shuffle until the per-query top-k
+  * window on qid. The LSH variant buckets vectors by the sign pattern
+  * of 16 fixed pseudo-random hyperplanes (h_p[i] = sin(997p + 31i) —
+  * deterministic in any engine) and probes with one wildcard bit per
+  * band (16 bands, band j masks bit j), so candidates are exactly the
+  * pairs whose 16-bit codes differ in ≤ 1 bit: expected in-bucket
+  * verify cost is n²·16/2^15 ≈ n²/2048 — 8× below the old exact-8-bit
+  * bucketing, with better recall than an exact 16-bit match.
   */
 object SimQueries {
 
-  /** embeddings with double-cast vector and precomputed L2 norm. */
+  /** Scale for exact integer accumulation: 12 decimal digits. */
+  private val S = "1e12"
+
+  /** Exact scaled-integer sum of elementwise products of two arrays. */
+  private def dotScaled(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(round(x * y * $S, 0) AS BIGINT))," +
+      s" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** embeddings with double-cast vector and exact scaled self-dot
+    * (norm² · 1e12 as BIGINT). */
   private def withNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       // single parquet split → spread before the vector kernels
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
-      .withColumn("nrm",
-        sqrt(expr(
-          "aggregate(emb, CAST(0 AS DOUBLE), (acc, v) -> acc + v * v)")))
+      .withColumn("n2s", expr(dotScaled("emb", "emb")))
+      .withColumn("nrm", sqrt(col("n2s") / expr(S)))
 
-  /** Brute-force cosine top-5 neighbours for the query subset
-    * (vec_id % 50 = 0), excluding self. */
+  /** Brute-force cosine top-5 neighbours for the fixed query subset
+    * (vec_id % 50 = 0, vec_id < 2500), excluding self. */
   def simTopk(s: SparkSession, d: String): DataFrame = {
     val corpus = withNorm(s, d)
     val queries = corpus
-      .filter(col("vec_id") % 50 === 0)
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"))
     val sims = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qemb, emb, (a, b) -> a * b)," +
-          " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("dots", expr(dotScaled("qemb", "emb")))
       .withColumn("cos_sim",
-        round(col("dot") / (col("qnrm") * col("nrm")), 6))
+        round((col("dots") / expr(S)) / (col("qnrm") * col("nrm")), 6))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("vec_id"))
     sims.withColumn("rk", row_number().over(w).cast("long"))
@@ -67,14 +83,18 @@ object SimQueries {
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
       |         CAST(unnest(embedding) AS DOUBLE) AS v
       |  FROM embeddings),
-      |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
-      |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+      |norms AS (
+      |  SELECT vec_id,
+      |    sqrt(sum(CAST(round(v * v * 1e12, 0) AS BIGINT)) / 1e12) AS nrm
+      |  FROM e GROUP BY vec_id),
+      |q AS (SELECT * FROM e WHERE vec_id % 50 = 0 AND vec_id < 2500),
       |dots AS (
-      |  SELECT q.vec_id AS qid, e.vec_id AS nid, sum(q.v * e.v) AS dot
+      |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+      |    sum(CAST(round(q.v * e.v * 1e12, 0) AS BIGINT)) AS dots
       |  FROM q JOIN e ON q.idx = e.idx AND q.vec_id <> e.vec_id
       |  GROUP BY 1, 2),
       |sims AS (
-      |  SELECT qid, nid, round(dot / (n1.nrm * n2.nrm), 6) AS cos_sim
+      |  SELECT qid, nid, round((dots / 1e12) / (n1.nrm * n2.nrm), 6) AS cos_sim
       |  FROM dots
       |  JOIN norms n1 ON n1.vec_id = qid
       |  JOIN norms n2 ON n2.vec_id = nid),
@@ -84,42 +104,48 @@ object SimQueries {
       |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos_sim
       |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
-  /** Sign-LSH bucket id per vector: bit p = [v · h_p > 0] with
+  /** 16-bit sign-LSH code per vector: bit p = [v · h_p > 0] with
     * h_p[i] = sin(997p + 31i) (1-based i, matching DuckDB's
-    * generate_subscripts), packed into a BIGINT. Row-local nested array
-    * folds — no explode, no shuffle; the hyperplane family is a pure
-    * function of (p, i) so it needs no materialized table on either
-    * engine. */
-  private def lshBuckets(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .repartition(col("vec_id"))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .select(col("vec_id"), expr(
-        """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) ->
-          |  acc + CASE WHEN
-          |    aggregate(zip_with(emb,
-          |        transform(sequence(1, size(emb)), i -> sin(p * 997 + i * 31)),
-          |        (a, b) -> a * b),
-          |      CAST(0 AS DOUBLE), (x, y) -> x + y) > 0
-          |    THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))
-          |    ELSE 0 END)""".stripMargin).as("bkt"))
+    * generate_subscripts), packed into a BIGINT. The projection sum is
+    * scaled-integer exact like every other reduction here. Row-local
+    * nested array folds — no explode, no shuffle; the hyperplane family
+    * is a pure function of (p, i) so it needs no materialized table on
+    * either engine. */
+  private val lshCodeExpr: String =
+    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, p) ->
+       |  acc + CASE WHEN
+       |    aggregate(zip_with(emb,
+       |        transform(sequence(1, size(emb)), i -> sin(p * 997 + i * 31)),
+       |        (x, y) -> CAST(round(x * y * $S, 0) AS BIGINT)),
+       |      CAST(0 AS BIGINT), (a, b) -> a + b) > 0
+       |    THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))
+       |    ELSE 0 END)""".stripMargin
 
-  /** Embedding near-dup pairs: sign-LSH bucket candidates + exact cosine
-    * ≥ 0.4 verify. The all-pairs comparison only ever happens inside a
-    * bucket (1/2^8 of the corpus per bucket in expectation). */
+  /** Embedding near-dup pairs: multiprobe sign-LSH candidates + exact
+    * cosine ≥ 0.4 verify. Band j is the 16-bit code with bit j masked,
+    * so the (band, masked-code) equi-join yields exactly the pairs with
+    * Hamming distance ≤ 1 in code space — never an all-pairs compare.
+    * One pass computes code + norm + vector per row behind one lineage
+    * barrier (see TextQueries.dedupMinhash for the barrier rationale). */
   def simNeardupLsh(s: SparkSession, d: String): DataFrame = {
-    // one pass computes bucket id + norm + vector per row; the lineage
-    // barrier keeps them evaluated once per vector rather than
-    // re-derived inside the self-join predicate (see
-    // TextQueries.dedupMinhash)
     val vecs = withNorm(s, d)
-      .join(lshBuckets(s, d), "vec_id")
+      .withColumn("bkt", expr(lshCodeExpr))
       .localCheckpoint(false)
-    val b1 = vecs.select(col("vec_id").as("v1"), col("bkt"))
-    val b2 = vecs.select(col("vec_id").as("v2"), col("bkt").as("bkt2"))
+    val banded = vecs.select(col("vec_id"), col("bkt"),
+      explode(expr(
+        "transform(sequence(0, 15), b -> named_struct(" +
+          "'band', b, 'mval', bkt - shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))" +
+          " * CAST(shiftright(bkt, CAST(b AS INT)) % 2 AS BIGINT)))"))
+        .as("bd"))
+      .select(col("vec_id"), col("bd.band").as("band"),
+        col("bd.mval").as("mval"))
+    val b1 = banded.select(col("vec_id").as("v1"), col("band"), col("mval"))
+    val b2 = banded.select(col("vec_id").as("v2"), col("band").as("band2"),
+      col("mval").as("mval2"))
     val cand = b1.join(b2,
-      col("bkt") === col("bkt2") && col("v1") < col("v2"))
-      .select("v1", "v2")
+      col("band") === col("band2") && col("mval") === col("mval2") &&
+        col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
     val e1 = vecs.select(col("vec_id").as("v1"),
       col("emb").as("emb1"), col("nrm").as("nrm1"))
     val e2 = vecs.select(col("vec_id").as("v2b"),
@@ -127,8 +153,7 @@ object SimQueries {
     cand.join(e1, "v1")
       .join(e2, col("v2") === col("v2b"))
       .withColumn("cos_sim", round(
-        expr("aggregate(zip_with(emb1, emb2, (a, b) -> a * b)," +
-          " CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
+        (expr(dotScaled("emb1", "emb2")) / expr(S)) /
           (col("nrm1") * col("nrm2")), 6))
       .filter(col("cos_sim") >= 0.4)
       .select("v1", "v2", "cos_sim")
@@ -140,33 +165,45 @@ object SimQueries {
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
       |         CAST(unnest(embedding) AS DOUBLE) AS v
       |  FROM embeddings),
-      |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM e GROUP BY vec_id),
-      |proj AS (
-      |  SELECT vec_id, p, sum(v * sin(p * 997 + idx * 31)) AS dot
-      |  FROM e, (SELECT unnest(range(8)) AS p) ps
-      |  GROUP BY 1, 2),
-      |bucket AS (
+      |norms AS (
       |  SELECT vec_id,
-      |    CAST(sum(CASE WHEN dot > 0
+      |    sqrt(sum(CAST(round(v * v * 1e12, 0) AS BIGINT)) / 1e12) AS nrm
+      |  FROM e GROUP BY vec_id),
+      |proj AS (
+      |  SELECT vec_id, p,
+      |    sum(CAST(round(v * sin(p * 997 + idx * 31) * 1e12, 0) AS BIGINT))
+      |      AS dots
+      |  FROM e, (SELECT unnest(range(16)) AS p) ps
+      |  GROUP BY 1, 2),
+      |code AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dots > 0
       |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT)
       |      AS bkt
       |  FROM proj GROUP BY vec_id),
+      |banded AS (
+      |  SELECT vec_id, b AS band,
+      |    bkt - (CAST(1 AS BIGINT) << CAST(b AS INT))
+      |        * ((bkt >> CAST(b AS INT)) % 2) AS mval
+      |  FROM code, (SELECT unnest(range(16)) AS b) bs),
       |cand AS (
-      |  SELECT b1.vec_id AS v1, b2.vec_id AS v2
-      |  FROM bucket b1 JOIN bucket b2
-      |    ON b1.bkt = b2.bkt AND b1.vec_id < b2.vec_id),
+      |  SELECT DISTINCT b1.vec_id AS v1, b2.vec_id AS v2
+      |  FROM banded b1 JOIN banded b2
+      |    ON b1.band = b2.band AND b1.mval = b2.mval
+      |    AND b1.vec_id < b2.vec_id),
       |dots AS (
-      |  SELECT c.v1, c.v2, sum(e1.v * e2.v) AS dot
+      |  SELECT c.v1, c.v2,
+      |    sum(CAST(round(e1.v * e2.v * 1e12, 0) AS BIGINT)) AS dots
       |  FROM cand c
       |  JOIN e e1 ON e1.vec_id = c.v1
       |  JOIN e e2 ON e2.vec_id = c.v2 AND e2.idx = e1.idx
       |  GROUP BY 1, 2)
       |SELECT d.v1, d.v2,
-      |  round(dot / (n1.nrm * n2.nrm), 6) AS cos_sim
+      |  round((dots / 1e12) / (n1.nrm * n2.nrm), 6) AS cos_sim
       |FROM dots d
       |JOIN norms n1 ON n1.vec_id = d.v1
       |JOIN norms n2 ON n2.vec_id = d.v2
-      |WHERE round(dot / (n1.nrm * n2.nrm), 6) >= 0.4
+      |WHERE round((dots / 1e12) / (n1.nrm * n2.nrm), 6) >= 0.4
       |ORDER BY v1, v2""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

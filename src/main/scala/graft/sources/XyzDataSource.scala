@@ -43,13 +43,40 @@ class XyzDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     XyzTable.Schema
 
+  /** Plan-time option validation. The xyz source reads a single file
+    * with a fixed schema: a user-supplied schema must match it exactly
+    * (erroring beats silently ignoring it), and only the `path` option
+    * is supported (no multi-path `paths`). */
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException("xyz source requires a path"))
-    val chunks = Option(properties.get("chunks")).map(_.toInt).getOrElse(10)
-    val unitScale =
-      Option(properties.get("unit_scale")).map(_.toDouble).getOrElse(1.0)
+      throw new IllegalArgumentException(
+        "xyz source requires a single 'path' option " +
+          "(multi-path 'paths' loads are not supported)"))
+    def intOpt(key: String, default: Int): Int =
+      Option(properties.get(key)).map { v =>
+        try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"xyz option '$key' must be an integer, got '$v'")
+        }
+      }.getOrElse(default)
+    val chunks = intOpt("chunks", 10)
+    if (chunks <= 0) throw new IllegalArgumentException(
+      s"xyz option 'chunks' must be > 0, got $chunks")
+    val unitScale = Option(properties.get("unit_scale")).map { v =>
+      try v.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"xyz option 'unit_scale' must be numeric, got '$v'")
+      }
+    }.getOrElse(1.0)
+    if (schema != null) {
+      val want = XyzTable.Schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
+      if (got != want) throw new IllegalArgumentException(
+        "xyz source has a fixed schema " + XyzTable.Schema.simpleString +
+          "; the supplied read schema " + schema.simpleString +
+          " does not match (drop .schema(...) or make it identical)")
+    }
     new XyzTable(path, chunks, unitScale)
   }
 }
@@ -204,6 +231,26 @@ class XyzPartitionReader(path: String, unitScale: Double,
   private val boxRe =
     """#\s*Step:\s*(\S+)(?:\s+Box:\s*(\S+)\s+(\S+)\s+(\S+))?.*""".r
 
+  /** Projection ordinals precomputed once per partition (not a
+    * Map[String,Any] per row): required column i comes from canonical
+    * column `ordinals(i)`. */
+  private val ordinals: Array[Int] = {
+    val canon = XyzTable.Schema.fieldNames.zipWithIndex.toMap
+    required.fieldNames.map(canon)
+  }
+
+  /** Untrusted-file parse failure with enough context to find the bad
+    * line (the plan-time natoms validation can't see mid-file damage). */
+  private def parseFail(what: String, content: String): Nothing =
+    throw new IllegalStateException(
+      s"xyz parse error in $path at frame $frame: $what " +
+        s"(line: '${content.take(120)}')")
+
+  private def numOrFail(tok: String, what: String, line: String): Double =
+    try tok.toDouble catch {
+      case _: NumberFormatException => parseFail(s"non-numeric $what '$tok'", line)
+    }
+
   override def next(): Boolean = {
     if (frame >= range.endFrame) return false
     if (atomInFrame == range.nAtoms) {
@@ -213,31 +260,39 @@ class XyzPartitionReader(path: String, unitScale: Double,
       val comment = if (lines.hasNext) lines.next() else ""
       comment match {
         case boxRe(t, bx, by, bz) =>
-          time = t.toDouble
+          time = numOrFail(t, "Step token", comment)
           box = Option(bx).map(_ =>
-            ((bx.toDouble * unitScale).toFloat,
-              (by.toDouble * unitScale).toFloat,
-              (bz.toDouble * unitScale).toFloat))
+            ((numOrFail(bx, "Box x", comment) * unitScale).toFloat,
+              (numOrFail(by, "Box y", comment) * unitScale).toFloat,
+              (numOrFail(bz, "Box z", comment) * unitScale).toFloat))
         case _ => time = frame.toDouble; box = None
       }
       atomInFrame = 0
     }
     if (!lines.hasNext) return false
-    val parts = lines.next().trim.split("\\s+")
+    val line = lines.next()
+    val parts = line.trim.split("\\s+")
+    if (parts.length < 4)
+      parseFail(s"atom line has ${parts.length} fields, need 4", line)
     val atomId = atomInFrame
-    val vals: Map[String, Any] = Map(
-      "frame_id" -> frame,
-      "time" -> time,
-      "atom_id" -> atomId,
-      "element" -> UTF8String.fromString(parts(0)),
-      "x" -> (parts(1).toDouble * unitScale).toFloat,
-      "y" -> (parts(2).toDouble * unitScale).toFloat,
-      "z" -> (parts(3).toDouble * unitScale).toFloat,
-      "box_x" -> box.map(_._1).orNull,
-      "box_y" -> box.map(_._2).orNull,
-      "box_z" -> box.map(_._3).orNull)
-    current = InternalRow.fromSeq(
-      required.fields.map(f => vals(f.name)).toIndexedSeq)
+    val row = new Array[Any](ordinals.length)
+    var i = 0
+    while (i < ordinals.length) {
+      row(i) = ordinals(i) match {
+        case 0 => frame
+        case 1 => time
+        case 2 => atomId
+        case 3 => UTF8String.fromString(parts(0))
+        case 4 => (numOrFail(parts(1), "x", line) * unitScale).toFloat
+        case 5 => (numOrFail(parts(2), "y", line) * unitScale).toFloat
+        case 6 => (numOrFail(parts(3), "z", line) * unitScale).toFloat
+        case 7 => box.map(_._1).orNull
+        case 8 => box.map(_._2).orNull
+        case 9 => box.map(_._3).orNull
+      }
+      i += 1
+    }
+    current = InternalRow.fromSeq(row.toIndexedSeq)
     atomInFrame += 1
     if (atomInFrame == range.nAtoms) frame += 1
     true
