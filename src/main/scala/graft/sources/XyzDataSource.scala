@@ -99,13 +99,19 @@ object XyzTable {
 }
 
 class XyzTable(path: String, chunks: Int, unitScale: Double)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"xyz:$path"
   override def schema(): StructType = XyzTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new XyzScanBuilder(path, chunks, unitScale)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new XyzWriteBuilder(path, info)
 }
 
 class XyzScanBuilder(path: String, chunks: Int, unitScale: Double)

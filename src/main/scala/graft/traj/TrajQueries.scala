@@ -440,6 +440,32 @@ object TrajQueries {
        |FROM merged GROUP BY src, frame_id ORDER BY src, frame_id"""
       .stripMargin
 
+  /** P1 frame reordering: `traj[::-1]` reversal
+    * (tests/test_dask_traj.py:143) — frames re-indexed through a scalar
+    * bounds subquery (new = max+min − old), broadcast into the scan like
+    * the reference's delayed scalars (SURVEY O7); per-frame summary
+    * keyed by the NEW frame id proves the reorder. */
+  def trajReverse(s: SparkSession, d: String): DataFrame = {
+    val p = TrajModel.positionsShared(s, d)
+    val bounds = p.agg((max("frame_id") + min("frame_id")).as("mm"))
+    p.crossJoin(broadcast(bounds))
+      .groupBy((col("mm") - col("frame_id")).as("frame_id"))
+      .agg(min(col("frame_id")).as("orig_frame"),
+        count(lit(1)).as("n_atoms"),
+        round(sum(col("x").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("sum_x"))
+      .orderBy("frame_id")
+  }
+
+  private val trajReverseSql =
+    s"""$P, mm AS (SELECT max(frame_id) + min(frame_id) AS mm FROM positions)
+       |SELECT mm - frame_id AS frame_id, min(frame_id) AS orig_frame,
+       |  CAST(count(*) AS BIGINT) AS n_atoms,
+       |  round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_x
+       |FROM positions, mm
+       |GROUP BY mm - frame_id
+       |ORDER BY frame_id""".stripMargin
+
   /** F4+F5: box (lengths, angles) → Bravais vectors → back; the
     * round-trip must recover the input (validation.py:146-292,
     * tests/test_utils.py:106-111). Literal boxes, no table scan. */
@@ -527,6 +553,7 @@ object TrajQueries {
     QueryDef("q_traj_join_dedup", trajJoinDedup, Some(trajJoinDedupSql)),
     QueryDef("q_traj_join_overlap", trajJoinOverlap,
       Some(trajJoinOverlapSql)),
+    QueryDef("q_traj_reverse", trajReverse, Some(trajReverseSql)),
     QueryDef("q_traj_box_roundtrip", trajBoxRoundtrip,
       Some(trajBoxRoundtripSql)))
 }

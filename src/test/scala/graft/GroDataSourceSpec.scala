@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Second format through the DSv2 registry (SURVEY §2.1 S4 — the
+  * reference's file_returns maps .gro → [xyz, time, unitcell_vectors],
+  * core/dask_traj.py:49) plus the xyz write path (S6 inverse). */
+class GroDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** 2 atoms × 2 frames; frame 1 has a triclinic 9-term box line.
+    * Fixed-width atom lines per the GROMACS format. */
+  private lazy val fixture: String = {
+    def atom(resId: Int, res: String, name: String, num: Int,
+        x: Double, y: Double, z: Double): String =
+      f"$resId%5d$res%-5s$name%-5s$num%5d$x%8.3f$y%8.3f$z%8.3f"
+    val txt = Seq(
+      "MD sim t= 0.0",
+      "2",
+      atom(1, "SOL", "OW", 1, 0.126, 1.624, 1.679),
+      atom(1, "SOL", "HW1", 2, 0.190, 1.661, 1.747),
+      "   6.00000   6.00000   6.00000",
+      "MD sim t= 10.0",
+      "2",
+      atom(1, "SOL", "OW", 1, 0.230, 0.628, 0.113),
+      atom(1, "SOL", "HW1", 2, 0.262, 0.612, 0.205),
+      "   6.0   7.0   8.0   0.0   0.0   0.5   0.0   4.0   4.0",
+      "").mkString("\n")
+    val f = Files.createTempFile("traj", ".gro")
+    Files.writeString(f, txt)
+    f.toString
+  }
+
+  test("gro scan: one row per (frame, atom), fixed-width fields, " +
+    "title time, box vectors") {
+    val df = spark.read.format("gro").load(fixture)
+    assert(df.count() == 4)
+    val r = df.filter(col("frame_id") === 0 && col("atom_id") === 1)
+      .collect()(0)
+    assert(r.getAs[String]("res_name") == "SOL")
+    assert(r.getAs[String]("atom_name") == "HW1")
+    assert(math.abs(r.getAs[Float]("x") - 0.190f) < 1e-6)
+    assert(r.getAs[Double]("time") == 0.0)
+    assert(r.getAs[Float]("bv1x") == 6.0f)
+    assert(r.getAs[Float]("bv2x") == 0.0f) // orthorhombic: off-diag 0
+    // triclinic frame: off-diagonal terms populated
+    val t = df.filter(col("frame_id") === 1 && col("atom_id") === 0)
+      .collect()(0)
+    assert(t.getAs[Double]("time") == 10.0)
+    assert(t.getAs[Float]("bv2y") == 7.0f)
+    assert(t.getAs[Float]("bv2x") == 0.5f)
+    assert(t.getAs[Float]("bv3y") == 4.0f)
+  }
+
+  test("gro chunked planning mirrors the xyz source") {
+    val df = spark.read.format("gro").option("chunks", 1).load(fixture)
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 4)
+  }
+
+  test("gro option validation at plan time") {
+    intercept[IllegalArgumentException] {
+      spark.read.format("gro").option("chunks", 0).load(fixture).count()
+    }
+  }
+
+  test("xyz write path round-trips through the scan " +
+    "(frame-grouped shards)") {
+    val dir = Files.createTempDirectory("xyzout").toString
+    // build canonical long-layout rows directly
+    val df = spark.range(0, 3).selectExpr("id AS frame_id")
+      .crossJoin(spark.range(0, 2).selectExpr("CAST(id AS INT) AS atom_id"))
+      .selectExpr(
+        "frame_id",
+        "CAST(frame_id * 10 AS DOUBLE) AS time",
+        "atom_id",
+        "CASE WHEN atom_id = 0 THEN 'C' ELSE 'H' END AS element",
+        "CAST(frame_id + atom_id AS FLOAT) AS x",
+        "CAST(frame_id * 2 AS FLOAT) AS y",
+        "CAST(atom_id AS FLOAT) AS z",
+        "CAST(6.0 AS FLOAT) AS box_x",
+        "CAST(6.0 AS FLOAT) AS box_y",
+        "CAST(6.0 AS FLOAT) AS box_z")
+      .repartitionByRange(1, col("frame_id"))
+      .sortWithinPartitions("frame_id", "atom_id")
+    df.write.format("xyz").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".xyz"))
+    assert(files.length == 1)
+    val back = spark.read.format("xyz").load(files(0).getPath)
+    assert(back.count() == 6)
+    val r = back.filter(col("frame_id") === 2 && col("atom_id") === 1)
+      .collect()(0)
+    assert(r.getAs[String]("element") == "H")
+    assert(r.getAs[Float]("x") == 3.0f)
+    assert(r.getAs[Double]("time") == 20.0)
+    assert(r.getAs[Float]("box_x") == 6.0f)
+  }
+}
