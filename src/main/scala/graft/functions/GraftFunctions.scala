@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Custom Catalyst expressions (SURVEY §2.9 preference level 3): used
@@ -70,6 +71,79 @@ case class MinFingerprint(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+case class Ngram5Count(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ngram5_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.ngram5Count(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.ngram5Count($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+case class Ngram5Set(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = false)
+  override def prettyName: String = "ngram5_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.ngram5Set(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.ngram5Set($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+case class DotScaled(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_scaled"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    HashKernels.dotScaled(
+      l.asInstanceOf[ArrayData].toDoubleArray(),
+      r.asInstanceOf[ArrayData].toDoubleArray())
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashKernels.dotScaled(" +
+        s"$a.toDoubleArray(), $b.toDoubleArray());")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class Lsh16Code(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh16_code"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.lsh16Code(input.asInstanceOf[ArrayData].toDoubleArray())
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.lsh16Code(" +
+        s"$c.toDoubleArray());")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object GraftFunctions {
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -80,5 +154,13 @@ object GraftFunctions {
       es => MinHashDoc(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("min_fingerprint",
       es => MinFingerprint(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram5_count",
+      es => Ngram5Count(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram5_set",
+      es => Ngram5Set(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_scaled",
+      es => DotScaled(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh16_code",
+      es => Lsh16Code(es.head), "scala_udf")
   }
 }

@@ -160,4 +160,146 @@ object HashKernels {
 
   def fingerprintUtf8(text: UTF8String): UTF8String =
     UTF8String.fromString(fingerprint(text.toString))
+
+  // ------------------------------------------------------- char 5-grams
+
+  /** Minimal open-addressed hash set of longs (no boxing) for the ASCII
+    * 5-gram fast path: 5 ASCII bytes pack injectively into 40 bits, so
+    * long-distinctness == string-distinctness. */
+  private final class LongSet(initCap: Int) {
+    private var mask = Integer.highestOneBit(math.max(initCap * 2, 16)) * 2 - 1
+    private var keys = new Array[Long](mask + 1)
+    private var used = new Array[Boolean](mask + 1)
+    private var n = 0
+    def size: Int = n
+    def add(k: Long): Boolean = {
+      var i = (java.lang.Long.hashCode(k * 0x9e3779b97f4a7c15L)) & mask
+      while (used(i)) {
+        if (keys(i) == k) return false
+        i = (i + 1) & mask
+      }
+      used(i) = true; keys(i) = k; n += 1
+      if (n * 2 > mask) grow()
+      true
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ou = used
+      mask = mask * 2 + 1
+      keys = new Array[Long](mask + 1)
+      used = new Array[Boolean](mask + 1)
+      n = 0
+      var i = 0
+      while (i < ok.length) { if (ou(i)) add(ok(i)); i += 1 }
+    }
+  }
+
+  /** Number of DISTINCT char-5-grams (code-point windows; texts shorter
+    * than 5 characters count as one gram — the whole text). Single-pass
+    * twin of `size(array_distinct(transform(sequence(1, len-4),
+    * i -> substring(text, i, 5))))` with no array materialization. */
+  def ngram5Count(text: UTF8String): Int = {
+    val s = text.toString
+    var ascii = true
+    var j = 0
+    while (ascii && j < s.length) {
+      if (s.charAt(j) >= 0x80) ascii = false
+      j += 1
+    }
+    if (ascii) {
+      if (s.length < 5) return 1
+      val set = new LongSet(s.length)
+      var i = 0
+      while (i <= s.length - 5) {
+        val k = s.charAt(i).toLong | (s.charAt(i + 1).toLong << 8) |
+          (s.charAt(i + 2).toLong << 16) | (s.charAt(i + 3).toLong << 24) |
+          (s.charAt(i + 4).toLong << 32)
+        set.add(k)
+        i += 1
+      }
+      set.size
+    } else {
+      val cps = s.codePoints().toArray
+      if (cps.length < 5) return 1
+      val seen = new java.util.HashSet[String]()
+      var i = 0
+      while (i <= cps.length - 5) {
+        seen.add(new String(cps, i, 5))
+        i += 1
+      }
+      seen.size
+    }
+  }
+
+  // ------------------------------------------------- vector reductions
+
+  /** Exact HALF_UP round of a double to a long — bit-identical to Spark
+    * SQL round(x, 0) (BigDecimal HALF_UP) and DuckDB round(x, 0)
+    * (std::round, half away from zero on the exact value). Java's
+    * Math.round is floor(x+0.5) and DIFFERS on values just below a
+    * half-way point; BigDecimal.setScale is exact but ~µs per call
+    * (full binary expansion of the double). This form is exact because
+    * for |x| < 2^52 both floor(|x|) and |x| − floor(|x|) are exact IEEE
+    * results, so the ≥ 0.5 comparison sees the true fractional part. */
+  private def roundHalfUp(v: Double): Long = {
+    val ax = math.abs(v)
+    if (ax >= 4.503599627370496e15) return v.toLong // integral already
+    val fl = math.floor(ax)
+    val k = if (ax - fl >= 0.5) fl + 1.0 else fl
+    (if (v < 0) -k else k).toLong
+  }
+
+  /** Σ round(a_i · b_i · 1e12) as a long — the single-pass twin of
+    * aggregate(zip_with(a, b, (x,y) -> CAST(round(x*y*1e12, 0) AS
+    * BIGINT)), 0, +): exact integer accumulation of a scaled dot
+    * product, reduction-order independent (graft.sim.SimQueries). */
+  def dotScaled(a: Array[Double], b: Array[Double]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += roundHalfUp(a(i) * b(i) * 1e12)
+      i += 1
+    }
+    s
+  }
+
+  /** 16-bit sign-LSH code: bit p = [Σ_i round(v_i · sin(997p + 31i) ·
+    * 1e12) > 0] with 1-based i — the kernel form of the HOF expression
+    * in SimQueries (same Math.sin the expression form evaluates). */
+  def lsh16Code(v: Array[Double]): Long = {
+    var code = 0L
+    var p = 0
+    while (p < 16) {
+      var s = 0L
+      var i = 0
+      while (i < v.length) {
+        s += roundHalfUp(v(i) * math.sin(p * 997 + (i + 1) * 31) * 1e12)
+        i += 1
+      }
+      if (s > 0) code |= 1L << p
+      p += 1
+    }
+    code
+  }
+
+  /** Distinct char-5-gram set in first-occurrence order (code-point
+    * windows; whole text when shorter than 5 characters). */
+  def ngram5Set(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val seen = new java.util.LinkedHashSet[String]()
+    val cps = s.codePoints().toArray
+    if (cps.length < 5) seen.add(s)
+    else {
+      var i = 0
+      while (i <= cps.length - 5) {
+        seen.add(new String(cps, i, 5))
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
 }

@@ -40,14 +40,17 @@ object SimQueries {
   /** Scale for exact integer accumulation: 12 decimal digits. */
   private val S = "1e12"
 
-  /** Exact scaled-integer sum of elementwise products of two arrays. */
+  /** Exact scaled-integer sum of elementwise products of two arrays —
+    * the native single-pass kernel (graft.functions.DotScaled; the
+    * HOF-composed aggregate/zip_with form of the same reduction ran
+    * interpreted per element and dominated the candidate verify). */
   private def dotScaled(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(round(x * y * $S, 0) AS BIGINT))," +
-      s" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    s"dot_scaled($a, $b)"
 
   /** embeddings with double-cast vector and exact scaled self-dot
     * (norm² · 1e12 as BIGINT). */
-  private def withNorm(s: SparkSession, d: String): DataFrame =
+  private def withNorm(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d)
       // single parquet split → spread before the vector kernels
       .repartition(col("vec_id"))
@@ -55,6 +58,7 @@ object SimQueries {
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("n2s", expr(dotScaled("emb", "emb")))
       .withColumn("nrm", sqrt(col("n2s") / expr(S)))
+  }
 
   /** Brute-force cosine top-5 neighbours for the fixed query subset
     * (vec_id % 50 = 0, vec_id < 2500), excluding self. */
@@ -107,56 +111,60 @@ object SimQueries {
   /** 16-bit sign-LSH code per vector: bit p = [v · h_p > 0] with
     * h_p[i] = sin(997p + 31i) (1-based i, matching DuckDB's
     * generate_subscripts), packed into a BIGINT. The projection sum is
-    * scaled-integer exact like every other reduction here. Row-local
-    * nested array folds — no explode, no shuffle; the hyperplane family
-    * is a pure function of (p, i) so it needs no materialized table on
-    * either engine. */
-  private val lshCodeExpr: String =
-    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, p) ->
-       |  acc + CASE WHEN
-       |    aggregate(zip_with(emb,
-       |        transform(sequence(1, size(emb)), i -> sin(p * 997 + i * 31)),
-       |        (x, y) -> CAST(round(x * y * $S, 0) AS BIGINT)),
-       |      CAST(0 AS BIGINT), (a, b) -> a + b) > 0
-       |    THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))
-       |    ELSE 0 END)""".stripMargin
+    * scaled-integer exact like every other reduction here, evaluated by
+    * the native kernel (graft.functions.Lsh16Code) — one call per
+    * vector, no explode, no shuffle; the hyperplane family is a pure
+    * function of (p, i) so it needs no materialized table on either
+    * engine. */
+  private val lshCodeExpr: String = "lsh16_code(emb)"
 
   /** Embedding near-dup pairs: multiprobe sign-LSH candidates + exact
-    * cosine ≥ 0.4 verify. Band j is the 16-bit code with bit j masked,
-    * so the (band, masked-code) equi-join yields exactly the pairs with
-    * Hamming distance ≤ 1 in code space — never an all-pairs compare.
+    * cosine ≥ 0.4 verify. Candidate pairs are the vector pairs whose
+    * 16-bit codes differ in ≤ 1 bit, found in TWO tiers:
+    *
+    *  1. CODE-pair generation runs on the distinct codes only (≤ 2^16
+    *     rows no matter the corpus size): each code emits 16 one-bit-
+    *     masked probes, the self-join on (band, mask) finds code pairs
+    *     at Hamming ≤ 1. Cost is bounded by 17·2^16 rows — corpus-size
+    *     independent.
+    *  2. The vector-level join expands each qualifying code pair into
+    *     its vector pairs — exactly the candidate set, each pair
+    *     produced once (no distinct over a ×16-replicated pair stream,
+    *     which on a clustered corpus was 12× the candidate count).
+    *
     * One pass computes code + norm + vector per row behind one lineage
     * barrier (see TextQueries.dedupMinhash for the barrier rationale). */
   def simNeardupLsh(s: SparkSession, d: String): DataFrame = {
     val vecs = withNorm(s, d)
       .withColumn("bkt", expr(lshCodeExpr))
       .localCheckpoint(false)
-    val banded = vecs.select(col("vec_id"), col("bkt"),
-      explode(expr(
-        "transform(sequence(0, 15), b -> named_struct(" +
-          "'band', b, 'mval', bkt - shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))" +
-          " * CAST(shiftright(bkt, CAST(b AS INT)) % 2 AS BIGINT)))"))
-        .as("bd"))
-      .select(col("vec_id"), col("bd.band").as("band"),
+    val codes = vecs.select(col("bkt")).distinct()
+    val maskExpr =
+      "transform(sequence(0, 15), b -> named_struct(" +
+        "'band', b, 'mval', bkt - shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))" +
+        " * CAST(shiftright(bkt, CAST(b AS INT)) % 2 AS BIGINT)))"
+    val cb = codes.select(col("bkt"), explode(expr(maskExpr)).as("bd"))
+      .select(col("bkt"), col("bd.band").as("band"),
         col("bd.mval").as("mval"))
-    val b1 = banded.select(col("vec_id").as("v1"), col("band"), col("mval"))
-    val b2 = banded.select(col("vec_id").as("v2"), col("band").as("band2"),
+    val cb2 = cb.select(col("bkt").as("bktB"), col("band").as("band2"),
       col("mval").as("mval2"))
-    val cand = b1.join(b2,
+    val codePairs = cb.join(cb2,
       col("band") === col("band2") && col("mval") === col("mval2") &&
-        col("v1") < col("v2"))
-      .select("v1", "v2").distinct()
-    val e1 = vecs.select(col("vec_id").as("v1"),
+        col("bkt") <= col("bktB"))
+      .select(col("bkt").as("ca"), col("bktB").as("cb")).distinct()
+    val v1 = vecs.select(col("vec_id").as("va"), col("bkt").as("ka"),
       col("emb").as("emb1"), col("nrm").as("nrm1"))
-    val e2 = vecs.select(col("vec_id").as("v2b"),
+    val v2 = vecs.select(col("vec_id").as("vb"), col("bkt").as("kb"),
       col("emb").as("emb2"), col("nrm").as("nrm2"))
-    cand.join(e1, "v1")
-      .join(e2, col("v2") === col("v2b"))
+    v1.join(broadcast(codePairs), col("ka") === col("ca"))
+      .join(v2, col("kb") === col("cb") &&
+        (col("ca") < col("cb") || col("va") < col("vb")))
       .withColumn("cos_sim", round(
         (expr(dotScaled("emb1", "emb2")) / expr(S)) /
           (col("nrm1") * col("nrm2")), 6))
       .filter(col("cos_sim") >= 0.4)
-      .select("v1", "v2", "cos_sim")
+      .select(least(col("va"), col("vb")).as("v1"),
+        greatest(col("va"), col("vb")).as("v2"), col("cos_sim"))
       .orderBy("v1", "v2")
   }
 
@@ -181,16 +189,23 @@ object SimQueries {
       |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT)
       |      AS bkt
       |  FROM proj GROUP BY vec_id),
-      |banded AS (
-      |  SELECT vec_id, b AS band,
+      |codes AS (SELECT DISTINCT bkt FROM code),
+      |cb AS (
+      |  SELECT bkt, b AS band,
       |    bkt - (CAST(1 AS BIGINT) << CAST(b AS INT))
       |        * ((bkt >> CAST(b AS INT)) % 2) AS mval
-      |  FROM code, (SELECT unnest(range(16)) AS b) bs),
+      |  FROM codes, (SELECT unnest(range(16)) AS b) bs),
+      |code_pairs AS (
+      |  SELECT DISTINCT c1.bkt AS ca, c2.bkt AS cb
+      |  FROM cb c1 JOIN cb c2
+      |    ON c1.band = c2.band AND c1.mval = c2.mval AND c1.bkt <= c2.bkt),
       |cand AS (
-      |  SELECT DISTINCT b1.vec_id AS v1, b2.vec_id AS v2
-      |  FROM banded b1 JOIN banded b2
-      |    ON b1.band = b2.band AND b1.mval = b2.mval
-      |    AND b1.vec_id < b2.vec_id),
+      |  SELECT least(x1.vec_id, x2.vec_id) AS v1,
+      |         greatest(x1.vec_id, x2.vec_id) AS v2
+      |  FROM code_pairs p
+      |  JOIN code x1 ON x1.bkt = p.ca
+      |  JOIN code x2 ON x2.bkt = p.cb
+      |  WHERE p.ca < p.cb OR x1.vec_id < x2.vec_id),
       |dots AS (
       |  SELECT c.v1, c.v2,
       |    sum(CAST(round(e1.v * e2.v * 1e12, 0) AS BIGINT)) AS dots

@@ -259,19 +259,20 @@ object TextQueries {
     * the key join's hot fp buckets if one ever dominates). */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val g = Tables.documents(s, d)
-      .repartition(col("doc_id"))
+    val docs = Tables.documents(s, d).repartition(col("doc_id"))
+    // stage 0: lightweight per-doc keys ONLY (fingerprint, length
+    // bucket, distinct-gram COUNT via a single-pass kernel) — the
+    // corpus-wide pass materializes ~40 bytes/doc, never gram arrays
+    val keys = docs
       .select(col("doc_id"),
         floor(length(col("text")) / 100).cast("long").as("lenb"),
         expr("min_fingerprint(text)").as("fp"),
-        expr("array_distinct(transform(sequence(1, greatest(length(text) - 4, 1))," +
-          " i -> substring(text, i, 5)))").as("grams"))
-      .withColumn("ng", size(col("grams")).cast("long"))
+        expr("ngram5_count(text)").cast("long").as("ng"))
       .localCheckpoint(false)
-    // stage 1: key-only candidate pruning — no gram arrays in the join
-    val k1 = g.select(col("doc_id").as("d1"), col("lenb"), col("fp"),
+    // stage 1: key-only candidate pruning
+    val k1 = keys.select(col("doc_id").as("d1"), col("lenb"), col("fp"),
       col("ng").as("n1"))
-    val k2 = g.select(col("doc_id").as("d2"), col("lenb").as("lenb2"),
+    val k2 = keys.select(col("doc_id").as("d2"), col("lenb").as("lenb2"),
       col("fp").as("fp2"), col("ng").as("n2"))
     val cand = k1.join(k2,
       col("fp") === col("fp2") && col("lenb") === col("lenb2") &&
@@ -279,9 +280,17 @@ object TextQueries {
       // |A∩B| ≤ min(|A|,|B|): necessary condition for jaccard ≥ 0.5
       .filter(least(col("n1"), col("n2")) * 3 >= col("n1") + col("n2"))
       .select("d1", "d2")
-    // stage 2: late gram fetch for survivors only, then exact verify
-    val g1 = g.select(col("doc_id").as("d1"), col("grams").as("g1"))
-    val g2 = g.select(col("doc_id").as("d2b"), col("grams").as("g2"))
+      .localCheckpoint(false)
+    // stage 2: gram sets computed ONLY for docs that survived into a
+    // candidate pair (semi-join prune), then the exact verify — gram
+    // work scales with the candidate set, not the corpus
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+    val grams = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), expr("ngram5_set(text)").as("grams"))
+      .localCheckpoint(false)
+    val g1 = grams.select(col("doc_id").as("d1"), col("grams").as("g1"))
+    val g2 = grams.select(col("doc_id").as("d2b"), col("grams").as("g2"))
     cand.join(g1, "d1")
       .join(g2, col("d2") === col("d2b"))
       .withColumn("ni", size(array_intersect(col("g1"), col("g2"))))
