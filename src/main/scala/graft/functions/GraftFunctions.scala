@@ -88,22 +88,43 @@ case class Ngram5Count(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
-case class Ngram5Set(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(StringType,
+case class Ngram5Packed(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType,
     containsNull = false)
-  override def prettyName: String = "ngram5_set"
+  override def prettyName: String = "ngram5_packed"
 
   override protected def nullSafeEval(input: Any): Any =
-    HashKernels.ngram5Set(
+    HashKernels.ngram5Packed(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.HashKernels.ngram5Set($c);")
+      s"${ev.value} = graft.functions.HashKernels.ngram5Packed($c);")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+}
+
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    HashKernels.sortedIntersectCount(
+      l.asInstanceOf[ArrayData].toLongArray(),
+      r.asInstanceOf[ArrayData].toLongArray())
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashKernels.sortedIntersectCount(" +
+        s"$a.toLongArray(), $b.toLongArray());")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 case class DotScaled(left: Expression, right: Expression)
@@ -156,8 +177,10 @@ object GraftFunctions {
       es => MinFingerprint(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("ngram5_count",
       es => Ngram5Count(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("ngram5_set",
-      es => Ngram5Set(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram5_packed",
+      es => Ngram5Packed(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      es => SortedIntersectCount(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_scaled",
       es => DotScaled(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh16_code",

@@ -191,6 +191,15 @@ object HashKernels {
       var i = 0
       while (i < ok.length) { if (ou(i)) add(ok(i)); i += 1 }
     }
+    def toArray: Array[Long] = {
+      val out = new Array[Long](n)
+      var i = 0; var o = 0
+      while (i < keys.length) {
+        if (used(i)) { out(o) = keys(i); o += 1 }
+        i += 1
+      }
+      out
+    }
   }
 
   /** Number of DISTINCT char-5-grams (code-point windows; texts shorter
@@ -282,24 +291,75 @@ object HashKernels {
     code
   }
 
-  /** Distinct char-5-gram set in first-occurrence order (code-point
-    * windows; whole text when shorter than 5 characters). */
-  def ngram5Set(text: UTF8String): GenericArrayData = {
+  /** Sorted array of distinct char-5-grams as packed longs. Injective
+    * packing when every code point of the gram is < 2^12 (bit 63 = 0:
+    * five 12-bit code points; bit 62 flags a short whole-text gram with
+    * its length in bits 52-54); grams with larger code points fall back
+    * to a 63-bit md5 prefix with bit 63 set — collisions there are
+    * 2^-63-improbable and only affect non-BMP-heavy corpora (the
+    * distinct-gram COUNT stays exact via [[ngram5Count]]'s string path).
+    * Downstream intersection counts run as long merge-walks
+    * ([[sortedIntersectCount]]) instead of per-pair string hash sets —
+    * the packed form never leaves the engine, only |A∩B| does. */
+  def ngram5Packed(text: UTF8String): GenericArrayData = {
     val s = text.toString
-    val seen = new java.util.LinkedHashSet[String]()
     val cps = s.codePoints().toArray
-    if (cps.length < 5) seen.add(s)
-    else {
+
+    def packable(off: Int, len: Int): Boolean = {
+      var i = 0
+      while (i < len) {
+        if (cps(off + i) >= 4096) return false
+        i += 1
+      }
+      true
+    }
+    def pack(off: Int, len: Int): Long = {
+      var k = 0L
+      var i = 0
+      while (i < len) {
+        k |= cps(off + i).toLong << (12 * i)
+        i += 1
+      }
+      k
+    }
+    def hashed(gram: String): Long = {
+      val b = md5bytes(gram)
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
+      h | Long.MinValue // bit 63 marks the hash domain
+    }
+
+    val set = new LongSet(math.max(cps.length, 8))
+    if (cps.length < 5) {
+      val k =
+        if (packable(0, cps.length))
+          pack(0, cps.length) | (cps.length.toLong << 52) | (1L << 62)
+        else hashed(s)
+      set.add(k)
+    } else {
       var i = 0
       while (i <= cps.length - 5) {
-        seen.add(new String(cps, i, 5))
+        val k = if (packable(i, 5)) pack(i, 5)
+          else hashed(new String(cps, i, 5))
+        set.add(k)
         i += 1
       }
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    val out = set.toArray
+    java.util.Arrays.sort(out)
     new GenericArrayData(out)
+  }
+
+  /** |A∩B| of two ascending-sorted long arrays via a merge walk. */
+  def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
   }
 }
