@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extensions entry point (SURVEY §2.9): registers every graft
+  * native function at session build time, so a cluster deployment
+  * enables the library with
+  *
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * instead of calling [[graft.functions.GraftFunctions.register]] in
+  * driver code. This is the Spark-idiomatic packaging of the
+  * reference's "import the library, get the kernels" surface
+  * (dask_traj/__init__.py exposes the geometry kernels the same way).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, usage: String,
+      builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", null, name, usage, ""),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("simhash64",
+      "simhash64(text) - 64-bit frequency-weighted SimHash as (sim_lo, sim_hi)",
+      es => SimHash64(es.head)))
+    ext.injectFunction(fn("minhash_doc",
+      "minhash_doc(text) - word-3-gram shingles + 8-hash MinHash signature + 4 LSH band keys",
+      es => MinHashDoc(es.head)))
+    ext.injectFunction(fn("min_fingerprint",
+      "min_fingerprint(text) - lexicographic-min md5 over all char 8-grams",
+      es => MinFingerprint(es.head)))
+    ext.injectFunction(fn("ngram5_count",
+      "ngram5_count(text) - number of distinct char 5-grams",
+      es => Ngram5Count(es.head)))
+    ext.injectFunction(fn("ngram5_packed",
+      "ngram5_packed(text) - sorted distinct char 5-grams as packed longs",
+      es => Ngram5Packed(es.head)))
+    ext.injectFunction(fn("dot_scaled",
+      "dot_scaled(a, b) - exact sum of round(a_i*b_i*1e12) as bigint",
+      es => DotScaled(es(0), es(1))))
+    ext.injectFunction(fn("lsh16_code",
+      "lsh16_code(v) - 16-bit sign-LSH hyperplane code",
+      es => Lsh16Code(es.head)))
+    ext.injectFunction(fn("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - |A intersect B| of two sorted long arrays",
+      es => SortedIntersectCount(es(0), es(1))))
+  }
+}

@@ -426,17 +426,13 @@ object RelQueries {
       |ORDER BY status, priority""".stripMargin
 
   /** Sliding event-time window (1h window, 15min slide): each event
-    * lands in 4 overlapping windows. Spark's window() generator; the
-    * oracle reproduces the window family arithmetically on epoch
-    * seconds. */
+    * lands in 4 overlapping windows. The transformation is shared with
+    * the Structured Streaming drive (graft.streaming.EventStreams
+    * .slidingCounts); the oracle reproduces the window family
+    * arithmetically on epoch seconds. */
   def eventsSliding(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 6)
-          .as("total_value"))
-      .select(unix_timestamp(col("window.start")).as("win_epoch"),
-        col("event_type"), col("n"), col("total_value"))
+    graft.streaming.EventStreams
+      .slidingCounts(Tables.events(s, d), streaming = false)
       .orderBy("win_epoch", "event_type")
 
   private val eventsSlidingSql =

@@ -28,6 +28,21 @@ object EventStreams {
         col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Sliding 1-hour/15-minute window counts per event type — each event
+    * lands in 4 overlapping windows. Shared verbatim by the batch query
+    * (q_events_sliding) and the streaming drive in EventStreamsSpec;
+    * on a stream the watermark bounds the 4-window state. */
+  def slidingCounts(events: DataFrame, streaming: Boolean): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", "2 hours") else events
+    src
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("win_epoch"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
   final case class SessionInput(user_id: Long, e: Long)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Long,

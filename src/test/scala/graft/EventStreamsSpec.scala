@@ -38,6 +38,31 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding counts == batch sliding counts") {
+    val src = java.nio.file.Paths.get(s"${SparkTestBase.sf}/events.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("events_stream2")
+    java.nio.file.Files.copy(src, tmp.resolve("events.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.slidingCounts(stream, streaming = true)
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sliding_out")
+        .orderBy("win_epoch", "event_type")
+        .collect().map(_.toString).toSeq
+      val want = rel.RelQueries.eventsSliding(spark, SparkTestBase.sf)
+        .collect().map(_.toString).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches batch islands " +
     "on closed sessions") {
     import spark.implicits._

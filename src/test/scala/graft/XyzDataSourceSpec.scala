@@ -102,7 +102,22 @@ class XyzDataSourceSpec extends AnyFunSuite {
     val f0 = wide.filter(_.frame_id == 0L).collect()(0)
     assert(f0.n_atoms == 3)
     assert(f0.xyz.head == Seq(1.0, 2.0, 3.0))
+    assert(f0.box.isEmpty) // no box columns in the input → None
     val back = TrajDataset.long(wide)
     assert(back.count() == 9)
+  }
+
+  test("wide facade carries per-frame unitcell when box columns present") {
+    val long0 = spark.read.format("xyz").load(fixture)
+      .select(col("frame_id"), col("atom_id"),
+        col("x").cast("double"), col("y").cast("double"),
+        col("z").cast("double"),
+        col("box_x"), col("box_y"), col("box_z"))
+    val wide = TrajDataset.wide(long0)
+    val f0 = wide.filter(_.frame_id == 0L).collect()(0)
+    assert(f0.box.contains(Seq(6.0, 6.0, 6.0)))
+    // frame 2 has no Box header → None, not a partial array
+    val f2 = wide.filter(_.frame_id == 2L).collect()(0)
+    assert(f2.box.isEmpty)
   }
 }
