@@ -221,7 +221,201 @@ object SimQueries {
       |WHERE round((dots / 1e12) / (n1.nrm * n2.nrm), 6) >= 0.4
       |ORDER BY v1, v2""".stripMargin
 
+  // ------------------------------------------------------------ IVF ANN
+
+  /** IVF (inverted-file) approximate nearest neighbour — the scale path
+    * past brute force: a deterministic k-means-lite coarse quantizer
+    * (K = 16 fixed seed vectors, two exact Lloyd iterations) partitions
+    * the corpus into inverted lists; each query probes only its
+    * `nprobe = 4` nearest cells and ranks candidates by exact cosine.
+    *
+    * Determinism (what makes a clustering oracle-checkable at all):
+    *  - seeds are fixed vec_ids, not sampled;
+    *  - assignment distance is the scaled-integer form
+    *    ‖v‖² + ‖c‖² − 2·(v·c) with every term a BIGINT from
+    *    `dot_scaled`-style rounding — argmin compares exact integers,
+    *    ties broken by cluster id, so both engines assign identically;
+    *  - centroid means divide exact integer sums in a pinned order
+    *    ((Σ/count)/1e12), giving bit-identical doubles.
+    *
+    * At 100 TB: assignment is a narrow n×K broadcast pass (the
+    * standard IVF cost), lists shuffle once on cluster id, and each
+    * query touches nprobe/K of the corpus instead of all of it. */
+  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val vecs = withNorm(s, d).localCheckpoint(false)
+
+    // assignment of every vector to its nearest centroid, exact-integer
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy("d2s", "cluster")
+      vecs.select(col("vec_id"), col("emb"), col("n2s"))
+        .crossJoin(broadcast(cent))
+        .withColumn("d2s", col("n2s") + col("c_n2s") -
+          expr(s"2 * ${dotScaled("emb", "cemb")}"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cluster")
+    }
+
+    // Lloyd update: exact scaled-integer per-dimension means
+    def update(asg: DataFrame): DataFrame =
+      vecs.join(asg, "vec_id")
+        .select(col("cluster"),
+          posexplode(col("emb")).as(Seq("idx", "v")))
+        .groupBy("cluster", "idx")
+        .agg(sum(expr("CAST(round(v * 1e12, 0) AS BIGINT)")).as("sv"),
+          count(lit(1)).as("cnt"))
+        .withColumn("m", col("sv").cast("double") / col("cnt") / expr(S))
+        .groupBy("cluster")
+        .agg(expr("transform(sort_array(collect_list(struct(idx, m)))," +
+          " x -> x.m)").as("cemb"))
+        .withColumn("c_n2s", expr(dotScaled("cemb", "cemb")))
+
+    val seeds = vecs.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
+      .select(col("vec_id").as("cluster"), col("emb").as("cemb"),
+        col("n2s").as("c_n2s"))
+    val c1 = update(assign(seeds)).localCheckpoint(false)
+    val c2 = update(assign(c1)).localCheckpoint(false)
+    val lists = vecs.join(assign(c2), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("emb"), col("nrm"))
+      .localCheckpoint(false)
+
+    // probe: each query searches its nprobe=4 nearest cells only
+    val qs = vecs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("n2s").as("q_n2s"), col("nrm").as("qnrm"))
+    val wq = Window.partitionBy("qid").orderBy("qd2s", "cluster")
+    val probes = qs.crossJoin(broadcast(c2))
+      .withColumn("qd2s", col("q_n2s") + col("c_n2s") -
+        expr(s"2 * ${dotScaled("qemb", "cemb")}"))
+      .withColumn("crn", row_number().over(wq))
+      .filter(col("crn") <= 4)
+      .select("qid", "qemb", "qnrm", "cluster")
+    val wr = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(lists, "cluster")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", round(
+        (expr(dotScaled("qemb", "emb")) / expr(S)) /
+          (col("qnrm") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("vec_id").as("nid"),
+        col("cos_sim"))
+      .orderBy("qid", "rk")
+  }
+
+  private val simAnnIvfSql =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, idx, v,
+      |    CAST(round(v * 1e12, 0) AS BIGINT) AS vs
+      |  FROM e),
+      |n2 AS (
+      |  SELECT vec_id, sum(CAST(round(v * v * 1e12, 0) AS BIGINT)) AS n2s,
+      |    sqrt(sum(CAST(round(v * v * 1e12, 0) AS BIGINT)) / 1e12) AS nrm
+      |  FROM e GROUP BY vec_id),
+      |c0 AS (
+      |  SELECT vec_id AS cluster, idx, v AS cv
+      |  FROM e WHERE vec_id % 25 = 0 AND vec_id < 400),
+      |cn0 AS (SELECT cluster,
+      |    sum(CAST(round(cv * cv * 1e12, 0) AS BIGINT)) AS c_n2s
+      |  FROM c0 GROUP BY cluster),
+      |d0 AS (
+      |  SELECT e.vec_id, c.cluster,
+      |    sum(CAST(round(e.v * c.cv * 1e12, 0) AS BIGINT)) AS dot
+      |  FROM e JOIN c0 c ON c.idx = e.idx GROUP BY 1, 2),
+      |a0 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT d.vec_id, d.cluster, row_number() OVER (
+      |        PARTITION BY d.vec_id
+      |        ORDER BY n2.n2s + cn.c_n2s - 2 * d.dot, d.cluster) AS rn
+      |    FROM d0 d
+      |    JOIN n2 ON n2.vec_id = d.vec_id
+      |    JOIN cn0 cn ON cn.cluster = d.cluster) t
+      |  WHERE rn = 1),
+      |c1 AS (
+      |  SELECT a.cluster, s.idx,
+      |    (CAST(sum(s.vs) AS DOUBLE) / count(*)) / 1e12 AS cv
+      |  FROM a0 a JOIN sc s ON s.vec_id = a.vec_id GROUP BY 1, 2),
+      |cn1 AS (SELECT cluster,
+      |    sum(CAST(round(cv * cv * 1e12, 0) AS BIGINT)) AS c_n2s
+      |  FROM c1 GROUP BY cluster),
+      |d1 AS (
+      |  SELECT e.vec_id, c.cluster,
+      |    sum(CAST(round(e.v * c.cv * 1e12, 0) AS BIGINT)) AS dot
+      |  FROM e JOIN c1 c ON c.idx = e.idx GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT d.vec_id, d.cluster, row_number() OVER (
+      |        PARTITION BY d.vec_id
+      |        ORDER BY n2.n2s + cn.c_n2s - 2 * d.dot, d.cluster) AS rn
+      |    FROM d1 d
+      |    JOIN n2 ON n2.vec_id = d.vec_id
+      |    JOIN cn1 cn ON cn.cluster = d.cluster) t
+      |  WHERE rn = 1),
+      |c2 AS (
+      |  SELECT a.cluster, s.idx,
+      |    (CAST(sum(s.vs) AS DOUBLE) / count(*)) / 1e12 AS cv
+      |  FROM a1 a JOIN sc s ON s.vec_id = a.vec_id GROUP BY 1, 2),
+      |cn2 AS (SELECT cluster,
+      |    sum(CAST(round(cv * cv * 1e12, 0) AS BIGINT)) AS c_n2s
+      |  FROM c2 GROUP BY cluster),
+      |d2 AS (
+      |  SELECT e.vec_id, c.cluster,
+      |    sum(CAST(round(e.v * c.cv * 1e12, 0) AS BIGINT)) AS dot
+      |  FROM e JOIN c2 c ON c.idx = e.idx GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT d.vec_id, d.cluster, row_number() OVER (
+      |        PARTITION BY d.vec_id
+      |        ORDER BY n2.n2s + cn.c_n2s - 2 * d.dot, d.cluster) AS rn
+      |    FROM d2 d
+      |    JOIN n2 ON n2.vec_id = d.vec_id
+      |    JOIN cn2 cn ON cn.cluster = d.cluster) t
+      |  WHERE rn = 1),
+      |qd AS (
+      |  SELECT e.vec_id AS qid, c.cluster,
+      |    sum(CAST(round(e.v * c.cv * 1e12, 0) AS BIGINT)) AS dot
+      |  FROM e JOIN c2 c ON c.idx = e.idx
+      |  WHERE e.vec_id % 50 = 0 AND e.vec_id < 2500
+      |  GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT qid, cluster FROM (
+      |    SELECT q.qid, q.cluster, row_number() OVER (
+      |        PARTITION BY q.qid
+      |        ORDER BY n2.n2s + cn.c_n2s - 2 * q.dot, q.cluster) AS crn
+      |    FROM qd q
+      |    JOIN n2 ON n2.vec_id = q.qid
+      |    JOIN cn2 cn ON cn.cluster = q.cluster) t
+      |  WHERE crn <= 4),
+      |cand AS (
+      |  SELECT p.qid, a.vec_id AS nid
+      |  FROM probes p JOIN a2 a ON a.cluster = p.cluster
+      |  WHERE a.vec_id <> p.qid),
+      |dots AS (
+      |  SELECT c.qid, c.nid,
+      |    sum(CAST(round(eq.v * en.v * 1e12, 0) AS BIGINT)) AS dot
+      |  FROM cand c
+      |  JOIN e eq ON eq.vec_id = c.qid
+      |  JOIN e en ON en.vec_id = c.nid AND en.idx = eq.idx
+      |  GROUP BY 1, 2),
+      |sims AS (
+      |  SELECT d.qid, d.nid,
+      |    round((d.dot / 1e12) / (nq.nrm * nn.nrm), 6) AS cos_sim
+      |  FROM dots d
+      |  JOIN n2 nq ON nq.vec_id = d.qid
+      |  JOIN n2 nn ON nn.vec_id = d.nid),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos_sim DESC, nid) AS rk FROM sims)
+      |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos_sim
+      |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sim_topk", simTopk, Some(simTopkSql)),
-    QueryDef("q_sim_neardup_lsh", simNeardupLsh, Some(simNeardupLshSql)))
+    QueryDef("q_sim_neardup_lsh", simNeardupLsh, Some(simNeardupLshSql)),
+    QueryDef("q_sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)))
 }

@@ -138,13 +138,25 @@ object TrajModel {
     triplets.toDF("ai", "aj", "ak")
   }
 
+  /** The posq/post CTEs pre-filter positions to the atom ids the
+    * pair/triplet list references. Semantically redundant (the joins
+    * restrict to those atoms anyway) but it bounds EVERY join order the
+    * oracle engine might pick — DuckDB was observed choosing a
+    * positions×positions frame-join before the atom restriction on the
+    * angles query (573 s instead of 0.2 s at sf0.01). */
   val pairsSql: String =
     pairs.map { case (a, b) => s"($a, $b)" }.mkString(
       "pairs AS (SELECT CAST(a1 AS BIGINT) AS a1, CAST(a2 AS BIGINT) AS a2 " +
-        "FROM (VALUES ", ", ", ") v(a1, a2))")
+        "FROM (VALUES ", ", ", ") v(a1, a2))") +
+      ",\nposq AS (SELECT * FROM positions WHERE atom_id IN (" +
+      pairs.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+        .mkString(", ") + "))"
 
   val tripletsSql: String =
     triplets.map { case (a, b, c) => s"($a, $b, $c)" }.mkString(
       "triplets AS (SELECT CAST(ai AS BIGINT) AS ai, CAST(aj AS BIGINT) AS aj," +
-        " CAST(ak AS BIGINT) AS ak FROM (VALUES ", ", ", ") v(ai, aj, ak))")
+        " CAST(ak AS BIGINT) AS ak FROM (VALUES ", ", ", ") v(ai, aj, ak))") +
+      ",\npost AS (SELECT * FROM positions WHERE atom_id IN (" +
+      triplets.flatMap { case (a, b, c) => Seq(a, b, c) }.distinct.sorted
+        .mkString(", ") + "))"
 }

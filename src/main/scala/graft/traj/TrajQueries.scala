@@ -46,8 +46,8 @@ object TrajQueries {
 
   private val pairExpansionSql =
     """FROM pairs
-      |JOIN positions p1 ON p1.atom_id = a1
-      |JOIN positions p2 ON p2.atom_id = a2 AND p2.frame_id = p1.frame_id"""
+      |JOIN posq p1 ON p1.atom_id = a1
+      |JOIN posq p2 ON p2.atom_id = a2 AND p2.frame_id = p1.frame_id"""
       .stripMargin
 
   /** F1: per-(frame, pair) Euclidean distance (distance.py:15-66). */
@@ -253,9 +253,9 @@ object TrajQueries {
        |              + (pc.z-pb.z)*(pc.z-pb.z))), -1.0), 1.0)), 6)
        |    AS angle_rad
        |FROM triplets
-       |JOIN positions pa ON pa.atom_id = ai
-       |JOIN positions pb ON pb.atom_id = aj AND pb.frame_id = pa.frame_id
-       |JOIN positions pc ON pc.atom_id = ak AND pc.frame_id = pa.frame_id
+       |JOIN post pa ON pa.atom_id = ai
+       |JOIN post pb ON pb.atom_id = aj AND pb.frame_id = pa.frame_id
+       |JOIN post pc ON pc.atom_id = ak AND pc.frame_id = pa.frame_id
        |WHERE (pa.x-pb.x)*(pa.x-pb.x) + (pa.y-pb.y)*(pa.y-pb.y)
        |        + (pa.z-pb.z)*(pa.z-pb.z) > 0
        |  AND (pc.x-pb.x)*(pc.x-pb.x) + (pc.y-pb.y)*(pc.y-pb.y)
