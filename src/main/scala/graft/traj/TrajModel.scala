@@ -90,15 +90,22 @@ object TrajModel {
       .agg(round(min("x"), 6).as("x"), round(min("y"), 6).as("y"),
         round(min("z"), 6).as("z"))
 
-  /** positions with a lineage barrier: the pair/triplet queries join
-    * 2-3 roles of the same positions subplan; pinning one evaluation
-    * replaces Catalyst's best-effort exchange reuse with a guaranteed
-    * single computation (the analog of the reference computing xyz once
-    * and slicing it per chunk — core/dask_traj.py:406-416). At cluster
-    * scale this would be a persisted/bucketed positions table
-    * (SCALING.md); executor-local blocks stand in for it here. */
+  /** positions with a lineage barrier, materialized ONCE per
+    * (session, dir) and reused by every trajectory query — the analog
+    * of the reference loading a trajectory once and running many
+    * computations over it (core/dask_traj.py:406-416: xyz is computed
+    * once and sliced per chunk per operator). Within one query the
+    * barrier also guarantees the 2-3 join roles share a single
+    * evaluation instead of relying on Catalyst's best-effort exchange
+    * reuse. At cluster scale this is a persisted/bucketed positions
+    * table (SCALING.md); executor-local checkpoint blocks stand in for
+    * it here. */
+  private val sharedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def positionsShared(s: SparkSession, d: String): DataFrame =
-    positions(s, d).localCheckpoint(false)
+    sharedCache.computeIfAbsent((s, d),
+      _ => positions(s, d).localCheckpoint(false))
 
   /** DuckDB CTE producing the identical view; prefix of every trajectory
     * oracle query. */

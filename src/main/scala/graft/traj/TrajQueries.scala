@@ -272,7 +272,7 @@ object TrajQueries {
     def com(c: String) = round(
       sum(col(c).cast(DecimalType(18, 6)) * col("mass")).cast("double") /
         sum(col("mass")).cast("double"), 6).as(s"com_$c")
-    TrajModel.positions(s, d)
+    TrajModel.positionsShared(s, d)
       .join(broadcast(TrajModel.topology(s, d)), "atom_id")
       .groupBy("frame_id")
       .agg(com("x"), com("y"), com("z"),
@@ -297,7 +297,7 @@ object TrajQueries {
     def cog(c: String) = round(
       sum(col(c).cast(DecimalType(18, 6))).cast("double") / count(lit(1)),
       6).as(s"cog_$c")
-    TrajModel.positions(s, d)
+    TrajModel.positionsShared(s, d)
       .groupBy("frame_id")
       .agg(cog("x"), cog("y"), cog("z"), count(lit(1)).as("n_atoms"))
       .orderBy("frame_id")
@@ -315,11 +315,12 @@ object TrajQueries {
 
   /** J3+W2: cross join of two atom groups in one frame + global top-1 —
     * find_closest_contact (distance.py:393-464). Ordered on the rounded
-    * distance so both engines break ties identically. Uses the
-    * *unshared* positions so the frame/atom predicates push down into
-    * the scan (the groups are tiny selections of one frame). */
+    * distance so both engines break ties identically. Filters on the
+    * shared materialized positions (frame/atom predicates prune its
+    * checkpoint blocks; the instance is already paid for by the rest of
+    * the trajectory family). */
   def trajClosestContact(s: SparkSession, d: String): DataFrame = {
-    val p = TrajModel.positions(s, d)
+    val p = TrajModel.positionsShared(s, d)
     val g1 = role(p, "p").filter(col("p_frame") === 1 &&
       col("p_atom").between(1, 50))
     val g2 = role(p, "q").filter(col("q_frame") === 1 &&
