@@ -13,6 +13,20 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import scala.io.Source
 
+/** Line source shared by the xyz readers: transparently decompresses
+  * `.xyz.gz` (the reference registers the gzipped variant alongside the
+  * plain one — core/dask_traj.py:50-51). Gzip is not splittable, but
+  * chunked frame-range partitions still parallelize the PARSE across
+  * tasks (each task decompresses its prefix — the same tradeoff Spark's
+  * own text sources make for gzip). */
+private[sources] object XyzLines {
+  def open(path: String): Source =
+    if (path.endsWith(".gz"))
+      Source.fromInputStream(new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(path)))
+    else Source.fromFile(path)
+}
+
 /** DataSourceV2 connector for the plain-text XYZ trajectory format —
   * the Spark-native re-expression of the reference's chunked lazy scan
   * (SURVEY §2.1 S1–S5):
@@ -178,7 +192,7 @@ class XyzScan(path: String, chunks: Int, unitScale: Double,
     * planned range is then clipped by pushed frame_id predicates and a
     * pushed limit — chunk pruning at plan time (SURVEY O3/O5). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val src = Source.fromFile(path)
+    val src = XyzLines.open(path)
     try {
       val it = src.getLines()
       if (!it.hasNext) return Array.empty
@@ -220,7 +234,7 @@ class XyzPartitionReader(path: String, unitScale: Double,
     required: StructType, range: XyzFrameRange)
     extends PartitionReader[InternalRow] {
 
-  private val src = Source.fromFile(path)
+  private val src = XyzLines.open(path)
   private val lines = src.getLines()
   private val frameLines = range.nAtoms + 2
   // seek: skip whole frames before our range

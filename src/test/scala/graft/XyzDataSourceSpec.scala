@@ -92,6 +92,19 @@ class XyzDataSourceSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test(".xyz.gz transparently decompresses (file_returns registers " +
+    "the gzipped variant, core/dask_traj.py:50)") {
+    val gz = Files.createTempFile("traj", ".xyz.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    out.write(Files.readAllBytes(java.nio.file.Paths.get(fixture)))
+    out.close()
+    val df = spark.read.format("xyz").load(gz.toString)
+    assert(df.count() == 9)
+    assert(df.filter(col("frame_id") === 1 && col("atom_id") === 1)
+      .collect()(0).getAs[Float]("x") == 4.1f)
+  }
+
   test("wide typed facade round-trips through the long layout") {
     val long0 = spark.read.format("xyz").load(fixture)
       .select(col("frame_id"), col("atom_id"),
