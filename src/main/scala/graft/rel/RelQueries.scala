@@ -425,6 +425,61 @@ object RelQueries {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Explicit GROUPING SETS (SURVEY §2.4 grouping-sets family,
+    * complementing ROLLUP's hierarchy and CUBE's full lattice): the
+    * region-level and nation-level marginals plus the grand total,
+    * WITHOUT the (region, nation) detail — a set ROLLUP/CUBE cannot
+    * express. */
+  def groupingSets(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT coalesce(r_name, 'ALL') AS region,
+         |  coalesce(n_name, 'ALL') AS nation,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+         |FROM parquet.`$d/customer.parquet`
+         |JOIN parquet.`$d/nation.parquet` ON c_nationkey = n_nationkey
+         |JOIN parquet.`$d/region.parquet` ON n_regionkey = r_regionkey
+         |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+         |ORDER BY region, nation""".stripMargin)
+
+  private val groupingSetsSql =
+    """SELECT coalesce(r_name, 'ALL') AS region,
+      |  coalesce(n_name, 'ALL') AS nation,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+      |ORDER BY region, nation""".stripMargin
+
+  /** RANGE-frame analytic window (SURVEY §2.5): per order, the rolling
+    * 30-day spend of the same customer — a VALUE-range frame over epoch
+    * days, not a row-count frame. Time lives as an integer day number
+    * so the range arithmetic is identical in both engines. */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val day = (unix_timestamp(col("o_orderdate")) / 86400L).cast("long")
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("day", day)
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("spend_30d"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  private val windowRangeFrameSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS spend_30d
+      |FROM orders
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   /** Sliding event-time window (1h window, 15min slide): each event
     * lands in 4 overlapping windows. The transformation is shared with
     * the Structured Streaming drive (graft.streaming.EventStreams
@@ -503,6 +558,9 @@ object RelQueries {
       Some(windowRunningSumSql)),
     QueryDef("q_rollup_region", rollupRegion, Some(rollupRegionSql)),
     QueryDef("q_cube_status", cubeStatus, Some(cubeStatusSql)),
+    QueryDef("q_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    QueryDef("q_window_range_frame", windowRangeFrame,
+      Some(windowRangeFrameSql)),
     QueryDef("q_events_sliding", eventsSliding, Some(eventsSlidingSql)),
     QueryDef("q_string_date_json", stringDateJson, Some(stringDateJsonSql)),
     QueryDef("q_events_tumbling", eventsTumbling, Some(eventsTumblingSql)),

@@ -48,6 +48,32 @@ object TrajDataset {
       .as[TrajFrame]
   }
 
+  /** §1.1 derived/virtual unitcell columns: a gro-sourced frame carries
+    * the 3×3 unitcell VECTORS (bv1x..bv3z); lengths and angles are
+    * lazily derivable (utils/validation.py:232-292 — the reference
+    * computes them on property access, core/dask_traj.py:562-589).
+    * Pure Column expressions appended to the plan: nothing evaluates
+    * unless the derived columns are referenced — the same
+    * computed-column laziness as the reference, but via Catalyst. */
+  def withUnitcellLengthsAngles(df: DataFrame): DataFrame =
+    TrajOps.vectorsToBox(
+      col("bv1x"), col("bv1y"), col("bv1z"),
+      col("bv2x"), col("bv2y"), col("bv2z"),
+      col("bv3x"), col("bv3y"), col("bv3z"))
+      .foldLeft(df) { case (d, (n, c)) =>
+        d.withColumn(n.replace("r_", "unitcell_"), c)
+      }
+
+  /** Concat-join compatibility validation (core/dask_traj.py:608-627:
+    * the reference refuses to join trajectories whose atom sets differ;
+    * the check runs eagerly at join time). Both directions of the
+    * set difference must be empty. */
+  def joinCompatible(a: DataFrame, b: DataFrame): Boolean = {
+    val na = a.select("atom_id").distinct()
+    val nb = b.select("atom_id").distinct()
+    na.except(nb).isEmpty && nb.except(na).isEmpty
+  }
+
   /** Wide → long: posexplode over the atom axis (the §1.4 exploded
     * relational view used by the oracle queries). */
   def long(frames: Dataset[TrajFrame]): DataFrame =

@@ -67,6 +67,35 @@ class GroDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("derived unitcell lengths/angles from gro vectors " +
+    "(validation.py:232-292 lazy-column analog)") {
+    val df = graft.traj.TrajDataset.withUnitcellLengthsAngles(
+      spark.read.format("gro").load(fixture))
+    val f0 = df.filter(col("frame_id") === 0 && col("atom_id") === 0)
+      .collect()(0)
+    assert(math.abs(f0.getAs[Double]("unitcell_a") - 6.0) < 1e-6)
+    assert(math.abs(f0.getAs[Double]("unitcell_alpha") - 90.0) < 1e-6)
+    val f1 = df.filter(col("frame_id") === 1 && col("atom_id") === 0)
+      .collect()(0)
+    // v2 = (0.5, 7, 0), v3 = (4, 4, 8)
+    assert(math.abs(f1.getAs[Double]("unitcell_b")
+      - math.sqrt(0.25 + 49.0)) < 1e-5)
+    assert(math.abs(f1.getAs[Double]("unitcell_c")
+      - math.sqrt(16.0 + 16.0 + 64.0)) < 1e-5)
+  }
+
+  test("concat-join compatibility check (core/dask_traj.py:608-627)") {
+    val p = spark.read.format("gro").load(fixture)
+      .select(col("frame_id"), col("atom_id"))
+    val a = p.filter(col("frame_id") === 0)
+    val b = p.filter(col("frame_id") === 1)
+    assert(graft.traj.TrajDataset.joinCompatible(a, b))
+    // atom_slice one side → incompatible, like the reference's
+    // topology-mismatch refusal
+    assert(!graft.traj.TrajDataset.joinCompatible(
+      a, b.filter(col("atom_id") === 0)))
+  }
+
   test("xyz write path round-trips through the scan " +
     "(frame-grouped shards)") {
     val dir = Files.createTempDirectory("xyzout").toString
