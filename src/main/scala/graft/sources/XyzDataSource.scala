@@ -117,9 +117,11 @@ class XyzTable(path: String, chunks: Int, unitScale: Double)
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"xyz:$path"
   override def schema(): StructType = XyzTable.Schema
+  // batch reads take a FILE path; streaming reads take a DIRECTORY of
+  // immutable shard files (as produced by the write path)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new XyzScanBuilder(path, chunks, unitScale)
   override def newWriteBuilder(
@@ -186,6 +188,12 @@ class XyzScan(path: String, chunks: Int, unitScale: Double,
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming twin: `path` is a directory of shard files (see
+    * XyzMicroBatchStream). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new XyzMicroBatchStream(path, chunks, unitScale, required)
 
   /** Driver-side length probe (the analog of opening the file to read
     * `len(f)`, core/dask_traj.py:86): one cheap line-count pass. The

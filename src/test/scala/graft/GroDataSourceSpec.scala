@@ -96,6 +96,32 @@ class GroDataSourceSpec extends AnyFunSuite {
       a, b.filter(col("atom_id") === 0)))
   }
 
+  test("xyz streaming read over a shard directory picks up new shards") {
+    val dir = Files.createTempDirectory("xyzstream").toString
+    def shard(name: String, frame: Long): Unit = {
+      val txt = s"2\n# Step: $frame Box: 6.0 6.0 6.0\n" +
+        s"C ${frame + 0.5} 1.0 2.0\nH ${frame + 0.25} 3.0 4.0\n"
+      Files.writeString(java.nio.file.Paths.get(dir, name), txt)
+    }
+    shard("part-00000.xyz", 0L)
+    shard("part-00001.xyz", 1L)
+    val stream = spark.readStream.format("xyz").load(dir)
+    val q = stream.writeStream.format("memory").queryName("xyz_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("xyz_stream").count() == 4)
+      // a shard arriving mid-stream lands in the next micro-batch
+      shard("part-00002.xyz", 2L)
+      q.processAllAvailable()
+      assert(spark.table("xyz_stream").count() == 6)
+      val t = spark.table("xyz_stream")
+        .filter(col("time") === 2.0 && col("atom_id") === 0)
+        .collect()(0)
+      assert(t.getAs[Float]("x") == 2.5f)
+    } finally q.stop()
+  }
+
   test("xyz write path round-trips through the scan " +
     "(frame-grouped shards)") {
     val dir = Files.createTempDirectory("xyzout").toString
