@@ -28,17 +28,38 @@ class QueryInventorySpec extends AnyFunSuite {
     }
   }
 
+  // the queries whose determinism argument is least trivial: exact
+  // integer k-means, multiprobe LSH, two-stage blocked jaccard,
+  // branch-dispatched MIC
+  private val pathSensitive = Seq("q_agg_pricing_summary", "q_sim_ann_ivf",
+    "q_sim_neardup_lsh", "q_dedup_ngram", "q_traj_mic_adaptive")
+
   test("results are invariant to shuffle partitioning") {
-    def run() = SparkEntry.queries("q_agg_pricing_summary")(spark, sf)
+    def run(q: String) = SparkEntry.queries(q)(spark, sf)
       .collect().map(_.toString).toSeq
     val p0 = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
+    try pathSensitive.foreach { q =>
       spark.conf.set("spark.sql.shuffle.partitions", "1")
-      val r1 = run()
+      val r1 = run(q)
       spark.conf.set("spark.sql.shuffle.partitions", "7")
-      val r7 = run()
-      assert(r1 == r7)
+      val r7 = run(q)
+      assert(r1 == r7, s"$q differs across shuffle partitioning")
     } finally spark.conf.set("spark.sql.shuffle.partitions", p0)
+  }
+
+  test("results are invariant to whole-stage codegen on/off " +
+    "(interpreted eval path of the custom expressions)") {
+    def run(q: String) = SparkEntry.queries(q)(spark, sf)
+      .collect().map(_.toString).toSeq
+    val c0 = spark.conf.get("spark.sql.codegen.wholeStage")
+    try Seq("q_dedup_ngram", "q_sim_ann_ivf", "q_dedup_simhash")
+      .foreach { q =>
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        val on = run(q)
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        val off = run(q)
+        assert(on == off, s"$q differs across codegen modes")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", c0)
   }
 
   test("planted near-duplicates are found by minhash and simhash") {
