@@ -371,29 +371,62 @@ object TextQueries {
 
   // -------------------------------------------------------------- quality
 
-  /** Composite quality score: length saturation + lexical diversity +
-    * char-length saturation (SURVEY §2.10 quality scoring). Pure integer
-    * ratios in fixed expression order → cross-engine deterministic. */
+  /** Common function words used as the stopword inventory (also the
+    * lang-ID marker list below) — a real pipeline plugs in a per-language
+    * stopword table here. */
+  private val stopwords = "'the','a','query','row','stream','order'," +
+    "'column','vector','slow','part','table','join'"
+
+  /** Composite quality score (SURVEY §2.10 quality scoring —
+    * length/punctuation/stopword ratios): length saturation + lexical
+    * diversity + stopword-ratio band (good prose carries SOME function
+    * words; none or all is a quality signal) + punctuation-density
+    * penalty. Pure integer ratios in fixed expression order →
+    * cross-engine deterministic. */
   def qualityScore(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("nw", size(split(col("text"), " ")).cast("double"))
       .withColumn("nu", size(array_distinct(split(col("text"), " ")))
         .cast("double"))
       .withColumn("ncl", length(col("text")).cast("double"))
+      .withColumn("nsw",
+        expr(s"size(filter(split(text, ' '), w -> w IN ($stopwords)))")
+          .cast("double"))
+      .withColumn("npunct",
+        expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))")
+          .cast("double"))
       .select(col("doc_id"), col("lang"),
-        round(lit(0.3) * least(col("nw") / 100.0, lit(1.0)) +
-          lit(0.4) * (col("nu") / col("nw")) +
-          lit(0.3) * least(col("ncl") / 500.0, lit(1.0)), 6)
+        round(col("nsw") / col("nw"), 6).as("stopword_ratio"),
+        round(col("npunct") / col("ncl"), 6).as("punct_ratio"),
+        round(lit(0.25) * least(col("nw") / 100.0, lit(1.0)) +
+          lit(0.3) * (col("nu") / col("nw")) +
+          lit(0.25) * least(col("ncl") / 500.0, lit(1.0)) +
+          lit(0.1) * least(col("nsw") / col("nw") * 5.0, lit(1.0)) +
+          lit(0.1) * (lit(1.0) - least(col("npunct") / col("ncl") * 10.0,
+            lit(1.0))), 6)
           .as("quality"))
       .orderBy("doc_id")
 
   private val qualityScoreSql =
-    """SELECT doc_id, lang,
-      |  round(0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
-      |      + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |               / CAST(len(string_split(text, ' ')) AS DOUBLE))
-      |      + 0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0), 6) AS quality
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, lang,
+      |  round(nsw / nw, 6) AS stopword_ratio,
+      |  round(npunct / ncl, 6) AS punct_ratio,
+      |  round(0.25 * least(nw / 100.0, 1.0)
+      |      + 0.3 * (nu / nw)
+      |      + 0.25 * least(ncl / 500.0, 1.0)
+      |      + 0.1 * least(nsw / nw * 5.0, 1.0)
+      |      + 0.1 * (1.0 - least(npunct / ncl * 10.0, 1.0)), 6) AS quality
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nu,
+      |    CAST(length(text) AS DOUBLE) AS ncl,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ($stopwords))) AS DOUBLE) AS nsw,
+      |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+      |      AS npunct
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- lang id
 
@@ -433,6 +466,71 @@ object TextQueries {
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  /** Character-n-gram-profile language ID (Cavnar–Trenkle-style,
+    * simplified): per-language profiles are the top-20 most frequent
+    * char-3-grams over a held-out training half (even doc_ids); each
+    * doc is scored by profile overlap and classified to the
+    * highest-overlap language, ties broken by language name, zero
+    * overlap → 'xx'. Deterministic end to end: integer counts, ranked
+    * windows with total-order tie-breaks. The profile is a tiny
+    * broadcast dimension; scoring is one keyed join + aggregate. */
+  def langIdNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).repartition(col("doc_id"))
+    val g = docs.select(col("doc_id"), col("lang"),
+      explode(expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1))," +
+          " i -> substring(text, i, 3)))")).as("gram"))
+      .localCheckpoint(false)
+    val prof = g.filter(col("doc_id") % 2 === 0)
+      .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("rk") <= 20)
+      .select(col("lang").as("plang"), col("gram"))
+    val hits = g.join(broadcast(prof), "gram")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("nhit"))
+    val best = hits.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("nhit").desc, col("plang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang"), col("nhit"))
+    docs.select("doc_id", "lang")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("plang"), lit("xx")).as("pred_lang"),
+        coalesce(col("nhit"), lit(0L)).as("n_profile_hits"),
+        (coalesce(col("plang"), lit("xx")) === col("lang")).cast("long")
+          .as("is_match"))
+      .orderBy("doc_id")
+  }
+
+  private val langIdNgramSql =
+    """WITH g AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+      |    range(1, greatest(length(text) - 2, 1) + 1),
+      |    i -> substr(text, CAST(i AS INT), 3)))) AS gram
+      |  FROM documents),
+      |prof AS (
+      |  SELECT plang, gram FROM (
+      |    SELECT lang AS plang, gram, row_number() OVER (PARTITION BY lang
+      |      ORDER BY count(*) DESC, gram) AS rk
+      |    FROM g WHERE doc_id % 2 = 0 GROUP BY lang, gram) t
+      |  WHERE rk <= 20),
+      |hits AS (
+      |  SELECT g.doc_id, p.plang, CAST(count(*) AS BIGINT) AS nhit
+      |  FROM g JOIN prof p ON p.gram = g.gram GROUP BY 1, 2),
+      |best AS (
+      |  SELECT doc_id, plang, nhit FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY nhit DESC, plang) AS rn FROM hits) t
+      |  WHERE rn = 1)
+      |SELECT d.doc_id, d.lang,
+      |  coalesce(b.plang, 'xx') AS pred_lang,
+      |  CAST(coalesce(b.nhit, 0) AS BIGINT) AS n_profile_hits,
+      |  CAST(CASE WHEN coalesce(b.plang, 'xx') = d.lang
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_match
+      |FROM documents d LEFT JOIN best b USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- fingerprint
 
   /** Rolling-hash document fingerprint: min md5 over all char 8-grams —
@@ -466,5 +564,6 @@ object TextQueries {
     QueryDef("q_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("q_quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("q_lang_id", langId, Some(langIdSql)),
+    QueryDef("q_lang_id_ngram", langIdNgram, Some(langIdNgramSql)),
     QueryDef("q_fingerprint", fingerprint, Some(fingerprintSql)))
 }
