@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("ngram5_packed",
       "ngram5_packed(text) - sorted distinct char 5-grams as packed longs",
       es => Ngram5Packed(es.head)))
+    ext.injectFunction(fn("ngram3_set",
+      "ngram3_set(text) - distinct char 3-grams in first-occurrence order",
+      es => Ngram3Set(es.head)))
     ext.injectFunction(fn("dot_scaled",
       "dot_scaled(a, b) - exact sum of round(a_i*b_i*1e12) as bigint",
       es => DotScaled(es(0), es(1))))

@@ -106,6 +106,24 @@ case class Ngram5Packed(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+case class Ngram3Set(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = false)
+  override def prettyName: String = "ngram3_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.ngram3Set(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.ngram3Set($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -179,6 +197,8 @@ object GraftFunctions {
       es => Ngram5Count(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("ngram5_packed",
       es => Ngram5Packed(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram3_set",
+      es => Ngram3Set(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       es => SortedIntersectCount(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_scaled",

@@ -351,6 +351,30 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct char-3-gram set in first-occurrence order (code-point
+    * windows; whole text when shorter than 3 characters) — the
+    * single-pass twin of array_distinct(transform(sequence(...),
+    * i -> substring(text, i, 3))), kept as STRINGS because the gram
+    * identity feeds cross-engine profile ranking (language-ID). */
+  def ngram3Set(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val seen = new java.util.LinkedHashSet[String]()
+    val cps = s.codePoints().toArray
+    if (cps.length < 3) seen.add(s)
+    else {
+      var i = 0
+      while (i <= cps.length - 3) {
+        seen.add(new String(cps, i, 3))
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** |A∩B| of two ascending-sorted long arrays via a merge walk. */
   def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0

@@ -88,6 +88,46 @@ object MultimodalPipeline {
     }
   }
 
+  /** A sampled "frame" of a video-like payload. */
+  final case class Frame(doc_id: Long, frame_ix: Int, frame: Array[Byte])
+
+  /** Frame sampling: every `stride`-th fixed-size window of the payload
+    * becomes one frame row — the video-frame-sample transform of the
+    * multimodal contract. Partition-wise flatMap, no driver
+    * materialization; output row count is bounded by
+    * payload_len / (frameBytes · stride) per asset. A real decoder
+    * yields codec frames here; the windowing, typing, and fan-out shape
+    * are what production keeps. */
+  def sampleFrames(ds: Dataset[Asset], frameBytes: Int = 64,
+      stride: Int = 4): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { a =>
+      val n = a.payload.length / frameBytes
+      (0 until n by stride).map { i =>
+        Frame(a.doc_id, i,
+          a.payload.slice(i * frameBytes, (i + 1) * frameBytes))
+      }
+    }
+  }
+
+  /** Resize: stride-decimate a payload to at most `target` bytes (the
+    * image-resize stand-in — a real implementation convolves pixels;
+    * the byte-level stride keeps the contract: deterministic,
+    * bounded-output, partition-wise). */
+  def resize(ds: Dataset[Asset], target: Int = 256): Dataset[Asset] = {
+    import ds.sparkSession.implicits._
+    ds.map { a =>
+      if (a.payload.length <= target) a
+      else {
+        val stride = (a.payload.length + target - 1) / target
+        val out = new Array[Byte]((a.payload.length + stride - 1) / stride)
+        var i = 0
+        while (i < out.length) { out(i) = a.payload(i * stride); i += 1 }
+        a.copy(payload = out)
+      }
+    }
+  }
+
   /** Registered query: decode → per-media-type aggregate over the
     * integer-exact decode stats (DuckDB reproduces them from the text
     * bytes — see the oracle below). The float feature vector is

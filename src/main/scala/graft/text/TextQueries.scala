@@ -475,11 +475,10 @@ object TextQueries {
     * windows with total-order tie-breaks. The profile is a tiny
     * broadcast dimension; scoring is one keyed join + aggregate. */
   def langIdNgram(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d).repartition(col("doc_id"))
     val g = docs.select(col("doc_id"), col("lang"),
-      explode(expr(
-        "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1))," +
-          " i -> substring(text, i, 3)))")).as("gram"))
+      explode(expr("ngram3_set(text)")).as("gram"))
       .localCheckpoint(false)
     val prof = g.filter(col("doc_id") % 2 === 0)
       .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
