@@ -95,4 +95,65 @@ class HashKernelsSpec extends AnyFunSuite {
       expr("min_fingerprint(text)").as("k"))
     df.collect().foreach(r => assert(r.getString(0) == r.getString(1)))
   }
+
+  test("ngram5_count / ngram5_packed / ngram3_set match HOF-composed forms") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = samples.toDF("text").select(
+      expr("size(array_distinct(transform(sequence(1, greatest(length(text) - 4, 1))," +
+        " i -> substring(text, i, 5))))").as("n_sql"),
+      expr("ngram5_count(text)").as("n_k"),
+      expr("size(ngram5_packed(text))").as("n_packed"),
+      expr("array_sort(array_distinct(transform(sequence(1, greatest(length(text) - 2, 1))," +
+        " i -> substring(text, i, 3))))").as("g3_sql"),
+      expr("array_sort(ngram3_set(text))").as("g3_k"))
+    df.collect().foreach { r =>
+      assert(r.getAs[Int]("n_sql") == r.getAs[Int]("n_k"))
+      // packing is injective on this corpus → same distinct count
+      assert(r.getAs[Int]("n_sql") == r.getAs[Int]("n_packed"))
+      assert(r.getAs[scala.collection.Seq[String]]("g3_sql").toSeq ==
+        r.getAs[scala.collection.Seq[String]]("g3_k").toSeq)
+    }
+  }
+
+  test("sorted_intersect_count == size(array_intersect) on packed grams") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val pairs = for (a <- samples; b <- samples) yield (a, b)
+    val df = pairs.toDF("a", "b").select(
+      expr("sorted_intersect_count(ngram5_packed(a), ngram5_packed(b))")
+        .as("k"),
+      expr("size(array_intersect(" +
+        "array_distinct(transform(sequence(1, greatest(length(a) - 4, 1)), i -> substring(a, i, 5)))," +
+        "array_distinct(transform(sequence(1, greatest(length(b) - 4, 1)), i -> substring(b, i, 5)))))")
+        .as("sql"))
+    df.collect().foreach(r =>
+      assert(r.getAs[Int]("k") == r.getAs[Int]("sql")))
+  }
+
+  test("dot_scaled == HOF-composed scaled-integer dot; lsh16_code " +
+    "bits match per-plane signs") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val vs = Seq(
+      (Seq(0.25, -0.75, 1.5, 0.125), Seq(-1.0, 0.5, 0.25, 2.0)),
+      (Seq(1e-7, -1e-7, 0.0, 3.25), Seq(0.5, 0.5, 0.5, 0.5)))
+    val df = vs.toDF("a", "b").select(
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(round(x * y * 1e12, 0) AS BIGINT))," +
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("sql"),
+      expr("dot_scaled(a, b)").as("k"),
+      expr("lsh16_code(a)").as("code"),
+      expr("""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, p) ->
+        |  acc + CASE WHEN
+        |    aggregate(zip_with(a,
+        |        transform(sequence(1, size(a)), i -> sin(p * 997 + i * 31)),
+        |        (x, y) -> CAST(round(x * y * 1e12, 0) AS BIGINT)),
+        |      CAST(0 AS BIGINT), (q, w) -> q + w) > 0
+        |    THEN shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))
+        |    ELSE 0 END)""".stripMargin).as("code_sql"))
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("sql") == r.getAs[Long]("k"))
+      assert(r.getAs[Long]("code") == r.getAs[Long]("code_sql"))
+    }
+  }
 }

@@ -50,6 +50,42 @@ class TrajOpsSpec extends AnyFunSuite {
     assert(r("a") === 0.0)
   }
 
+  test("triclinic MIC reduces to per-axis MIC on an orthorhombic box") {
+    val box = TrajOps.triBox(6.0, 7.0, 8.0, 90.0, 90.0, 90.0)
+    // snap zeroes the off-diagonals at 90° angles
+    assert(box.bx == 0.0 && box.cx == 0.0 && box.cy == 0.0)
+    for ((dx, dy, dz) <- Seq((5.5, -6.9, 15.2), (0.1, 0.2, 0.3),
+      (-11.7, 3.6, -4.1))) {
+      val r = one(
+        "tri" -> TrajOps.distMicTriclinic(lit(dx), lit(dy), lit(dz), box),
+        "ortho" -> TrajOps.distMic(lit(dx), lit(dy), lit(dz),
+          lit(0.0), lit(0.0), lit(0.0), lit(6.0), lit(7.0), lit(8.0)))
+      assert(math.abs(r("tri") - r("ortho")) < 1e-9,
+        s"($dx,$dy,$dz): tri=${r("tri")} ortho=${r("ortho")}")
+    }
+  }
+
+  test("triclinic MIC: lattice-vector displacements fold to zero") {
+    val b = TrajOps.triBox(6.0, 7.0, 8.0, 60.0, 60.0, 90.0)
+    // a displacement equal to any Bravais vector (or a sum of them) is
+    // periodically equivalent to zero
+    val cases = Seq(
+      (b.ax, 0.0, 0.0),
+      (b.bx, b.by, 0.0),
+      (b.cx, b.cy, b.cz),
+      (b.ax + b.cx, b.cy, b.cz),
+      (2 * b.ax + b.bx, b.by, 0.0))
+    cases.foreach { case (dx, dy, dz) =>
+      val r = one("d" -> TrajOps.distMicTriclinic(
+        lit(dx), lit(dy), lit(dz), b))
+      assert(r("d") < 1e-9, s"($dx,$dy,$dz) -> ${r("d")}")
+    }
+    // and a small displacement is already minimal
+    val r = one("d" -> TrajOps.distMicTriclinic(
+      lit(0.3), lit(-0.2), lit(0.1), b))
+    assert(math.abs(r("d") - math.sqrt(0.09 + 0.04 + 0.01)) < 1e-9)
+  }
+
   test("orthorhombic box vectors are diagonal after snap " +
     "(validation.py:146-229)") {
     val cols = TrajOps.boxVectors(lit(6.0), lit(6.0), lit(6.0),
