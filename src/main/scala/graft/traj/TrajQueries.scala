@@ -441,6 +441,39 @@ object TrajQueries {
        |FROM merged GROUP BY src, frame_id ORDER BY src, frame_id"""
       .stripMargin
 
+  /** P2 `atom_slice` (mdtraj inherited; exercised at
+    * tests/test_dask_traj.py:129): project the trajectory onto an atom
+    * subset, atoms re-indexed densely 0..n-1 in selection order — the
+    * column-subset projection of the atom axis. The selection is a
+    * literal list (the user-supplied `atom_indices` argument), so the
+    * filter pushes into the positions build. */
+  def trajAtomSlice(s: SparkSession, d: String): DataFrame = {
+    val sel = Seq(2L, 3L, 5L, 7L, 11L, 13L)
+    val rank = sel.sorted.zipWithIndex
+      .map { case (a, i) => (a, i.toLong) }
+    val rankCol = rank.foldLeft(lit(-1L)) { case (acc, (a, i)) =>
+      when(col("atom_id") === a, lit(i)).otherwise(acc)
+    }
+    TrajModel.positionsShared(s, d)
+      .filter(col("atom_id").isin(sel: _*))
+      .select(col("frame_id"), rankCol.as("new_atom_id"),
+        col("atom_id").as("orig_atom_id"), col("x"), col("y"), col("z"))
+      .orderBy("frame_id", "new_atom_id")
+  }
+
+  private val trajAtomSliceSql = {
+    val sel = Seq(2L, 3L, 5L, 7L, 11L, 13L)
+    val cases = sel.sorted.zipWithIndex
+      .map { case (a, i) => s"WHEN $a THEN $i" }.mkString(" ")
+    s"""$P
+       |SELECT frame_id,
+       |  CAST(CASE atom_id $cases END AS BIGINT) AS new_atom_id,
+       |  atom_id AS orig_atom_id, x, y, z
+       |FROM positions
+       |WHERE atom_id IN (${sel.mkString(", ")})
+       |ORDER BY frame_id, new_atom_id""".stripMargin
+  }
+
   /** P1 frame reordering: `traj[::-1]` reversal
     * (tests/test_dask_traj.py:143) — frames re-indexed through a scalar
     * bounds subquery (new = max+min − old), broadcast into the scan like
@@ -554,6 +587,7 @@ object TrajQueries {
     QueryDef("q_traj_join_dedup", trajJoinDedup, Some(trajJoinDedupSql)),
     QueryDef("q_traj_join_overlap", trajJoinOverlap,
       Some(trajJoinOverlapSql)),
+    QueryDef("q_traj_atom_slice", trajAtomSlice, Some(trajAtomSliceSql)),
     QueryDef("q_traj_reverse", trajReverse, Some(trajReverseSql)),
     QueryDef("q_traj_box_roundtrip", trajBoxRoundtrip,
       Some(trajBoxRoundtripSql)))
