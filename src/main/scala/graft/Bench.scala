@@ -14,9 +14,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // untimed warm-up: JIT/codegen/parquet-footer costs land here, not
-    // on whichever query happens to run first
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // on whichever query happens to run first. One tiny (sf0.001) pass
+    // through each kernel family warms the JVM paths the measured
+    // queries lean on (hash kernels, vector kernels, window exec).
+    val warmSf = "/root/testdata/sf0.001"
+    Seq(
+      (s: SparkSession) => SparkEntry.entry(s),
+      (s: SparkSession) => SparkEntry.queries("q_fingerprint")(s, warmSf),
+      (s: SparkSession) => SparkEntry.queries("q_sim_topk")(s, warmSf),
+      (s: SparkSession) => SparkEntry.queries("q_window_topk_orders")(s, warmSf)
+    ).foreach { f =>
+      try f(spark).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     // noop sink: forces every output column to materialize (count()
     // would let Catalyst prune the projections being measured)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {

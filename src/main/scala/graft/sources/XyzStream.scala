@@ -16,7 +16,11 @@ import org.apache.spark.sql.types.StructType
   * Offsets are file counts over the lexicographically-sorted listing:
   * files are immutable once placed (the write path creates them
   * atomically per task), so `(start, end]` identifies an exact shard
-  * range. Each micro-batch plans the same chunked frame-range
+  * range. This requires shard names to arrive in ascending name order
+  * (true for the write path's zero-padded `part-NNNNN.xyz`); a producer
+  * inserting a name that sorts before already-consumed files would
+  * shift the mapping — use monotonic names, like every log-structured
+  * file stream. Each micro-batch plans the same chunked frame-range
   * partitions the batch scan plans per file (core/dask_traj.py:87-100
   * analog), so one new shard fans out across tasks, not one task.
   *
