@@ -380,6 +380,33 @@ object RelQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Exactly-once event dedup (batch twin of
+    * graft.streaming.EventStreams.dedupEvents): an at-least-once
+    * delivery is simulated by doubling the stream; dropDuplicates on
+    * event_id restores one row per event (replayed rows are identical,
+    * so the kept-row choice is value-deterministic), then a per-type
+    * summary. */
+  def eventsDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    graft.streaming.EventStreams
+      .dedupEvents(e.unionByName(e), streaming = false)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private val eventsDedupSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+      |    AS total_value
+      |FROM (SELECT DISTINCT * FROM (
+      |  SELECT * FROM events UNION ALL SELECT * FROM events) u) d
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Content hashing (SURVEY §2.7 F8): md5 over a canonicalized row
     * string — the content-identity replacement for the reference's
     * plan-identity __hash__ (core/dask_traj.py:661-669). Only strings,
@@ -570,6 +597,7 @@ object RelQueries {
     QueryDef("q_events_tumbling", eventsTumbling, Some(eventsTumblingSql)),
     QueryDef("q_events_sessionize", eventsSessionize,
       Some(eventsSessionizeSql)),
+    QueryDef("q_events_dedup", eventsDedup, Some(eventsDedupSql)),
     QueryDef("q_content_hash", contentHash, Some(contentHashSql)),
     QueryDef("q_approx_distinct", approxDistinct, Some(approxDistinctSql)))
 }

@@ -43,6 +43,16 @@ object EventStreams {
         col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming exact dedup: drop replayed events by event_id within the
+    * watermark horizon — the streaming face of the dedup family
+    * (at-least-once upstream delivery → exactly-once downstream). On a
+    * batch frame it degenerates to dropDuplicates; on a stream the
+    * watermark bounds the dedup state. */
+  def dedupEvents(events: DataFrame, streaming: Boolean): DataFrame = {
+    val src = if (streaming) events.withWatermark("ts", "2 hours") else events
+    src.dropDuplicates("event_id")
+  }
+
   final case class SessionInput(user_id: Long, e: Long)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Long,

@@ -63,6 +63,27 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)](spark)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    ms.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(0))) // in-batch replay
+    val df = ms.toDS().toDF("event_id", "ts")
+    val q = EventStreams.dedupEvents(df, streaming = true)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+      ms.addData((2L, ts(1)), (3L, ts(2))) // cross-batch replay
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches batch islands " +
     "on closed sessions") {
     import spark.implicits._
