@@ -89,13 +89,19 @@ object GroTable {
     StructField("bv3z", FloatType, nullable = true)))
 }
 
-class GroTable(path: String, chunks: Int) extends Table with SupportsRead {
+class GroTable(path: String, chunks: Int) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"gro:$path"
   override def schema(): StructType = GroTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GroScanBuilder(path, chunks)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GroWriteBuilder(path, info)
 }
 
 class GroScanBuilder(path: String, chunks: Int)

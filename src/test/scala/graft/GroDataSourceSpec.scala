@@ -96,6 +96,60 @@ class GroDataSourceSpec extends AnyFunSuite {
       a, b.filter(col("atom_id") === 0)))
   }
 
+  test("gro write path round-trips through the gro scan") {
+    val dir = Files.createTempDirectory("groout").toString
+    val df = spark.range(0, 2).selectExpr("id AS frame_id")
+      .crossJoin(spark.range(0, 3).selectExpr("CAST(id AS INT) AS atom_id"))
+      .selectExpr(
+        "frame_id",
+        "CAST(frame_id * 5 AS DOUBLE) AS time",
+        "atom_id",
+        "CAST(1 AS INT) AS res_id",
+        "'SOL' AS res_name",
+        "CASE WHEN atom_id = 0 THEN 'OW' ELSE 'HW' END AS atom_name",
+        "CAST(frame_id + atom_id * 0.125 AS FLOAT) AS x",
+        "CAST(1.25 AS FLOAT) AS y",
+        "CAST(atom_id AS FLOAT) AS z",
+        "CAST(6.0 AS FLOAT) AS bv1x", "CAST(0.0 AS FLOAT) AS bv1y",
+        "CAST(0.0 AS FLOAT) AS bv1z", "CAST(0.0 AS FLOAT) AS bv2x",
+        "CAST(7.0 AS FLOAT) AS bv2y", "CAST(0.0 AS FLOAT) AS bv2z",
+        "CAST(0.0 AS FLOAT) AS bv3x", "CAST(0.0 AS FLOAT) AS bv3y",
+        "CAST(8.0 AS FLOAT) AS bv3z")
+      .repartitionByRange(1, col("frame_id"))
+      .sortWithinPartitions("frame_id", "atom_id")
+    df.write.format("gro").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".gro"))
+    assert(files.length == 1)
+    val back = spark.read.format("gro").load(files(0).getPath)
+    assert(back.count() == 6)
+    val r = back.filter(col("frame_id") === 1 && col("atom_id") === 2)
+      .collect()(0)
+    assert(r.getAs[String]("atom_name") == "HW")
+    assert(math.abs(r.getAs[Float]("x") - 1.25f) < 1e-3)
+    assert(r.getAs[Double]("time") == 5.0)
+    assert(r.getAs[Float]("bv2y") == 7.0f)
+  }
+
+  test("malformed frames fail with file/frame/line context") {
+    // xyz: non-numeric coordinate
+    val badXyz = Files.createTempFile("bad", ".xyz")
+    Files.writeString(badXyz, "1\n# Step: 0\nC 1.0 oops 3.0\n")
+    val e1 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("xyz").load(badXyz.toString).collect()
+    }
+    assert(e1.getMessage.contains("xyz parse error") ||
+      Option(e1.getCause).exists(_.getMessage.contains("xyz parse error")))
+    // gro: atom line too short
+    val badGro = Files.createTempFile("bad", ".gro")
+    Files.writeString(badGro, "t= 0\n1\nshort line\n 6.0 6.0 6.0\n")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("gro").load(badGro.toString).collect()
+    }
+    assert(e2.getMessage.contains("gro parse error") ||
+      Option(e2.getCause).exists(_.getMessage.contains("gro parse error")))
+  }
+
   test("xyz streaming read over a shard directory picks up new shards") {
     val dir = Files.createTempDirectory("xyzstream").toString
     def shard(name: String, frame: Long): Unit = {
