@@ -138,7 +138,7 @@ object MultimodalPipeline {
       .agg(count(lit(1)).as("n_assets"),
         sum("byte_len").as("total_bytes"),
         sum("header").as("sum_header"),
-        round(sum("f0_sum").cast("double") / sum("f0_len"), 6).as("avg_f0"))
+        graft.util.Det.ratio6(sum("f0_sum"), sum("f0_len")).as("avg_f0"))
       .orderBy("media_type")
 
   /** DuckDB twin: byte_len/header/first-quarter mean re-derived from the
@@ -168,8 +168,10 @@ object MultimodalPipeline {
       |SELECT media_type, CAST(count(*) AS BIGINT) AS n_assets,
       |  CAST(sum(bl) AS BIGINT) AS total_bytes,
       |  CAST(sum(header) AS BIGINT) AS sum_header,
-      |  round(CAST(sum(coalesce(f0_sum, 0)) AS DOUBLE)
-      |        / sum(coalesce(f0_len, 0)), 6) AS avg_f0
+      |  """.stripMargin +
+      graft.util.Det.ratio6Sql("sum(coalesce(f0_sum, 0))",
+        "sum(coalesce(f0_len, 0))") +
+      """ AS avg_f0
       |FROM hdr LEFT JOIN f0 USING (doc_id)
       |GROUP BY media_type ORDER BY media_type""".stripMargin
 }

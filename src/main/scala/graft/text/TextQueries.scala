@@ -2,6 +2,7 @@ package graft.text
 
 import graft.QueryDef
 import graft.rel.Tables
+import graft.util.Det.{ratio6, ratio6Sql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -85,10 +86,10 @@ object TextQueries {
     val sh2 = ds.select(col("doc_id").as("d2b"), col("sh").as("sh2"))
     cand.join(sh1, "d1")
       .join(sh2, col("d2") === col("d2b"))
-      .withColumn("ni",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn("jaccard", round(col("ni") /
-        (size(col("sh1")) + size(col("sh2")) - col("ni")), 6))
+      .withColumn("ni", size(array_intersect(col("sh1"), col("sh2"))))
+      // integer-exact rounded ratio (Det.ratio6): no float boundary
+      .withColumn("jaccard", ratio6(col("ni"),
+        size(col("sh1")) + size(col("sh2")) - col("ni")))
       .filter(col("jaccard") >= 0.8)
       .select("d1", "d2", "jaccard")
       .orderBy("d1", "d2")
@@ -130,11 +131,15 @@ object TextQueries {
       |  JOIN shd s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
       |  GROUP BY c.d1, c.d2)
       |SELECT i.d1, i.d2,
-      |  round(CAST(n_inter AS DOUBLE) / (z1.n_sh + z2.n_sh - n_inter), 6) AS jaccard
+      |  """.stripMargin +
+      ratio6Sql("n_inter", "z1.n_sh + z2.n_sh - n_inter") +
+      """ AS jaccard
       |FROM inter i
       |JOIN sizes z1 ON z1.doc_id = i.d1
       |JOIN sizes z2 ON z2.doc_id = i.d2
-      |WHERE CAST(n_inter AS DOUBLE) / (z1.n_sh + z2.n_sh - n_inter) >= 0.8
+      |WHERE """.stripMargin +
+      ratio6Sql("n_inter", "z1.n_sh + z2.n_sh - n_inter") +
+      """ >= 0.8
       |ORDER BY d1, d2""".stripMargin
 
   // -------------------------------------------------------------- simhash
@@ -298,8 +303,8 @@ object TextQueries {
       .withColumn("ni", expr("sorted_intersect_count(g1, g2)"))
       // exact integer form of jaccard ≥ 0.5: 3·|∩| ≥ |A|+|B|
       .filter(col("ni") * 3 >= size(col("g1")) + size(col("g2")))
-      .select(col("d1"), col("d2"), round(col("ni").cast("double") /
-        (size(col("g1")) + size(col("g2")) - col("ni")), 6).as("jaccard"))
+      .select(col("d1"), col("d2"), ratio6(col("ni"),
+        size(col("g1")) + size(col("g2")) - col("ni")).as("jaccard"))
       .orderBy("d1", "d2")
   }
 
@@ -312,21 +317,25 @@ object TextQueries {
       |    list_distinct(list_transform(
       |      range(1, greatest(length(text) - 4, 1) + 1),
       |      i -> substr(text, CAST(i AS INT), 5))) AS grams
-      |  FROM documents)
-      |SELECT a.doc_id AS d1, b.doc_id AS d2,
-      |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-      |    / (len(a.grams) + len(b.grams)
-      |       - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
-      |FROM g a JOIN g b ON a.fp = b.fp AND a.lenb = b.lenb
-      |  AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-      |    / (len(a.grams) + len(b.grams)
-      |       - len(list_intersect(a.grams, b.grams))) >= 0.5
+      |  FROM documents),
+      |cand AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |    len(list_intersect(a.grams, b.grams)) AS ni,
+      |    len(a.grams) AS n1, len(b.grams) AS n2
+      |  FROM g a JOIN g b ON a.fp = b.fp AND a.lenb = b.lenb
+      |    AND a.doc_id < b.doc_id)
+      |SELECT d1, d2,
+      |  """.stripMargin +
+      ratio6Sql("ni", "n1 + n2 - ni") +
+      """ AS jaccard
+      |FROM cand
+      |WHERE 3 * ni >= n1 + n2
       |ORDER BY d1, d2""".stripMargin
 
   // ------------------------------------------------------------ text stats
 
-  /** Per-language corpus stats (SURVEY §2.10 q_text_stats). */
+  /** Per-language corpus stats (SURVEY §2.10 q_text_stats). Means are
+    * integer-exact rounded ratios (Det.ratio6). */
   def textStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("lang"), col("source"),
@@ -336,16 +345,16 @@ object TextQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum("nw").as("total_words"),
-        round(sum("nw").cast("double") / count(lit(1)), 6).as("avg_words"),
-        round(sum("nc").cast("double") / count(lit(1)), 6).as("avg_chars"),
+        ratio6(sum("nw"), count(lit(1))).as("avg_words"),
+        ratio6(sum("nc"), count(lit(1))).as("avg_chars"),
         countDistinct("source").as("n_sources"))
       .orderBy("lang")
 
   private val textStatsSql =
-    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
-      |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6) AS avg_words,
-      |  round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS avg_chars,
+      |  ${ratio6Sql("sum(len(string_split(text, ' ')))", "count(*)")} AS avg_words,
+      |  ${ratio6Sql("sum(length(text))", "count(*)")} AS avg_chars,
       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -381,52 +390,60 @@ object TextQueries {
     * length/punctuation/stopword ratios): length saturation + lexical
     * diversity + stopword-ratio band (good prose carries SOME function
     * words; none or all is a quality signal) + punctuation-density
-    * penalty. Pure integer ratios in fixed expression order →
-    * cross-engine deterministic. */
+    * penalty.
+    *
+    * quality = 0.25·min(nw,100)/100 + 0.3·nu/nw + 0.25·min(ncl,500)/500
+    *         + 0.1·min(5·nsw,nw)/nw + 0.1·(ncl−min(10·npunct,ncl))/ncl
+    * evaluated as ONE exact integer rational N / (2000·nw·ncl) and
+    * rounded in integer space (Det.ratio6) — a float evaluation of the
+    * same formula diverged between engines by one last-digit ulp on 1
+    * of 50k docs at sf0.1 (round(double, 6) boundary). Bound: needs
+    * nw·ncl·min(nw,100)·10⁷ < 2⁶³, i.e. nw·ncl < ~9·10⁹ per doc. */
   def qualityScore(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("nw", size(split(col("text"), " ")).cast("double"))
+      .withColumn("nw", size(split(col("text"), " ")).cast("long"))
       .withColumn("nu", size(array_distinct(split(col("text"), " ")))
-        .cast("double"))
-      .withColumn("ncl", length(col("text")).cast("double"))
+        .cast("long"))
+      .withColumn("ncl", length(col("text")).cast("long"))
       .withColumn("nsw",
         expr(s"size(filter(split(text, ' '), w -> w IN ($stopwords)))")
-          .cast("double"))
+          .cast("long"))
       .withColumn("npunct",
         expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))")
-          .cast("double"))
+          .cast("long"))
+      .withColumn("qn",
+        lit(5L) * col("nw") * col("ncl") * least(col("nw"), lit(100L)) +
+          lit(600L) * col("nu") * col("ncl") +
+          col("nw") * col("ncl") * least(col("ncl"), lit(500L)) +
+          lit(200L) * col("ncl") * least(lit(5L) * col("nsw"), col("nw")) +
+          lit(200L) * col("nw") *
+            (col("ncl") - least(lit(10L) * col("npunct"), col("ncl"))))
       .select(col("doc_id"), col("lang"),
-        round(col("nsw") / col("nw"), 6).as("stopword_ratio"),
-        round(col("npunct") / col("ncl"), 6).as("punct_ratio"),
-        round(lit(0.25) * least(col("nw") / 100.0, lit(1.0)) +
-          lit(0.3) * (col("nu") / col("nw")) +
-          lit(0.25) * least(col("ncl") / 500.0, lit(1.0)) +
-          lit(0.1) * least(col("nsw") / col("nw") * 5.0, lit(1.0)) +
-          lit(0.1) * (lit(1.0) - least(col("npunct") / col("ncl") * 10.0,
-            lit(1.0))), 6)
+        ratio6(col("nsw"), col("nw")).as("stopword_ratio"),
+        ratio6(col("npunct"), col("ncl")).as("punct_ratio"),
+        ratio6(col("qn"), lit(2000L) * col("nw") * col("ncl"))
           .as("quality"))
       .orderBy("doc_id")
 
-  private val qualityScoreSql =
+  private val qualityScoreSql = {
+    val qn = "5*nw*ncl*least(nw,100) + 600*nu*ncl + nw*ncl*least(ncl,500)" +
+      " + 200*ncl*least(5*nsw,nw) + 200*nw*(ncl - least(10*npunct,ncl))"
     s"""SELECT doc_id, lang,
-      |  round(nsw / nw, 6) AS stopword_ratio,
-      |  round(npunct / ncl, 6) AS punct_ratio,
-      |  round(0.25 * least(nw / 100.0, 1.0)
-      |      + 0.3 * (nu / nw)
-      |      + 0.25 * least(ncl / 500.0, 1.0)
-      |      + 0.1 * least(nsw / nw * 5.0, 1.0)
-      |      + 0.1 * (1.0 - least(npunct / ncl * 10.0, 1.0)), 6) AS quality
+      |  ${ratio6Sql("nsw", "nw")} AS stopword_ratio,
+      |  ${ratio6Sql("npunct", "ncl")} AS punct_ratio,
+      |  ${ratio6Sql(qn, "2000*nw*ncl")} AS quality
       |FROM (
       |  SELECT doc_id, lang,
-      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
-      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nu,
-      |    CAST(length(text) AS DOUBLE) AS ncl,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nu,
+      |    CAST(length(text) AS BIGINT) AS ncl,
       |    CAST(len(list_filter(string_split(text, ' '),
-      |      w -> w IN ($stopwords))) AS DOUBLE) AS nsw,
-      |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+      |      w -> w IN ($stopwords))) AS BIGINT) AS nsw,
+      |    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT)
       |      AS npunct
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
+  }
 
   // -------------------------------------------------------------- lang id
 
@@ -435,34 +452,32 @@ object TextQueries {
     * corpus only separates 'es' from the rest, so the classifier is
     * binary; the machinery (tokenize → marker ratio → argmax) is the
     * real product. */
-  def langId(s: SparkSession, d: String): DataFrame = {
-    val markers = "'the','a','query','row','stream','order','column'," +
-      "'vector','slow','part','table','join'"
+  def langId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("score_es",
-        expr(s"size(filter(split(text, ' '), w -> w IN ($markers)))")
-          .cast("double") / size(split(col("text"), " ")))
+      .withColumn("nm",
+        expr(s"size(filter(split(text, ' '), w -> w IN ($stopwords)))")
+          .cast("long"))
+      .withColumn("nw", size(split(col("text"), " ")).cast("long"))
       .select(col("doc_id"), col("lang"),
-        round(col("score_es"), 6).as("score_es"),
-        when(col("score_es") > 0.5, lit("es")).otherwise(lit("xx"))
+        ratio6(col("nm"), col("nw")).as("score_es"),
+        // marker ratio > 1/2 exactly, as an integer compare
+        when(col("nm") * 2 > col("nw"), lit("es")).otherwise(lit("xx"))
           .as("pred_lang"))
       .withColumn("is_match",
         (col("pred_lang") === lit("es")) === (col("lang") === lit("es")))
       .orderBy("doc_id")
-  }
 
   private val langIdSql =
-    """SELECT doc_id, lang,
-      |  round(sc, 6) AS score_es,
-      |  CASE WHEN sc > 0.5 THEN 'es' ELSE 'xx' END AS pred_lang,
-      |  (CASE WHEN sc > 0.5 THEN 'es' ELSE 'xx' END = 'es') = (lang = 'es')
+    s"""SELECT doc_id, lang,
+      |  ${ratio6Sql("nm", "nw")} AS score_es,
+      |  CASE WHEN 2 * nm > nw THEN 'es' ELSE 'xx' END AS pred_lang,
+      |  (CASE WHEN 2 * nm > nw THEN 'es' ELSE 'xx' END = 'es') = (lang = 'es')
       |    AS is_match
       |FROM (
       |  SELECT doc_id, lang,
       |    CAST(len(list_filter(string_split(text, ' '),
-      |      w -> w IN ('the','a','query','row','stream','order','column',
-      |                 'vector','slow','part','table','join'))) AS DOUBLE)
-      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sc
+      |      w -> w IN ($stopwords))) AS BIGINT) AS nm,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
 

@@ -32,4 +32,29 @@ object Det {
   /** Epoch seconds as BIGINT (Spark side; DuckDB pairs with
     * CAST(floor(epoch(ts)) AS BIGINT)). */
   def epochS(c: Column): Column = unix_timestamp(c)
+
+  /** Exact integer division of nonnegative longs (x − x%y)/y: the
+    * subtraction makes the double division exact, so the cast never
+    * truncates a nearly-k value to k. */
+  private def intDiv(x: Column, y: Column): Column =
+    ((x - pmod(x, y)) / y).cast("long")
+
+  /** round(num/den, 6) for NONNEGATIVE INTEGER num/den, computed
+    * entirely in integer space: round-half-up(num·10⁶/den) =
+    * ⌊(2·num·10⁶ + den) / (2·den)⌋, then an exact /10⁶. Unlike
+    * round(double, 6), this has NO floating-point boundary hazard —
+    * Spark's BigDecimal rounding and DuckDB's multiply-based round can
+    * disagree by one last-digit ulp when a rational lands on a
+    * 6th-decimal half (observed on q_quality_score at sf0.1). DuckDB
+    * twin: [[ratio6Sql]]. Requires num·2·10⁶ + den < 2⁶³. */
+  def ratio6(num: Column, den: Column): Column = {
+    val x = num.cast("long") * lit(2000000L) + den.cast("long")
+    val y = den.cast("long") * lit(2L)
+    intDiv(x, y).cast("double") / 1000000.0
+  }
+
+  /** DuckDB form of [[ratio6]] over integer SQL expressions. */
+  def ratio6Sql(num: String, den: String): String =
+    s"(CAST((CAST($num AS BIGINT) * 2000000 + CAST($den AS BIGINT))" +
+      s" // (2 * CAST($den AS BIGINT)) AS DOUBLE) / 1000000.0)"
 }
