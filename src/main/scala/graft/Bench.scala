@@ -13,6 +13,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // self-diagnosis: count codegen compile failures per query — an
+    // interpreted fallback is invisible to correctness but 10×+ slower
+    // (the round-2 mic_adaptive regression class)
+    graft.util.CodegenErrors.install()
     // untimed warm-up: JIT/codegen/parquet-footer costs land here, not
     // on whichever query happens to run first. One tiny (sf0.001) pass
     // through each kernel family warms the JVM paths the measured
@@ -31,6 +35,7 @@ object Bench {
     // would let Catalyst prune the projections being measured)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        val cg0 = graft.util.CodegenErrors.snapshot()
         val t0 = System.nanoTime()
         val err: Option[String] =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -38,20 +43,28 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
           }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        val cgFails = graft.util.CodegenErrors.snapshot() - cg0
+        (name, elapsed, err, cgFails)
     }
     // failed queries report null (not their partial wall time) so the
     // machine-readable output distinguishes failure from a fast run
-    val qs = results.map { case (k, v, err) =>
+    val qs = results.map { case (k, v, err, _) =>
       "\"" + k + "\":" + (if (err.isEmpty) v.toString else "null")
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) =>
+    val errs = results.collect { case (k, _, Some(m), _) =>
       "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"")
         .map(c => if (c < ' ') ' ' else c) + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    // codegen compile-failure counts (nonzero only): a query listed here
+    // ran (at least partly) on the interpreted fallback path
+    val cgs = results.collect { case (k, _, _, n) if n > 0 =>
+      "\"" + k + "\":" + n
+    }.mkString("{", ",", "}")
+    val cgTotal = results.map(_._4).sum
+    val total = results.collect { case (_, v, None, _) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"codegen_errors":$cgs,"codegen_error_total":$cgTotal,"sf":"$sfDir"}"""
     // raw stdout (build.sbt routes forked run output through StdoutOutput,
     // so this line arrives unprefixed for the driver's JSON parse)
     println(line)

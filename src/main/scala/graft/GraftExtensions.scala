@@ -53,5 +53,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("sorted_intersect_count",
       "sorted_intersect_count(a, b) - |A intersect B| of two sorted long arrays",
       es => SortedIntersectCount(es(0), es(1))))
+    ext.injectFunction(fn("tri_mic",
+      "tri_mic(dx, dy, dz, ax, bx, by, cx, cy, cz) - triclinic minimum-image distance",
+      es => TriclinicMicDist(es)))
   }
 }

@@ -1,0 +1,84 @@
+package graft.functions
+
+/** Geometry kernels behind the custom Catalyst expressions — the
+  * trajectory-side analog of [[HashKernels]]: the reference dispatches
+  * its inner distance loops to MDTraj's compiled SSE library
+  * (`/root/reference/dask_traj/geometry/distance.py:39-66`); here the
+  * triclinic minimum-image kernel is one static JVM call inside the
+  * codegen'd stage.
+  *
+  * Why a kernel and not a Column tree: the 27-image `least(...)` form
+  * (TrajOps.distMicTriclinic) duplicates the folded-displacement chain
+  * into every image term, and inside a CASE branch the expression DAG
+  * flattens into a tree large enough to blow janino's 64 KB method
+  * limit — whole-stage codegen then fails and the query runs on the
+  * per-row interpreted path (the round-2 scale-killer). This kernel is
+  * one call site: constant codegen size regardless of image count.
+  *
+  * Determinism contract: every operation matches the expression form
+  * (and the DuckDB oracle CTE) bit-for-bit — same IEEE ops in the same
+  * order, and round-half-away-from-zero on the exact double value
+  * (see [[HashKernels]] roundHalfUp note: BigDecimal HALF_UP on the
+  * shortest decimal repr and half-up on the exact value agree for all
+  * |x| < 2^52 because x.5 boundaries are exactly representable).
+  */
+object GeomKernels {
+
+  /** round(v, 0) with half-away-from-zero ties — bit-identical to Spark
+    * SQL round(x, 0) and DuckDB round(x, 0) on doubles. */
+  def roundHalfUp(v: Double): Double = {
+    val ax = math.abs(v)
+    if (ax >= 4.503599627370496e15) return v // already integral
+    val fl = math.floor(ax)
+    val k = if (ax - fl >= 0.5) fl + 1.0 else fl
+    if (v < 0) -k else k
+  }
+
+  /** General (triclinic) minimum-image distance under the
+    * lower-triangular Bravais box rows a=(ax,0,0), b=(bx,by,0),
+    * c=(cx,cy,cz) — the 27-image form of the reference's
+    * `_distance_mic` general path (geometry/distance.py:50-58).
+    *
+    * Step 1 folds the raw displacement near the origin cell by
+    * back-substitution (c row, then b, then a); step 2 takes the min
+    * norm over the 27 lattice images of the folded vector — exact
+    * because the folded displacement lies within one cell of the
+    * minimum image. Operation order mirrors TrajOps.distMicTriclinic
+    * and its SQL twin exactly (offsets computed as i*ax + j*bx + k*cx
+    * left-to-right, then added to the folded component). */
+  def triMic(dx: Double, dy: Double, dz: Double,
+      ax: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, cz: Double): Double = {
+    val k3 = roundHalfUp(dz / cz)
+    val dx1 = dx - cx * k3
+    val dy1 = dy - cy * k3
+    val wz = dz - cz * k3
+    val k2 = roundHalfUp(dy1 / by)
+    val dx2 = dx1 - bx * k2
+    val wy = dy1 - by * k2
+    val k1 = roundHalfUp(dx2 / ax)
+    val wx = dx2 - ax * k1
+    var best = Double.PositiveInfinity
+    var i = -1
+    while (i <= 1) {
+      var j = -1
+      while (j <= 1) {
+        var k = -1
+        while (k <= 1) {
+          val ox = i * ax + j * bx + k * cx
+          val oy = j * by + k * cy
+          val oz = k * cz
+          val ex = wx + ox
+          val ey = wy + oy
+          val ez = wz + oz
+          val d = math.sqrt(ex * ex + ey * ey + ez * ez)
+          if (d < best) best = d
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    best
+  }
+}

@@ -1,8 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -183,6 +186,64 @@ case class Lsh16Code(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+/** Triclinic minimum-image distance: tri_mic(dx, dy, dz, ax, bx, by,
+  * cx, cy, cz) — the codegen'd kernel form of
+  * graft.traj.TrajOps.distMicTriclinic (geometry/distance.py:50-58
+  * general path). The box components are ordinary child expressions, so
+  * the box may be literal (the user-supplied argument of
+  * compute_distances) or table-sourced per frame (the reference reading
+  * unitcell columns off the trajectory, distance.py:128).
+  *
+  * Exists because the 27-image `least` Column tree inside a CASE blew
+  * janino's 64 KB method limit and dropped the whole stage to the
+  * interpreted path; this generates ONE static call instead. */
+case class TriclinicMicDist(children: Seq[Expression]) extends Expression {
+  require(children.length == 9,
+    "tri_mic takes (dx, dy, dz, ax, bx, by, cx, cy, cz)")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == DoubleType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires 9 DOUBLE arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "tri_mic"
+
+  override def eval(input: InternalRow): Any = {
+    val v = new Array[Double](9)
+    var i = 0
+    while (i < 9) {
+      val r = children(i).eval(input)
+      if (r == null) return null
+      v(i) = r.asInstanceOf[Double]
+      i += 1
+    }
+    GeomKernels.triMic(v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val childCode = evs.map(_.code).reduce(_ + _)
+    val anyNull =
+      if (nullable) evs.map(_.isNull.toString).mkString(" || ") else "false"
+    val args = evs.map(_.value.toString).mkString(", ")
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.GeomKernels.triMic($args);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 object GraftFunctions {
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -205,5 +266,7 @@ object GraftFunctions {
       es => DotScaled(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh16_code",
       es => Lsh16Code(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("tri_mic",
+      es => TriclinicMicDist(es), "scala_udf")
   }
 }

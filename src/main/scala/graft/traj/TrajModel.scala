@@ -49,17 +49,22 @@ object TrajModel {
         (col("lrank") + col("off")).cast("long").as("atom_id"))
   }
 
-  /** Topology dimension table (SURVEY §1.1): atom_id → element symbol and
-    * DECIMAL mass, derived deterministically from `part` — the relational
-    * analog of the reference reading `a.element.mass` off the parsed PDB
-    * topology (geometry/distance.py:319). Broadcast side of every
-    * mass-weighted aggregation; never partitioned, like the reference's
-    * driver-captured mass array. */
+  /** Topology dimension table (SURVEY §1.1): atom_id → residue_id,
+    * element symbol and DECIMAL mass, derived deterministically from
+    * `part` — the relational analog of the reference reading
+    * `a.element.mass` (and the residue graph) off the parsed PDB
+    * topology (geometry/distance.py:319, core/dask_traj.py:374-375).
+    * residue_id groups 8 consecutive atoms per residue, the
+    * deterministic stand-in for the reference topology's residue
+    * membership. Broadcast side of every mass-weighted aggregation;
+    * never partitioned, like the reference's driver-captured mass
+    * array. */
   def topology(s: SparkSession, d: String): DataFrame =
-    atomDim(s, d)
+    atomDimShared(s, d)
       .join(Tables.part(s, d).select("p_partkey", "p_size"),
         col("l_partkey") === col("p_partkey"), "left")
       .select(col("atom_id"),
+        expr("(atom_id - 1) DIV 8 + 1").cast("long").as("residue_id"),
         concat(lit("E"), (coalesce(col("p_size"), lit(1)) % 18 + 1)
           .cast("string")).as("element"),
         ((coalesce(col("p_size"), lit(1)) % 18 + 1).cast(DecimalType(8, 3)) +
@@ -69,6 +74,7 @@ object TrajModel {
   val topologySql: String =
     """topo AS (
       |  SELECT atom_id,
+      |    CAST((atom_id - 1) // 8 + 1 AS BIGINT) AS residue_id,
       |    'E' || CAST(coalesce(p_size, 1) % 18 + 1 AS VARCHAR) AS element,
       |    CAST(coalesce(p_size, 1) % 18 + 1 AS DECIMAL(8,3))
       |      + CAST(0.008 AS DECIMAL(4,3)) AS mass
@@ -79,7 +85,7 @@ object TrajModel {
     * (order-independent, unlike avg over doubles). */
   def positions(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .join(broadcast(atomDim(s, d)), "l_partkey")
+      .join(broadcast(atomDimShared(s, d)), "l_partkey")
       .select(
         col("l_linenumber").cast("long").as("frame_id"),
         col("atom_id"),
@@ -90,22 +96,66 @@ object TrajModel {
       .agg(round(min("x"), 6).as("x"), round(min("y"), 6).as("y"),
         round(min("z"), 6).as("z"))
 
-  /** positions with a lineage barrier, materialized ONCE per
-    * (session, dir) and reused by every trajectory query — the analog
-    * of the reference loading a trajectory once and running many
-    * computations over it (core/dask_traj.py:406-416: xyz is computed
-    * once and sliced per chunk per operator). Within one query the
-    * barrier also guarantees the 2-3 join roles share a single
+  /** Dimension/fact tables with a lineage barrier, materialized ONCE
+    * per (session, dir, table) and reused by every trajectory query —
+    * the analog of the reference loading a trajectory once and running
+    * many computations over it (core/dask_traj.py:406-416: xyz is
+    * computed once and sliced per chunk per operator). Within one query
+    * the barrier also guarantees the 2-3 join roles share a single
     * evaluation instead of relying on Catalyst's best-effort exchange
-    * reuse. At cluster scale this is a persisted/bucketed positions
-    * table (SCALING.md); executor-local checkpoint blocks stand in for
-    * it here. */
+    * reuse. Caching the DIMENSIONS here too (atom_dim, topology,
+    * unitcell) matters as much as the fact: round 2's q_traj_com spent
+    * ~7s/run re-running the two-phase atom rank per invocation because
+    * only positions sat behind the barrier. At cluster scale these are
+    * persisted/bucketed tables (SCALING.md); executor-local checkpoint
+    * blocks stand in for them here. */
   private val sharedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def shared(s: SparkSession, d: String, key: String)
+      (build: => DataFrame): DataFrame =
+    sharedCache.computeIfAbsent((s, d, key),
+      _ => build.localCheckpoint(false))
 
   def positionsShared(s: SparkSession, d: String): DataFrame =
-    sharedCache.computeIfAbsent((s, d),
-      _ => positions(s, d).localCheckpoint(false))
+    shared(s, d, "positions")(positions(s, d))
+
+  def atomDimShared(s: SparkSession, d: String): DataFrame =
+    shared(s, d, "atom_dim")(atomDim(s, d))
+
+  def topologyShared(s: SparkSession, d: String): DataFrame =
+    shared(s, d, "topology")(topology(s, d))
+
+  def unitcellShared(s: SparkSession, d: String): DataFrame =
+    shared(s, d, "unitcell")(unitcell(s, d))
+
+  /** Per-frame unitcell dimension (SURVEY §1.1: unitcell_lengths /
+    * unitcell_angles columns; reference reads them off the trajectory
+    * per chunk to steer the `orthogonal` kernel dispatch,
+    * geometry/distance.py:128). Derived deterministically like
+    * positions: one row per frame; odd frames are orthorhombic
+    * (6×7×8, 90/90/90), even frames triclinic (6×7×8, 60/60/90).
+    * Alongside lengths and angles it carries the lower-triangular
+    * Bravais components (u_ax..u_cz) precomputed driver-side with
+    * TrajOps.triBox — literal doubles identical in both engines, so no
+    * per-row trig and no cross-libm divergence (SURVEY §7.2). Joined
+    * broadcast, like every dimension here. */
+  def unitcell(s: SparkSession, d: String): DataFrame = {
+    val t = TrajOps.triBox(6.0, 7.0, 8.0, 60.0, 60.0, 90.0)
+    val odd = col("frame_id") % 2 === 1
+    positionsShared(s, d).select("frame_id").distinct()
+      .select(col("frame_id").as("u_frame"),
+        lit(6.0).as("u_la"), lit(7.0).as("u_lb"), lit(8.0).as("u_lc"),
+        when(odd, 90.0).otherwise(60.0).as("u_alpha"),
+        when(odd, 90.0).otherwise(60.0).as("u_beta"),
+        lit(90.0).as("u_gamma"),
+        when(odd, 6.0).otherwise(t.ax).as("u_ax"),
+        when(odd, 0.0).otherwise(t.bx).as("u_bx"),
+        when(odd, 7.0).otherwise(t.by).as("u_by"),
+        when(odd, 0.0).otherwise(t.cx).as("u_cx"),
+        when(odd, 0.0).otherwise(t.cy).as("u_cy"),
+        when(odd, 8.0).otherwise(t.cz).as("u_cz"))
+  }
 
   /** DuckDB CTE producing the identical view; prefix of every trajectory
     * oracle query. */

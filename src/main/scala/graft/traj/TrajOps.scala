@@ -88,6 +88,24 @@ object TrajOps {
     TriBox(snapD(ax), snapD(bx), snapD(by), snapD(cx), snapD(cy), snapD(cz))
   }
 
+  /** Codegen'd kernel form of the triclinic MIC distance — ONE static
+    * call inside the generated stage (graft.functions.TriclinicMicDist
+    * → GeomKernels.triMic), bit-identical to [[distMicTriclinic]].
+    * Requires GraftFunctions.register(spark) (or the GraftExtensions
+    * session extension). Use THIS in query plans: the Column-tree form
+    * below duplicates the fold chain into all 27 images and overflows
+    * janino's 64 KB method limit once it sits inside a CASE branch —
+    * the round-2 interpreted-fallback scale-killer. */
+  def triMicKernel(dx: Column, dy: Column, dz: Column,
+      ax: Column, bx: Column, by: Column,
+      cx: Column, cy: Column, cz: Column): Column =
+    call_udf("tri_mic", dx, dy, dz, ax, bx, by, cx, cy, cz)
+
+  /** Literal-box convenience overload of [[triMicKernel]]. */
+  def triMicKernel(dx: Column, dy: Column, dz: Column, b: TriBox): Column =
+    triMicKernel(dx, dy, dz, lit(b.ax), lit(b.bx), lit(b.by),
+      lit(b.cx), lit(b.cy), lit(b.cz))
+
   /** General (triclinic) minimum-image distance — the 27-image form of
     * the reference's `_distance_mic` general path
     * (geometry/distance.py:50-58, delegating to MDTraj's triclinic
@@ -95,7 +113,11 @@ object TrajOps {
     * back-substitution through the lower-triangular box matrix (c row
     * first, then b, then a); step 2 takes the min norm over the 27
     * lattice images of the folded vector — exact because the folded
-    * displacement lies within one cell of the minimum image. */
+    * displacement lies within one cell of the minimum image.
+    *
+    * Kept as the differential-test twin of [[triMicKernel]] (specs
+    * assert tree == kernel bit-for-bit); do not embed this tree inside
+    * CASE branches in query plans — see [[triMicKernel]]. */
   def distMicTriclinic(dx: Column, dy: Column, dz: Column,
       b: TriBox): Column = {
     val k3 = round(dz / b.cz, 0)

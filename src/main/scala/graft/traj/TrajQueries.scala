@@ -98,15 +98,18 @@ object TrajQueries {
   private val triclinicBox: TriBox = triBox(6.0, 7.0, 8.0, 60.0, 60.0, 90.0)
 
   /** F6 (general path): triclinic minimum-image distance — the 27-image
-    * form of `_distance_mic`'s general branch (distance.py:50-58).
-    * SURVEY §7.4's planned `least(...)` expansion. */
+    * form of `_distance_mic`'s general branch (distance.py:50-58),
+    * evaluated by the codegen'd tri_mic kernel (one static call per
+    * row; the expanded `least(...)` Column tree of round 2 compiled
+    * right at janino's 64 KB edge — one doubling from the cliff). */
   def trajDistancesTriclinic(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val dx = col("px") - col("qx")
     val dy = col("py") - col("qy")
     val dz = col("pz") - col("qz")
     pairExpansion(s, TrajModel.positionsShared(s, d))
       .select(col("p_frame").as("frame_id"), col("a1"), col("a2"),
-        round(distMicTriclinic(dx, dy, dz, triclinicBox), 6).as("dist_mic"))
+        round(triMicKernel(dx, dy, dz, triclinicBox), 6).as("dist_mic"))
       .orderBy("frame_id", "a1", "a2")
   }
 
@@ -123,32 +126,37 @@ object TrajQueries {
        |ORDER BY frame_id, a1, a2""".stripMargin
   }
 
-  /** A3/O7: adaptive MIC dispatch — the reference reduces each chunk's
-    * unitcell angles to an `orthogonal` flag and picks the fast or the
-    * general kernel at runtime (geometry/distance.py:128,49-58). Here
-    * the per-frame box is a deterministic function of frame parity
-    * (odd → orthorhombic 6×7×8/90°, even → triclinic 6×7×8/60/60/90),
-    * the flag is the same allclose(angles, 90) reduction expressed as a
-    * CASE, and the kernel choice is a Catalyst conditional — both
-    * branches are plain expression trees, so codegen fuses the dispatch
-    * into the projection exactly like the reference fuses it into the
-    * chunk task. */
+  /** A3/O7: adaptive MIC dispatch — the reference reads the
+    * trajectory's unitcell angles per chunk, reduces them to an
+    * `orthogonal` flag, and picks the fast or the general kernel at
+    * runtime (geometry/distance.py:128,49-58). Here the per-frame box
+    * comes from the broadcast `unitcell` dimension (odd frames
+    * orthorhombic 6×7×8/90°, even triclinic 6×7×8/60/60/90 — one row
+    * per frame, like the reference's unitcell columns), the flag is the
+    * same allclose(angles, 90) reduction as a CASE over the table's
+    * angle columns, and the general branch is the codegen'd tri_mic
+    * kernel fed the table's Bravais components — so the dispatch fuses
+    * into one whole-stage-codegen projection (round 2's inlined
+    * 27-image tree inside the CASE overflowed janino's 64 KB method
+    * limit and ran interpreted: 33.7 s, 27% of the bench). */
   def trajMicAdaptive(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val dx = col("px") - col("qx")
     val dy = col("py") - col("qy")
     val dz = col("pz") - col("qz")
-    val alpha = when(col("p_frame") % 2 === 1, 90.0).otherwise(60.0)
-    val beta = alpha
-    val gamma = lit(90.0)
-    val orthogonal = abs(alpha - 90.0) < 1e-6 && abs(beta - 90.0) < 1e-6 &&
-      abs(gamma - 90.0) < 1e-6
-    val orthoDist = sqrt(norm2(micDelta(dx, lit(6.0)),
-      micDelta(dy, lit(7.0)), micDelta(dz, lit(8.0))))
+    val orthogonal = abs(col("u_alpha") - 90.0) < 1e-6 &&
+      abs(col("u_beta") - 90.0) < 1e-6 && abs(col("u_gamma") - 90.0) < 1e-6
+    val orthoDist = sqrt(norm2(micDelta(dx, col("u_la")),
+      micDelta(dy, col("u_lb")), micDelta(dz, col("u_lc"))))
     pairExpansion(s, TrajModel.positionsShared(s, d))
+      .join(broadcast(TrajModel.unitcellShared(s, d)),
+        col("p_frame") === col("u_frame"))
       .select(col("p_frame").as("frame_id"), col("a1"), col("a2"),
-        round(alpha, 1).as("alpha"),
+        round(col("u_alpha"), 1).as("alpha"),
         round(when(orthogonal, orthoDist)
-          .otherwise(distMicTriclinic(dx, dy, dz, triclinicBox)), 6)
+          .otherwise(triMicKernel(dx, dy, dz,
+            col("u_ax"), col("u_bx"), col("u_by"),
+            col("u_cx"), col("u_cy"), col("u_cz"))), 6)
           .as("dist_mic"))
       .orderBy("frame_id", "a1", "a2")
   }
@@ -273,7 +281,7 @@ object TrajQueries {
       sum(col(c).cast(DecimalType(18, 6)) * col("mass")).cast("double") /
         sum(col("mass")).cast("double"), 6).as(s"com_$c")
     TrajModel.positionsShared(s, d)
-      .join(broadcast(TrajModel.topology(s, d)), "atom_id")
+      .join(broadcast(TrajModel.topologyShared(s, d)), "atom_id")
       .groupBy("frame_id")
       .agg(com("x"), com("y"), com("z"),
         sum(col("mass")).cast("double").as("total_mass"))
@@ -289,6 +297,36 @@ object TrajQueries {
        |  CAST(sum(mass) AS DOUBLE) AS total_mass
        |FROM positions JOIN topo USING (atom_id)
        |GROUP BY frame_id ORDER BY frame_id""".stripMargin
+  }
+
+  /** A1 at residue granularity: per-(frame, residue) center of mass —
+    * the aggregation a reference user gets by slicing the topology's
+    * residue graph (core/dask_traj.py:374-375) and running
+    * compute_center_of_mass per residue selection; here it is ONE
+    * two-key aggregation over the broadcast topology dimension instead
+    * of a per-residue loop — same DECIMAL-exact Σx·m / Σm as
+    * [[trajCom]]. */
+  def trajComResidue(s: SparkSession, d: String): DataFrame = {
+    def com(c: String) = round(
+      sum(col(c).cast(DecimalType(18, 6)) * col("mass")).cast("double") /
+        sum(col("mass")).cast("double"), 6).as(s"com_$c")
+    TrajModel.positionsShared(s, d)
+      .join(broadcast(TrajModel.topologyShared(s, d)), "atom_id")
+      .groupBy("frame_id", "residue_id")
+      .agg(count(lit(1)).as("n_atoms"), com("x"), com("y"), com("z"))
+      .orderBy("frame_id", "residue_id")
+  }
+
+  private val trajComResidueSql = {
+    def com(c: String) =
+      s"""round(CAST(sum(CAST($c AS DECIMAL(18,6)) * mass) AS DOUBLE)
+         |    / CAST(sum(mass) AS DOUBLE), 6) AS com_$c""".stripMargin
+    s"""$P, ${TrajModel.topologySql}
+       |SELECT frame_id, residue_id, CAST(count(*) AS BIGINT) AS n_atoms,
+       |  ${com("x")}, ${com("y")}, ${com("z")}
+       |FROM positions JOIN topo USING (atom_id)
+       |GROUP BY frame_id, residue_id
+       |ORDER BY frame_id, residue_id""".stripMargin
   }
 
   /** A2: per-frame unweighted mean = center of geometry
@@ -390,7 +428,9 @@ object TrajQueries {
     * coordinate delta is below 2e-3 (core/dask_traj.py:630-640). The
     * overlap test is a scalar aggregate over the boundary frame pair,
     * broadcast into the union filter — the reference computes the same
-    * np.all(...) inline at join time. */
+    * np.all(...) inline at join time. ONE scan: both boundary frames
+    * come out of a single pass (conditional aggregation pivots them
+    * side by side per atom) instead of two filtered scans + a join. */
   def trajJoinOverlap(s: SparkSession, d: String): DataFrame = {
     val p = TrajModel.positionsShared(s, d)
     val a = p.filter(col("frame_id").between(1, 4))
@@ -398,14 +438,17 @@ object TrajQueries {
     val b = p.filter(col("frame_id").between(4, 7))
       .withColumn("src", lit(1L))
     // boundary compare: traj A's last frame (4) vs traj B's first (4)
-    val lastA = p.filter(col("frame_id") === 4)
-      .select(col("atom_id"), col("x").as("x1"), col("y").as("y1"),
-        col("z").as("z1"))
-    val firstB = p.filter(col("frame_id") === 4)
-      .select(col("atom_id").as("atom_id2"), col("x").as("x2"),
-        col("y").as("y2"), col("z").as("z2"))
-    val overlap = lastA
-      .join(firstB, col("atom_id") === col("atom_id2"))
+    val lastA = 4L
+    val firstB = 4L
+    def side(frame: Long, c: String, as: String) =
+      max(when(col("frame_id") === frame, col(c))).as(as)
+    val perAtom = p
+      .filter(col("frame_id") === lastA || col("frame_id") === firstB)
+      .groupBy("atom_id")
+      .agg(side(lastA, "x", "x1"), side(lastA, "y", "y1"),
+        side(lastA, "z", "z1"), side(firstB, "x", "x2"),
+        side(firstB, "y", "y2"), side(firstB, "z", "z2"))
+    val overlap = perAtom
       .agg(max(greatest(abs(col("x1") - col("x2")),
         abs(col("y1") - col("y2")), abs(col("z1") - col("z2"))))
         .as("max_dev"))
@@ -581,6 +624,7 @@ object TrajQueries {
       Some(trajDisplacementsPeriodicSql)),
     QueryDef("q_traj_angles", trajAngles, Some(trajAnglesSql)),
     QueryDef("q_traj_com", trajCom, Some(trajComSql)),
+    QueryDef("q_traj_com_residue", trajComResidue, Some(trajComResidueSql)),
     QueryDef("q_traj_cog", trajCog, Some(trajCogSql)),
     QueryDef("q_traj_closest_contact", trajClosestContact,
       Some(trajClosestContactSql)),
