@@ -11,15 +11,16 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import scala.io.Source
-
 /** DataSourceV2 connector for the GROMACS `.gro` text format — the
   * second entry of the per-format schema registry (SURVEY §2.1 S4): the
   * reference maps `.gro → [xyz, time, unitcell_vectors]`
   * (core/dask_traj.py:49) through the same `file_returns` dispatch that
   * routes `.xyz`; here each format is its own `DataSourceRegister`
   * short name reporting its own static schema, which is the Spark-native
-  * form of that registry.
+  * form of that registry. `.gro.gz` reads transparently through the
+  * shared [[XyzLines]] machinery, and a directory of `.gro` shards
+  * streams through the same micro-batch source shape as xyz
+  * (`spark.readStream.format("gro").load(dir)`).
   *
   * File layout per frame (fixed-width, GROMACS manual §5.7):
   *   title line (free text; `t= <time>` suffix carries the frame time)
@@ -93,9 +94,12 @@ class GroTable(path: String, chunks: Int) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"gro:$path"
   override def schema(): StructType = GroTable.Schema
+  // batch reads take a FILE path; streaming reads take a DIRECTORY of
+  // immutable shard files (as produced by the write path) — same
+  // contract as the xyz source
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GroScanBuilder(path, chunks)
   override def newWriteBuilder(
@@ -120,10 +124,16 @@ class GroScan(path: String, chunks: Int, required: StructType)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Streaming twin over a directory of shard files (same shape as
+    * XyzMicroBatchStream). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GroMicroBatchStream(path, chunks, required)
+
   /** Driver-side length probe → one InputPartition per `chunks` frames
     * (core/dask_traj.py:87-90 analog, same shape as XyzScan). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val src = Source.fromFile(path)
+    val src = XyzLines.open(path)
     try {
       val it = src.getLines()
       if (!it.hasNext) return Array.empty
@@ -163,7 +173,7 @@ class GroReaderFactory(path: String, required: StructType)
 class GroPartitionReader(path: String, required: StructType,
     range: GroFrameRange) extends PartitionReader[InternalRow] {
 
-  private val src = Source.fromFile(path)
+  private val src = XyzLines.open(path)
   private val lines = src.getLines()
   private val frameLines = range.nAtoms + 3
   (0L until range.startFrame * frameLines).foreach { _ =>

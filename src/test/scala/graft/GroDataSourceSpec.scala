@@ -150,6 +150,51 @@ class GroDataSourceSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("gro parse error")))
   }
 
+  test("gro.gz reads transparently (shared XyzLines gzip machinery)") {
+    val gz = Files.createTempFile("traj", ".gro.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gz.toFile))
+    out.write(Files.readAllBytes(java.nio.file.Paths.get(fixture)))
+    out.close()
+    val df = spark.read.format("gro").load(gz.toString)
+    assert(df.count() == 4)
+    val r = df.filter(col("frame_id") === 1 && col("atom_id") === 0)
+      .collect()(0)
+    assert(r.getAs[Double]("time") == 10.0)
+    assert(r.getAs[Float]("bv2y") == 7.0f)
+  }
+
+  test("gro streaming read over a shard directory picks up new shards") {
+    val dir = Files.createTempDirectory("grostream").toString
+    def shard(name: String, t: Double, x: Double): Unit = {
+      val txt = Seq(
+        s"MD sim t= $t",
+        "2",
+        f"${1}%5d${"SOL"}%-5s${"OW"}%-5s${1}%5d$x%8.3f${1.0}%8.3f${2.0}%8.3f",
+        f"${1}%5d${"SOL"}%-5s${"HW1"}%-5s${2}%5d$x%8.3f${3.0}%8.3f${4.0}%8.3f",
+        "   6.00000   6.00000   6.00000",
+        "").mkString("\n")
+      Files.writeString(java.nio.file.Paths.get(dir, name), txt)
+    }
+    shard("part-00000.gro", 0.0, 0.5)
+    shard("part-00001.gro", 5.0, 1.5)
+    val stream = spark.readStream.format("gro").load(dir)
+    val q = stream.writeStream.format("memory").queryName("gro_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gro_stream").count() == 4)
+      // a shard arriving mid-stream lands in the next micro-batch
+      shard("part-00002.gro", 10.0, 2.5)
+      q.processAllAvailable()
+      assert(spark.table("gro_stream").count() == 6)
+      val t = spark.table("gro_stream")
+        .filter(col("time") === 10.0 && col("atom_id") === 0)
+        .collect()(0)
+      assert(t.getAs[Float]("x") == 2.5f)
+    } finally q.stop()
+  }
+
   test("xyz streaming read over a shard directory picks up new shards") {
     val dir = Files.createTempDirectory("xyzstream").toString
     def shard(name: String, frame: Long): Unit = {
