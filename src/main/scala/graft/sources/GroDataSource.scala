@@ -55,6 +55,7 @@ class GroDataSource extends TableProvider with DataSourceRegister {
     }.getOrElse(10)
     if (chunks <= 0) throw new IllegalArgumentException(
       s"gro option 'chunks' must be > 0, got $chunks")
+    val mode = ParseMode.fromOptions("gro", properties)
     if (schema != null) {
       val want = GroTable.Schema.fields.map(f => (f.name, f.dataType)).toSeq
       val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -62,7 +63,7 @@ class GroDataSource extends TableProvider with DataSourceRegister {
         "gro source has a fixed schema " + GroTable.Schema.simpleString +
           "; the supplied read schema does not match")
     }
-    new GroTable(path, chunks)
+    new GroTable(path, chunks, mode)
   }
 }
 
@@ -90,7 +91,8 @@ object GroTable {
     StructField("bv3z", FloatType, nullable = true)))
 }
 
-class GroTable(path: String, chunks: Int) extends Table with SupportsRead
+class GroTable(path: String, chunks: Int,
+    mode: String = ParseMode.FailFast) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"gro:$path"
   override def schema(): StructType = GroTable.Schema
@@ -101,25 +103,27 @@ class GroTable(path: String, chunks: Int) extends Table with SupportsRead
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new GroScanBuilder(path, chunks)
+      : ScanBuilder = new GroScanBuilder(path, chunks, mode)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GroWriteBuilder(path, info)
 }
 
-class GroScanBuilder(path: String, chunks: Int)
+class GroScanBuilder(path: String, chunks: Int,
+    mode: String = ParseMode.FailFast)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = GroTable.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GroScan(path, chunks, required)
+  override def build(): Scan = new GroScan(path, chunks, required, mode)
 }
 
 case class GroFrameRange(startFrame: Long, endFrame: Long, nAtoms: Int)
     extends InputPartition
 
-class GroScan(path: String, chunks: Int, required: StructType)
+class GroScan(path: String, chunks: Int, required: StructType,
+    mode: String = ParseMode.FailFast)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -154,15 +158,16 @@ class GroScan(path: String, chunks: Int, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GroReaderFactory(path, required)
+    new GroReaderFactory(path, required, mode)
 }
 
-class GroReaderFactory(path: String, required: StructType)
+class GroReaderFactory(path: String, required: StructType,
+    mode: String = ParseMode.FailFast)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new GroPartitionReader(path, required,
-      partition.asInstanceOf[GroFrameRange])
+      partition.asInstanceOf[GroFrameRange], mode)
 }
 
 /** Positioned chunk read: skip whole frames before the range, then
@@ -171,7 +176,11 @@ class GroReaderFactory(path: String, required: StructType)
   * of the frame carries it. Buffer bound = natoms, the same per-chunk
   * bound the reference's read_chunk has (core/dask_traj.py:329-361). */
 class GroPartitionReader(path: String, required: StructType,
-    range: GroFrameRange) extends PartitionReader[InternalRow] {
+    range: GroFrameRange, mode: String = ParseMode.FailFast)
+    extends PartitionReader[InternalRow] {
+
+  private val dropMalformed = mode == ParseMode.DropMalformed
+  private var dropped = 0L
 
   private val src = XyzLines.open(path)
   private val lines = src.getLines()
@@ -189,6 +198,7 @@ class GroPartitionReader(path: String, required: StructType,
   private val xs = new Array[Float](range.nAtoms)
   private val ys = new Array[Float](range.nAtoms)
   private val zs = new Array[Float](range.nAtoms)
+  private val ok = Array.fill(range.nAtoms)(true) // DROPMALFORMED skips
   private var emit = range.nAtoms // buffer exhausted → load next frame
   private var current: InternalRow = _
 
@@ -229,14 +239,24 @@ class GroPartitionReader(path: String, required: StructType,
     while (a < range.nAtoms) {
       if (!lines.hasNext) parseFail(s"truncated frame at atom $a", "")
       val line = lines.next()
-      if (line.length < 44)
-        parseFail(s"atom line too short (${line.length} chars, need 44)", line)
-      resId(a) = intOr(line.substring(0, 5), 0)
-      resName(a) = line.substring(5, 10).trim
-      atomName(a) = line.substring(10, 15).trim
-      xs(a) = numOrFail(line.substring(20, 28), "x", line).toFloat
-      ys(a) = numOrFail(line.substring(28, 36), "y", line).toFloat
-      zs(a) = numOrFail(line.substring(36, 44), "z", line).toFloat
+      try {
+        if (line.length < 44)
+          parseFail(s"atom line too short (${line.length} chars, need 44)",
+            line)
+        resId(a) = intOr(line.substring(0, 5), 0)
+        resName(a) = line.substring(5, 10).trim
+        atomName(a) = line.substring(10, 15).trim
+        xs(a) = numOrFail(line.substring(20, 28), "x", line).toFloat
+        ys(a) = numOrFail(line.substring(28, 36), "y", line).toFloat
+        zs(a) = numOrFail(line.substring(36, 44), "z", line).toFloat
+        ok(a) = true
+      } catch {
+        // ensure_type warn-don't-fail analog: drop the record but keep
+        // the fixed frame-line arithmetic intact
+        case _: IllegalStateException if dropMalformed =>
+          ok(a) = false
+          dropped += 1
+      }
       a += 1
     }
     if (!lines.hasNext) parseFail("missing box line", "")
@@ -263,6 +283,10 @@ class GroPartitionReader(path: String, required: StructType,
 
   override def next(): Boolean = {
     if (emit >= range.nAtoms && !loadFrame()) return false
+    while (!ok(emit)) { // skip records dropped by DROPMALFORMED
+      emit += 1
+      if (emit >= range.nAtoms && !loadFrame()) return false
+    }
     val a = emit
     emit += 1
     val row = new Array[Any](ordinals.length)
@@ -287,5 +311,8 @@ class GroPartitionReader(path: String, required: StructType,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = src.close()
+  override def close(): Unit = {
+    ParseMode.warnDropped("gro", path, dropped)
+    src.close()
+  }
 }

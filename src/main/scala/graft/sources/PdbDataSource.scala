@@ -68,6 +68,7 @@ class PdbDataSource extends TableProvider with DataSourceRegister {
           s"pdb option 'unit_scale' must be numeric, got '$v'")
       }
     }.getOrElse(0.1) // Å → nm, the PDB distance_unit
+    val mode = ParseMode.fromOptions("pdb", properties)
     if (schema != null) {
       val want = PdbTable.Schema.fields.map(f => (f.name, f.dataType)).toSeq
       val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -75,7 +76,7 @@ class PdbDataSource extends TableProvider with DataSourceRegister {
         "pdb source has a fixed schema " + PdbTable.Schema.simpleString +
           "; the supplied read schema does not match")
     }
-    new PdbTable(path, chunks, unitScale)
+    new PdbTable(path, chunks, unitScale, mode)
   }
 }
 
@@ -101,22 +102,25 @@ object PdbTable {
     StructField("box_gamma", FloatType, nullable = true)))
 }
 
-class PdbTable(path: String, chunks: Int, unitScale: Double)
+class PdbTable(path: String, chunks: Int, unitScale: Double,
+    mode: String = ParseMode.FailFast)
     extends Table with SupportsRead {
   override def name(): String = s"pdb:$path"
   override def schema(): StructType = PdbTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new PdbScanBuilder(path, chunks, unitScale)
+      : ScanBuilder = new PdbScanBuilder(path, chunks, unitScale, mode)
 }
 
-class PdbScanBuilder(path: String, chunks: Int, unitScale: Double)
+class PdbScanBuilder(path: String, chunks: Int, unitScale: Double,
+    mode: String = ParseMode.FailFast)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = PdbTable.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PdbScan(path, chunks, unitScale, required)
+  override def build(): Scan =
+    new PdbScan(path, chunks, unitScale, required, mode)
 }
 
 /** One partition = a run of whole models; startLine is the absolute
@@ -129,7 +133,8 @@ case class PdbFrameRange(startFrame: Long, endFrame: Long, startLine: Long,
     extends InputPartition
 
 class PdbScan(path: String, chunks: Int, unitScale: Double,
-    required: StructType) extends Scan with Batch {
+    required: StructType, mode: String = ParseMode.FailFast)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -183,23 +188,28 @@ class PdbScan(path: String, chunks: Int, unitScale: Double,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PdbReaderFactory(path, unitScale, required)
+    new PdbReaderFactory(path, unitScale, required, mode)
 }
 
 class PdbReaderFactory(path: String, unitScale: Double,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, mode: String = ParseMode.FailFast)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new PdbPartitionReader(path, unitScale, required,
-      partition.asInstanceOf[PdbFrameRange])
+      partition.asInstanceOf[PdbFrameRange], mode)
 }
 
 /** Positioned chunk read: skip to the partition's first MODEL line,
   * then stream ATOM/HETATM records, closing frames at ENDMDL (or EOF
   * for MODEL-less files). */
 class PdbPartitionReader(path: String, unitScale: Double,
-    required: StructType, range: PdbFrameRange)
+    required: StructType, range: PdbFrameRange,
+    mode: String = ParseMode.FailFast)
     extends PartitionReader[InternalRow] {
+
+  private val dropMalformed = mode == ParseMode.DropMalformed
+  private var dropped = 0L
 
   private val src = XyzLines.open(path)
   private val lines = src.getLines()
@@ -249,37 +259,52 @@ class PdbPartitionReader(path: String, unitScale: Double,
     while (lines.hasNext) {
       val line = lines.next()
       if (line.startsWith("ATOM") || line.startsWith("HETATM")) {
-        if (line.length < 54)
-          parseFail(s"atom record too short (${line.length} chars, need 54)",
-            line)
-        val name = slice(line, 12, 16).trim
-        val row = new Array[Any](ordinals.length)
-        var i = 0
-        while (i < ordinals.length) {
-          row(i) = ordinals(i) match {
-            case 0 => frame
-            case 1 => atomInFrame
-            case 2 => intOr(slice(line, 6, 11), atomInFrame + 1)
-            case 3 => UTF8String.fromString(name)
-            case 4 => UTF8String.fromString(slice(line, 17, 20).trim)
-            case 5 => UTF8String.fromString(slice(line, 21, 22).trim)
-            case 6 => intOr(slice(line, 22, 26), 0)
-            case 7 => UTF8String.fromString(element(line, name))
-            case 8 => (numOrFail(slice(line, 30, 38), "x", line) * unitScale).toFloat
-            case 9 => (numOrFail(slice(line, 38, 46), "y", line) * unitScale).toFloat
-            case 10 => (numOrFail(slice(line, 46, 54), "z", line) * unitScale).toFloat
-            case 11 => if (range.hasBox) range.boxA else null
-            case 12 => if (range.hasBox) range.boxB else null
-            case 13 => if (range.hasBox) range.boxC else null
-            case 14 => if (range.hasBox) range.boxAlpha else null
-            case 15 => if (range.hasBox) range.boxBeta else null
-            case n => if (range.hasBox) range.boxGamma else null
+        try {
+          if (line.length < 54)
+            parseFail(s"atom record too short (${line.length} chars, need 54)",
+              line)
+          if (dropMalformed) {
+            // drop decisions must not depend on column pruning (see
+            // XyzPartitionReader): validate coords even when pruned
+            numOrFail(slice(line, 30, 38), "x", line)
+            numOrFail(slice(line, 38, 46), "y", line)
+            numOrFail(slice(line, 46, 54), "z", line)
           }
-          i += 1
+          val name = slice(line, 12, 16).trim
+          val row = new Array[Any](ordinals.length)
+          var i = 0
+          while (i < ordinals.length) {
+            row(i) = ordinals(i) match {
+              case 0 => frame
+              case 1 => atomInFrame
+              case 2 => intOr(slice(line, 6, 11), atomInFrame + 1)
+              case 3 => UTF8String.fromString(name)
+              case 4 => UTF8String.fromString(slice(line, 17, 20).trim)
+              case 5 => UTF8String.fromString(slice(line, 21, 22).trim)
+              case 6 => intOr(slice(line, 22, 26), 0)
+              case 7 => UTF8String.fromString(element(line, name))
+              case 8 => (numOrFail(slice(line, 30, 38), "x", line) * unitScale).toFloat
+              case 9 => (numOrFail(slice(line, 38, 46), "y", line) * unitScale).toFloat
+              case 10 => (numOrFail(slice(line, 46, 54), "z", line) * unitScale).toFloat
+              case 11 => if (range.hasBox) range.boxA else null
+              case 12 => if (range.hasBox) range.boxB else null
+              case 13 => if (range.hasBox) range.boxC else null
+              case 14 => if (range.hasBox) range.boxAlpha else null
+              case 15 => if (range.hasBox) range.boxBeta else null
+              case n => if (range.hasBox) range.boxGamma else null
+            }
+            i += 1
+          }
+          current = InternalRow.fromSeq(row.toIndexedSeq)
+          atomInFrame += 1
+          return true
+        } catch {
+          // ensure_type warn-don't-fail analog: drop the record, keep
+          // the ordinal arithmetic stable
+          case _: IllegalStateException if dropMalformed =>
+            dropped += 1
+            atomInFrame += 1
         }
-        current = InternalRow.fromSeq(row.toIndexedSeq)
-        atomInFrame += 1
-        return true
       } else if (line.startsWith("ENDMDL")) {
         frame += 1
         atomInFrame = 0
@@ -292,7 +317,10 @@ class PdbPartitionReader(path: String, unitScale: Double,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = src.close()
+  override def close(): Unit = {
+    ParseMode.warnDropped("pdb", path, dropped)
+    src.close()
+  }
 }
 
 /** Topology from a PDB scan: the reference builds its topology from the

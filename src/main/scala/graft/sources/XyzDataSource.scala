@@ -27,6 +27,37 @@ private[sources] object XyzLines {
     else Source.fromFile(path)
 }
 
+/** Malformed-record handling shared by the trajectory text sources —
+  * the Spark-idiomatic form of the reference's `ensure_type`
+  * warn-and-continue contract (utils/validation.py:97-101: coercible
+  * input is accepted with a warning; only truly invalid input raises).
+  * Same names and semantics as Spark's CSV/JSON sources:
+  *  - FAILFAST (default): any malformed record fails the task with
+  *    file/frame/line context;
+  *  - DROPMALFORMED: malformed records are dropped, counted, and
+  *    reported once per partition through the task's logger.
+  */
+private[sources] object ParseMode {
+  val FailFast = "FAILFAST"
+  val DropMalformed = "DROPMALFORMED"
+
+  def fromOptions(fmt: String, properties: java.util.Map[String, String])
+      : String =
+    Option(properties.get("mode")).map(_.toUpperCase) match {
+      case None | Some(FailFast) => FailFast
+      case Some(DropMalformed) => DropMalformed
+      case Some(other) => throw new IllegalArgumentException(
+        s"$fmt option 'mode' must be FAILFAST or DROPMALFORMED, " +
+          s"got '$other'")
+    }
+
+  def warnDropped(fmt: String, path: String, dropped: Long): Unit =
+    if (dropped > 0)
+      org.slf4j.LoggerFactory.getLogger(s"graft.sources.$fmt").warn(
+        s"$fmt source dropped $dropped malformed record(s) from $path " +
+          "(mode=DROPMALFORMED)")
+}
+
 /** DataSourceV2 connector for the plain-text XYZ trajectory format —
   * the Spark-native re-expression of the reference's chunked lazy scan
   * (SURVEY §2.1 S1–S5):
@@ -83,6 +114,7 @@ class XyzDataSource extends TableProvider with DataSourceRegister {
           s"xyz option 'unit_scale' must be numeric, got '$v'")
       }
     }.getOrElse(1.0)
+    val mode = ParseMode.fromOptions("xyz", properties)
     if (schema != null) {
       val want = XyzTable.Schema.fields.map(f => (f.name, f.dataType)).toSeq
       val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
@@ -91,7 +123,7 @@ class XyzDataSource extends TableProvider with DataSourceRegister {
           "; the supplied read schema " + schema.simpleString +
           " does not match (drop .schema(...) or make it identical)")
     }
-    new XyzTable(path, chunks, unitScale)
+    new XyzTable(path, chunks, unitScale, mode)
   }
 }
 
@@ -112,7 +144,8 @@ object XyzTable {
     StructField("box_z", FloatType, nullable = true)))
 }
 
-class XyzTable(path: String, chunks: Int, unitScale: Double)
+class XyzTable(path: String, chunks: Int, unitScale: Double,
+    mode: String = ParseMode.FailFast)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"xyz:$path"
@@ -123,14 +156,15 @@ class XyzTable(path: String, chunks: Int, unitScale: Double)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new XyzScanBuilder(path, chunks, unitScale)
+      : ScanBuilder = new XyzScanBuilder(path, chunks, unitScale, mode)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new XyzWriteBuilder(path, info)
 }
 
-class XyzScanBuilder(path: String, chunks: Int, unitScale: Double)
+class XyzScanBuilder(path: String, chunks: Int, unitScale: Double,
+    mode: String = ParseMode.FailFast)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = XyzTable.Schema
@@ -176,7 +210,8 @@ class XyzScanBuilder(path: String, chunks: Int, unitScale: Double)
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   override def build(): Scan =
-    new XyzScan(path, chunks, unitScale, required, frameLo, frameHi, limit)
+    new XyzScan(path, chunks, unitScale, required, frameLo, frameHi, limit,
+      mode)
 }
 
 case class XyzFrameRange(startFrame: Long, endFrame: Long, nAtoms: Int)
@@ -184,7 +219,8 @@ case class XyzFrameRange(startFrame: Long, endFrame: Long, nAtoms: Int)
 
 class XyzScan(path: String, chunks: Int, unitScale: Double,
     required: StructType, frameLo: Long = 0L,
-    frameHi: Long = Long.MaxValue, limit: Int = -1)
+    frameHi: Long = Long.MaxValue, limit: Int = -1,
+    mode: String = ParseMode.FailFast)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -225,22 +261,27 @@ class XyzScan(path: String, chunks: Int, unitScale: Double,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new XyzReaderFactory(path, unitScale, required)
+    new XyzReaderFactory(path, unitScale, required, mode)
 }
 
 class XyzReaderFactory(path: String, unitScale: Double,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, mode: String = ParseMode.FailFast)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new XyzPartitionReader(path, unitScale, required,
-      partition.asInstanceOf[XyzFrameRange])
+      partition.asInstanceOf[XyzFrameRange], mode)
 }
 
 /** Positioned chunk read (core/dask_traj.py:329-361): skip to the
   * partition's first frame, parse frames until the range ends. */
 class XyzPartitionReader(path: String, unitScale: Double,
-    required: StructType, range: XyzFrameRange)
+    required: StructType, range: XyzFrameRange,
+    mode: String = ParseMode.FailFast)
     extends PartitionReader[InternalRow] {
+
+  private val dropMalformed = mode == ParseMode.DropMalformed
+  private var dropped = 0L
 
   private val src = XyzLines.open(path)
   private val lines = src.getLines()
@@ -280,52 +321,78 @@ class XyzPartitionReader(path: String, unitScale: Double,
     }
 
   override def next(): Boolean = {
-    if (frame >= range.endFrame) return false
-    if (atomInFrame == range.nAtoms) {
-      // frame header: natoms line + comment line
+    while (true) {
+      if (frame >= range.endFrame) return false
+      if (atomInFrame == range.nAtoms) {
+        // frame header: natoms line + comment line
+        if (!lines.hasNext) return false
+        lines.next() // natoms (validated at plan time)
+        val comment = if (lines.hasNext) lines.next() else ""
+        try comment match {
+          case boxRe(t, bx, by, bz) =>
+            time = numOrFail(t, "Step token", comment)
+            box = Option(bx).map(_ =>
+              ((numOrFail(bx, "Box x", comment) * unitScale).toFloat,
+                (numOrFail(by, "Box y", comment) * unitScale).toFloat,
+                (numOrFail(bz, "Box z", comment) * unitScale).toFloat))
+          case _ => time = frame.toDouble; box = None
+        } catch {
+          // coercion fallback, the warn-don't-fail half of ensure_type
+          case _: IllegalStateException if dropMalformed =>
+            time = frame.toDouble; box = None; dropped += 1
+        }
+        atomInFrame = 0
+      }
       if (!lines.hasNext) return false
-      lines.next() // natoms (validated at plan time)
-      val comment = if (lines.hasNext) lines.next() else ""
-      comment match {
-        case boxRe(t, bx, by, bz) =>
-          time = numOrFail(t, "Step token", comment)
-          box = Option(bx).map(_ =>
-            ((numOrFail(bx, "Box x", comment) * unitScale).toFloat,
-              (numOrFail(by, "Box y", comment) * unitScale).toFloat,
-              (numOrFail(bz, "Box z", comment) * unitScale).toFloat))
-        case _ => time = frame.toDouble; box = None
+      val line = lines.next()
+      try {
+        val parts = line.trim.split("\\s+")
+        if (parts.length < 4)
+          parseFail(s"atom line has ${parts.length} fields, need 4", line)
+        if (dropMalformed) {
+          // drop decisions must not depend on column pruning: validate
+          // the full record even when the coords are pruned away (the
+          // same rule Spark's CSV source applies under DROPMALFORMED)
+          numOrFail(parts(1), "x", line)
+          numOrFail(parts(2), "y", line)
+          numOrFail(parts(3), "z", line)
+        }
+        val atomId = atomInFrame
+        val row = new Array[Any](ordinals.length)
+        var i = 0
+        while (i < ordinals.length) {
+          row(i) = ordinals(i) match {
+            case 0 => frame
+            case 1 => time
+            case 2 => atomId
+            case 3 => UTF8String.fromString(parts(0))
+            case 4 => (numOrFail(parts(1), "x", line) * unitScale).toFloat
+            case 5 => (numOrFail(parts(2), "y", line) * unitScale).toFloat
+            case 6 => (numOrFail(parts(3), "z", line) * unitScale).toFloat
+            case 7 => box.map(_._1).orNull
+            case 8 => box.map(_._2).orNull
+            case 9 => box.map(_._3).orNull
+          }
+          i += 1
+        }
+        current = InternalRow.fromSeq(row.toIndexedSeq)
+        atomInFrame += 1
+        if (atomInFrame == range.nAtoms) frame += 1
+        return true
+      } catch {
+        case _: IllegalStateException if dropMalformed =>
+          // drop the record but keep the frame-position arithmetic
+          dropped += 1
+          atomInFrame += 1
+          if (atomInFrame == range.nAtoms) frame += 1
       }
-      atomInFrame = 0
     }
-    if (!lines.hasNext) return false
-    val line = lines.next()
-    val parts = line.trim.split("\\s+")
-    if (parts.length < 4)
-      parseFail(s"atom line has ${parts.length} fields, need 4", line)
-    val atomId = atomInFrame
-    val row = new Array[Any](ordinals.length)
-    var i = 0
-    while (i < ordinals.length) {
-      row(i) = ordinals(i) match {
-        case 0 => frame
-        case 1 => time
-        case 2 => atomId
-        case 3 => UTF8String.fromString(parts(0))
-        case 4 => (numOrFail(parts(1), "x", line) * unitScale).toFloat
-        case 5 => (numOrFail(parts(2), "y", line) * unitScale).toFloat
-        case 6 => (numOrFail(parts(3), "z", line) * unitScale).toFloat
-        case 7 => box.map(_._1).orNull
-        case 8 => box.map(_._2).orNull
-        case 9 => box.map(_._3).orNull
-      }
-      i += 1
-    }
-    current = InternalRow.fromSeq(row.toIndexedSeq)
-    atomInFrame += 1
-    if (atomInFrame == range.nAtoms) frame += 1
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = src.close()
+  override def close(): Unit = {
+    ParseMode.warnDropped("xyz", path, dropped)
+    src.close()
+  }
 }

@@ -112,10 +112,21 @@ object TrajModel {
   private val sharedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** NOT computeIfAbsent: builders nest (positions → atom_dim,
+    * topology → atom_dim) and a nested computeIfAbsent on the same map
+    * throws "Recursive update". get + putIfAbsent tolerates the
+    * nesting; the benign race double-builds at worst. */
   private def shared(s: SparkSession, d: String, key: String)
-      (build: => DataFrame): DataFrame =
-    sharedCache.computeIfAbsent((s, d, key),
-      _ => build.localCheckpoint(false))
+      (build: => DataFrame): DataFrame = {
+    val k = (s, d, key)
+    val existing = sharedCache.get(k)
+    if (existing != null) existing
+    else {
+      val built = build.localCheckpoint(false)
+      val prev = sharedCache.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
 
   def positionsShared(s: SparkSession, d: String): DataFrame =
     shared(s, d, "positions")(positions(s, d))

@@ -37,12 +37,25 @@ object TrajQueries {
       col("z").as(s"${alias}z"))
 
   /** pairs ⋈ positions(p) ⋈ positions(q): the frame×pair expansion
-    * subplan shared by every pairwise geometry query (J2). */
-  private def pairExpansion(s: SparkSession, p: DataFrame): DataFrame =
+    * subplan shared by every pairwise geometry query (J2). The pair
+    * list is literal, so each positions role is pre-filtered to the
+    * referenced atom ids — the Spark-side twin of the oracle's posq CTE
+    * (TrajModel.pairsSql) and of the reference gathering only the
+    * atoms the pair list names (geometry/distance.py:131-141). Without
+    * it the static plan runs positions-sized sort-merge joins that only
+    * AQE rescues at runtime; with it every join input is
+    * |atoms(pairs)| × n_frames rows and broadcasts. */
+  private def pairExpansion(s: SparkSession, p: DataFrame): DataFrame = {
+    val atomIds = TrajModel.pairs.flatMap { case (a, b) => Seq(a, b) }
+      .distinct.sorted
+    val pf = p.filter(col("atom_id").isin(atomIds: _*))
+    // the filtered roles are ≤ |atoms(pairs)| × n_frames rows — hint
+    // the broadcast rather than waiting for AQE to discover it
     TrajModel.pairsDf(s)
-      .join(role(p, "p"), col("p_atom") === col("a1"))
-      .join(role(p, "q"), col("q_atom") === col("a2") &&
+      .join(broadcast(role(pf, "p")), col("p_atom") === col("a1"))
+      .join(broadcast(role(pf, "q")), col("q_atom") === col("a2") &&
         col("p_frame") === col("q_frame"))
+  }
 
   private val pairExpansionSql =
     """FROM pairs
@@ -231,16 +244,19 @@ object TrajQueries {
     * where either displacement vector is zero-length are filtered in
     * both engines (the reference would emit NaN there). */
   def trajAngles(s: SparkSession, d: String): DataFrame = {
+    val atomIds = TrajModel.triplets
+      .flatMap { case (a, b, c) => Seq(a, b, c) }.distinct.sorted
     val p = TrajModel.positionsShared(s, d)
+      .filter(col("atom_id").isin(atomIds: _*)) // post-CTE twin
     val ux = col("ax") - col("bx"); val uy = col("ay") - col("by")
     val uz = col("az") - col("bz")
     val vx = col("cx") - col("bx"); val vy = col("cy") - col("by")
     val vz = col("cz") - col("bz")
     TrajModel.tripletsDf(s)
-      .join(role(p, "a"), col("a_atom") === col("ai"))
-      .join(role(p, "b"), col("b_atom") === col("aj") &&
+      .join(broadcast(role(p, "a")), col("a_atom") === col("ai"))
+      .join(broadcast(role(p, "b")), col("b_atom") === col("aj") &&
         col("a_frame") === col("b_frame"))
-      .join(role(p, "c"), col("c_atom") === col("ak") &&
+      .join(broadcast(role(p, "c")), col("c_atom") === col("ak") &&
         col("a_frame") === col("c_frame"))
       .filter(norm2(ux, uy, uz) > 0 && norm2(vx, vy, vz) > 0)
       .select(col("a_frame").as("frame_id"), col("ai"), col("aj"),

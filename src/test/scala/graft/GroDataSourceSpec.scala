@@ -131,6 +131,43 @@ class GroDataSourceSpec extends AnyFunSuite {
     assert(r.getAs[Float]("bv2y") == 7.0f)
   }
 
+  test("mode=DROPMALFORMED drops bad records instead of failing " +
+    "(ensure_type warn-and-continue analog, validation.py:97-101)") {
+    // xyz: frame of 3 atoms, middle atom line corrupt
+    val xyz = Files.createTempFile("perm", ".xyz")
+    Files.writeString(xyz,
+      "3\n# Step: 0 Box: 6.0 6.0 6.0\n" +
+        "C 1.0 2.0 3.0\nH 4.0 oops 6.0\nO 7.0 8.0 9.0\n" +
+        "3\n# Step: 1 Box: 6.0 6.0 6.0\n" +
+        "C 1.5 2.5 3.5\nH 4.5 5.5 6.5\nO 7.5 8.5 9.5\n")
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("xyz").load(xyz.toString).collect()
+    }
+    val tolerant = spark.read.format("xyz")
+      .option("mode", "DROPMALFORMED").load(xyz.toString)
+    assert(tolerant.count() == 5) // 6 records, 1 dropped
+    // the drop does not disturb frame arithmetic: frame 1 is intact
+    assert(tolerant.filter(col("frame_id") === 1).count() == 3)
+    assert(tolerant.filter(col("frame_id") === 0)
+      .collect().map(_.getAs[Int]("atom_id")).sorted.toSeq == Seq(0, 2))
+    // gro: same contract through the buffered reader
+    val gro = Files.createTempFile("perm", ".gro")
+    def groAtom(num: Int, x: String): String =
+      f"${1}%5d${"SOL"}%-5s${"OW"}%-5s$num%5d$x%8s${1.0}%8.3f${2.0}%8.3f"
+    Files.writeString(gro,
+      "t= 0\n2\n" + groAtom(1, "0.100") + "\n" + groAtom(2, "bad!") +
+        "\n   6.0   6.0   6.0\n")
+    val groTol = spark.read.format("gro")
+      .option("mode", "DROPMALFORMED").load(gro.toString)
+    assert(groTol.count() == 1)
+    assert(groTol.collect()(0).getAs[Int]("atom_id") == 0)
+    // invalid mode value is a plan-time error
+    intercept[IllegalArgumentException] {
+      spark.read.format("xyz").option("mode", "LENIENT")
+        .load(xyz.toString).count()
+    }
+  }
+
   test("malformed frames fail with file/frame/line context") {
     // xyz: non-numeric coordinate
     val badXyz = Files.createTempFile("bad", ".xyz")

@@ -131,6 +131,22 @@ class PdbDataSourceSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("pdb parse error")))
   }
 
+  test("mode=DROPMALFORMED drops bad ATOM records, keeps the rest") {
+    val mixed = Files.createTempFile("perm", ".pdb")
+    Files.writeString(mixed, Seq(
+      "MODEL        0",
+      atom(1, "N", "MET", "A", 1, 1.0, 2.0, 3.0, "N"),
+      "ATOM      2  H   MET A   1        oops  74.356  20.700",
+      atom(3, "CA", "MET", "A", 1, 4.0, 5.0, 6.0, "C"),
+      "ENDMDL", "").mkString("\n"))
+    val df = spark.read.format("pdb")
+      .option("mode", "DROPMALFORMED").load(mixed.toString)
+    assert(df.count() == 2)
+    // ordinal arithmetic stays stable across the dropped record
+    assert(df.collect().map(_.getAs[Int]("atom_id")).sorted.toSeq ==
+      Seq(0, 2))
+  }
+
   test("pdb.gz reads transparently (shared XyzLines gzip machinery)") {
     val gz = Files.createTempFile("traj", ".pdb.gz")
     val out = new java.util.zip.GZIPOutputStream(
