@@ -112,18 +112,57 @@ class GroTable(path: String, chunks: Int,
 
 class GroScanBuilder(path: String, chunks: Int,
     mode: String = ParseMode.FailFast)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = GroTable.Schema
+  private var frameLo: Long = 0L
+  private var frameHi: Long = Long.MaxValue // exclusive
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GroScan(path, chunks, required, mode)
+
+  /** frame_id predicates shrink the planned range (chunk pruning at
+    * plan time — same contract as XyzScanBuilder); all filters are
+    * returned as residuals so Spark still applies them exactly. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    filters.foreach {
+      case EqualTo("frame_id", v: Long) =>
+        frameLo = math.max(frameLo, v); frameHi = math.min(frameHi, v + 1)
+      case GreaterThan("frame_id", v: Long) =>
+        frameLo = math.max(frameLo, v + 1)
+      case GreaterThanOrEqual("frame_id", v: Long) =>
+        frameLo = math.max(frameLo, v)
+      case LessThan("frame_id", v: Long) =>
+        frameHi = math.min(frameHi, v)
+      case LessThanOrEqual("frame_id", v: Long) =>
+        frameHi = math.min(frameHi, v + 1)
+      case _ => ()
+    }
+    pushed = filters.filter {
+      case EqualTo("frame_id", _) | GreaterThan("frame_id", _) |
+           GreaterThanOrEqual("frame_id", _) | LessThan("frame_id", _) |
+           LessThanOrEqual("frame_id", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
+  override def build(): Scan =
+    new GroScan(path, chunks, required, mode, frameLo, frameHi)
 }
 
 case class GroFrameRange(startFrame: Long, endFrame: Long, nAtoms: Int)
     extends InputPartition
 
 class GroScan(path: String, chunks: Int, required: StructType,
-    mode: String = ParseMode.FailFast)
+    mode: String = ParseMode.FailFast, frameLo: Long = 0L,
+    frameHi: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -150,8 +189,11 @@ class GroScan(path: String, chunks: Int, required: StructType,
       while (it.hasNext) { it.next(); lines += 1 }
       val frameLines = nAtoms + 3
       val nFrames = lines / frameLines
-      (0L until nFrames by chunks.toLong).map { start =>
-        GroFrameRange(start, math.min(start + chunks, nFrames), nAtoms)
+      val lo = math.max(0L, frameLo)
+      val hi = math.min(nFrames, frameHi)
+      if (lo >= hi) return Array.empty
+      (lo until hi by chunks.toLong).map { start =>
+        GroFrameRange(start, math.min(start + chunks, hi), nAtoms)
           : InputPartition
       }.toArray
     } finally src.close()

@@ -115,12 +115,48 @@ class PdbTable(path: String, chunks: Int, unitScale: Double,
 
 class PdbScanBuilder(path: String, chunks: Int, unitScale: Double,
     mode: String = ParseMode.FailFast)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = PdbTable.Schema
+  private var frameLo: Long = 0L
+  private var frameHi: Long = Long.MaxValue // exclusive
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** frame_id predicates prune whole models from the plan (same
+    * contract as Xyz/GroScanBuilder); filters all stay residual. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    filters.foreach {
+      case EqualTo("frame_id", v: Long) =>
+        frameLo = math.max(frameLo, v); frameHi = math.min(frameHi, v + 1)
+      case GreaterThan("frame_id", v: Long) =>
+        frameLo = math.max(frameLo, v + 1)
+      case GreaterThanOrEqual("frame_id", v: Long) =>
+        frameLo = math.max(frameLo, v)
+      case LessThan("frame_id", v: Long) =>
+        frameHi = math.min(frameHi, v)
+      case LessThanOrEqual("frame_id", v: Long) =>
+        frameHi = math.min(frameHi, v + 1)
+      case _ => ()
+    }
+    pushed = filters.filter {
+      case EqualTo("frame_id", _) | GreaterThan("frame_id", _) |
+           GreaterThanOrEqual("frame_id", _) | LessThan("frame_id", _) |
+           LessThanOrEqual("frame_id", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
   override def build(): Scan =
-    new PdbScan(path, chunks, unitScale, required, mode)
+    new PdbScan(path, chunks, unitScale, required, mode, frameLo, frameHi)
 }
 
 /** One partition = a run of whole models; startLine is the absolute
@@ -133,7 +169,8 @@ case class PdbFrameRange(startFrame: Long, endFrame: Long, startLine: Long,
     extends InputPartition
 
 class PdbScan(path: String, chunks: Int, unitScale: Double,
-    required: StructType, mode: String = ParseMode.FailFast)
+    required: StructType, mode: String = ParseMode.FailFast,
+    frameLo: Long = 0L, frameHi: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -179,8 +216,11 @@ class PdbScan(path: String, chunks: Int, unitScale: Double,
         if (modelLines.isEmpty) IndexedSeq(0L) else modelLines.toIndexedSeq
       val (ba, bb, bc, bal, bbe, bga) =
         box.getOrElse((0f, 0f, 0f, 0f, 0f, 0f))
-      (0 until starts.length by chunks).map { s =>
-        PdbFrameRange(s.toLong, math.min(s + chunks, starts.length).toLong,
+      val lo = math.max(0L, frameLo).toInt
+      val hi = math.min(starts.length.toLong, frameHi).toInt
+      if (lo >= hi) return Array.empty
+      (lo until hi by chunks).map { s =>
+        PdbFrameRange(s.toLong, math.min(s + chunks, hi).toLong,
           starts(s), ba, bb, bc, bal, bbe, bga, box.isDefined)
           : InputPartition
       }.toArray

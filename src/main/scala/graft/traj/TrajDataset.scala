@@ -74,6 +74,21 @@ object TrajDataset {
     na.except(nb).isEmpty && nb.except(na).isEmpty
   }
 
+  /** Wide atom-map form: one row per frame with an atom_id →
+    * (x, y, z) map — the positional-gather layout. The reference's
+    * distance kernel gathers xyz[:, pairs] straight out of the wide
+    * per-frame array (geometry/distance.py:131-141); element_at on
+    * this map is the Catalyst form of that gather (SURVEY §2.3 J2's
+    * "array-gather via higher-order functions on the wide layout").
+    * One shuffle (the frame grouping); lookups are per-row map probes,
+    * no joins. */
+  def atomMap(positions: DataFrame): DataFrame =
+    positions
+      .groupBy("frame_id")
+      .agg(map_from_entries(sort_array(collect_list(struct(
+        col("atom_id"),
+        struct(col("x"), col("y"), col("z")))))).as("atoms"))
+
   /** Wide → long: posexplode over the atom axis (the §1.4 exploded
     * relational view used by the oracle queries). */
   def long(frames: Dataset[TrajFrame]): DataFrame =

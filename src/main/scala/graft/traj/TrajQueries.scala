@@ -79,6 +79,35 @@ object TrajQueries {
        |$pairExpansionSql
        |ORDER BY frame_id, a1, a2""".stripMargin
 
+  /** F1 on the WIDE layout (J2's alternate strategy): per-frame
+    * atom-map gather instead of the pair-expansion join — the Catalyst
+    * form of the reference gathering xyz[:, pairs] out of the wide
+    * per-frame array (geometry/distance.py:131-141). One shuffle (the
+    * frame grouping), then per-row element_at probes against the
+    * broadcast-free literal pair list; same values as
+    * [[trajDistances]], same oracle. A pair row is emitted only when
+    * BOTH atoms exist in the frame (non-null probes), matching the
+    * inner joins of the long path. */
+  def trajDistancesWide(s: SparkSession, d: String): DataFrame = {
+    val atomIds = TrajModel.pairs.flatMap { case (a, b) => Seq(a, b) }
+      .distinct.sorted
+    val pairsArr = array(TrajModel.pairs.map { case (a, b) =>
+      struct(lit(a).as("a1"), lit(b).as("a2"))
+    }: _*)
+    TrajDataset.atomMap(
+        TrajModel.positionsShared(s, d)
+          .filter(col("atom_id").isin(atomIds: _*)))
+      .select(col("frame_id"), explode(pairsArr).as("p"), col("atoms"))
+      .select(col("frame_id"), col("p.a1").as("a1"), col("p.a2").as("a2"),
+        element_at(col("atoms"), col("p.a1")).as("c1"),
+        element_at(col("atoms"), col("p.a2")).as("c2"))
+      .filter(col("c1").isNotNull && col("c2").isNotNull)
+      .select(col("frame_id"), col("a1"), col("a2"),
+        round(dist(col("c1.x"), col("c1.y"), col("c1.z"),
+          col("c2.x"), col("c2.y"), col("c2.z")), 6).as("dist"))
+      .orderBy("frame_id", "a1", "a2")
+  }
+
   /** F6 (fast path): periodic distance under an orthorhombic 6×6×6 box —
     * the reference's orthogonal MIC fast path (distance.py:50-58). */
   def trajDistancesPeriodic(s: SparkSession, d: String): DataFrame = {
@@ -628,6 +657,8 @@ object TrajQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_traj_distances", trajDistances, Some(trajDistancesSql)),
+    QueryDef("q_traj_distances_wide", trajDistancesWide,
+      Some(trajDistancesSql)),
     QueryDef("q_traj_distances_periodic", trajDistancesPeriodic,
       Some(trajDistancesPeriodicSql)),
     QueryDef("q_traj_distances_triclinic", trajDistancesTriclinic,

@@ -1,0 +1,40 @@
+package graft
+
+import graft.traj.{TrajDataset, TrajModel, TrajQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The wide (per-frame map/array) layout must agree with the long
+  * (exploded relational) layout operator-for-operator — the two
+  * physical strategies of SURVEY §2.3 J2: pair-expansion broadcast
+  * join vs array-gather on the wide layout. */
+class WideLayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  test("wide-gather distances == long-join distances, bit for bit") {
+    val long = TrajQueries.trajDistances(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val wide = TrajQueries.trajDistancesWide(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(long.nonEmpty)
+    assert(wide.toSeq == long.toSeq)
+  }
+
+  test("wide round-trip: long -> Dataset[TrajFrame] -> long preserves " +
+    "coordinates") {
+    val pos = TrajModel.positionsShared(spark, sf)
+      .filter(col("atom_id") <= 20)
+    val back = TrajDataset.long(TrajDataset.wide(pos))
+    // same per-frame atom counts and coordinate multisets
+    val a = pos.groupBy("frame_id")
+      .agg(count(lit(1)).as("n"), round(sum("x"), 6).as("sx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val b = back.groupBy("frame_id")
+      .agg(count(lit(1)).as("n"), round(sum("x"), 6).as("sx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+}
