@@ -33,8 +33,7 @@ object Bench {
       // vs 13.3 s compute); without this the whole build lands on
       // whichever traj query runs first alphabetically
       (s: SparkSession) => graft.traj.TrajModel.positionsShared(s, sfDir),
-      (s: SparkSession) => graft.traj.TrajModel.topologyShared(s, sfDir),
-      (s: SparkSession) => graft.traj.TrajModel.unitcellShared(s, sfDir)
+      (s: SparkSession) => graft.traj.TrajModel.topologyShared(s, sfDir)
     ).foreach { f =>
       try f(spark).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

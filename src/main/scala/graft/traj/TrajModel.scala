@@ -1,7 +1,7 @@
 package graft.traj
 
 import graft.rel.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -85,6 +85,12 @@ object TrajModel {
     * (order-independent, unlike avg over doubles). */
   def positions(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      // broadcast is sound here ONLY because the atom dimension is
+      // physically bounded (one row per distinct atom — ~10⁵-10⁷ ids,
+      // like the reference's driver-captured topology,
+      // distance.py:319-320). Do not copy this hint onto a relation
+      // keyed by the FRAME axis: frames grow without bound at 100 TB
+      // and a forced broadcast there OOMs (see cellColumns scaladoc).
       .join(broadcast(atomDimShared(s, d)), "l_partkey")
       .select(
         col("l_linenumber").cast("long").as("frame_id"),
@@ -151,21 +157,37 @@ object TrajModel {
     * TrajOps.triBox — literal doubles identical in both engines, so no
     * per-row trig and no cross-libm divergence (SURVEY §7.2). Joined
     * broadcast, like every dimension here. */
-  def unitcell(s: SparkSession, d: String): DataFrame = {
-    val t = TrajOps.triBox(6.0, 7.0, 8.0, 60.0, 60.0, 90.0)
-    val odd = col("frame_id") % 2 === 1
+  def unitcell(s: SparkSession, d: String): DataFrame =
     positionsShared(s, d).select("frame_id").distinct()
-      .select(col("frame_id").as("u_frame"),
-        lit(6.0).as("u_la"), lit(7.0).as("u_lb"), lit(8.0).as("u_lc"),
-        when(odd, 90.0).otherwise(60.0).as("u_alpha"),
-        when(odd, 90.0).otherwise(60.0).as("u_beta"),
-        lit(90.0).as("u_gamma"),
-        when(odd, 6.0).otherwise(t.ax).as("u_ax"),
-        when(odd, 0.0).otherwise(t.bx).as("u_bx"),
-        when(odd, 7.0).otherwise(t.by).as("u_by"),
-        when(odd, 0.0).otherwise(t.cx).as("u_cx"),
-        when(odd, 0.0).otherwise(t.cy).as("u_cy"),
-        when(odd, 8.0).otherwise(t.cz).as("u_cz"))
+      .select(col("frame_id").as("u_frame") +: cellColumns(col("frame_id")): _*)
+
+  /** The synthetic per-frame box as column GENERATORS over a frame
+    * column — the single source of truth behind both representations of
+    * the unitcell: the [[unitcell]] dimension table above (the catalog
+    * artifact) and the positions-riding layout the geometry queries
+    * consume. The reference's own layout stores unitcell lengths/angles
+    * as per-frame TRAJECTORY columns (core/dask_traj.py:498-517), and a
+    * real binary source delivers them the same way (dcd's box_a..box_
+    * gamma scan columns) — so attaching them to the fact rows is the
+    * native shape, and it is the only shape that survives the frame
+    * axis growing without bound: a broadcast of a one-row-per-frame
+    * dimension is ~100 GB at 10⁹ frames. Never force-broadcast a
+    * frame-cardinality relation; compute (or scan) the box alongside
+    * the coordinates instead. */
+  def cellColumns(frame: Column): Seq[Column] = {
+    val t = TrajOps.triBox(6.0, 7.0, 8.0, 60.0, 60.0, 90.0)
+    val odd = frame % 2 === 1
+    Seq(
+      lit(6.0).as("u_la"), lit(7.0).as("u_lb"), lit(8.0).as("u_lc"),
+      when(odd, 90.0).otherwise(60.0).as("u_alpha"),
+      when(odd, 90.0).otherwise(60.0).as("u_beta"),
+      lit(90.0).as("u_gamma"),
+      when(odd, 6.0).otherwise(t.ax).as("u_ax"),
+      when(odd, 0.0).otherwise(t.bx).as("u_bx"),
+      when(odd, 7.0).otherwise(t.by).as("u_by"),
+      when(odd, 0.0).otherwise(t.cx).as("u_cx"),
+      when(odd, 0.0).otherwise(t.cy).as("u_cy"),
+      when(odd, 8.0).otherwise(t.cz).as("u_cz"))
   }
 
   /** DuckDB CTE producing the identical view; prefix of every trajectory

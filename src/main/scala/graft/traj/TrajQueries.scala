@@ -49,8 +49,16 @@ object TrajQueries {
     val atomIds = TrajModel.pairs.flatMap { case (a, b) => Seq(a, b) }
       .distinct.sorted
     val pf = p.filter(col("atom_id").isin(atomIds: _*))
-    // the filtered roles are ≤ |atoms(pairs)| × n_frames rows — hint
-    // the broadcast rather than waiting for AQE to discover it
+    // The filtered roles are ≤ |atoms(pairs)| × n_frames rows — KB-sized
+    // for the harness (17 atoms × 7 frames), so hint the broadcast
+    // rather than waiting for AQE to discover it (checkpoint stats hide
+    // the filter's selectivity from the static planner). SCALE CAVEAT:
+    // these roles still carry the frame axis; on a cluster where frames
+    // are unbounded the hint must go and this join becomes the
+    // frame-co-partitioned join (positions bucketed by frame_id, both
+    // roles collocate; the 10-row pair list is the only broadcast) —
+    // see SCALING.md §traj. Never keep a forced broadcast on a relation
+    // whose row count follows the frame axis.
     TrajModel.pairsDf(s)
       .join(broadcast(role(pf, "p")), col("p_atom") === col("a1"))
       .join(broadcast(role(pf, "q")), col("q_atom") === col("a2") &&
@@ -175,12 +183,22 @@ object TrajQueries {
     * comes from the broadcast `unitcell` dimension (odd frames
     * orthorhombic 6×7×8/90°, even triclinic 6×7×8/60/60/90 — one row
     * per frame, like the reference's unitcell columns), the flag is the
-    * same allclose(angles, 90) reduction as a CASE over the table's
+    * same allclose(angles, 90) reduction as a CASE over the relation's
     * angle columns, and the general branch is the codegen'd tri_mic
-    * kernel fed the table's Bravais components — so the dispatch fuses
-    * into one whole-stage-codegen projection (round 2's inlined
+    * kernel fed the relation's Bravais components — so the dispatch
+    * fuses into one whole-stage-codegen projection (round 2's inlined
     * 27-image tree inside the CASE overflowed janino's 64 KB method
-    * limit and ran interpreted: 33.7 s, 27% of the bench). */
+    * limit and ran interpreted: 33.7 s, 27% of the bench).
+    *
+    * The box columns RIDE the pair-expanded relation (attached by
+    * TrajModel.cellColumns from the frame column) rather than joining
+    * the `unitcell` dimension with a broadcast hint: the unitcell is
+    * one row per FRAME, and frames are exactly the axis that grows
+    * without bound at 100 TB — a forced broadcast there is a ~100 GB
+    * build side at 10⁹ frames. This is also the reference's native
+    * layout: unitcell lengths/angles are per-frame trajectory columns
+    * (core/dask_traj.py:498-517), delivered by a real source as scan
+    * columns (dcd box_a..box_gamma). */
   def trajMicAdaptive(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val dx = col("px") - col("qx")
@@ -190,9 +208,9 @@ object TrajQueries {
       abs(col("u_beta") - 90.0) < 1e-6 && abs(col("u_gamma") - 90.0) < 1e-6
     val orthoDist = sqrt(norm2(micDelta(dx, col("u_la")),
       micDelta(dy, col("u_lb")), micDelta(dz, col("u_lc"))))
-    pairExpansion(s, TrajModel.positionsShared(s, d))
-      .join(broadcast(TrajModel.unitcellShared(s, d)),
-        col("p_frame") === col("u_frame"))
+    val expanded = pairExpansion(s, TrajModel.positionsShared(s, d))
+    expanded
+      .select(col("*") +: TrajModel.cellColumns(col("p_frame")): _*)
       .select(col("p_frame").as("frame_id"), col("a1"), col("a2"),
         round(col("u_alpha"), 1).as("alpha"),
         round(when(orthogonal, orthoDist)
