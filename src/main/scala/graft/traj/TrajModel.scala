@@ -65,6 +65,10 @@ object TrajModel {
         col("l_partkey") === col("p_partkey"), "left")
       .select(col("atom_id"),
         expr("(atom_id - 1) DIV 8 + 1").cast("long").as("residue_id"),
+        // chain groups 32 consecutive residues — the last granularity of
+        // the reference topology graph (chain → residue → atom,
+        // core/dask_traj.py:374-375; pdb chain column in PdbTopology)
+        expr("(atom_id - 1) DIV 256 + 1").cast("long").as("chain_id"),
         concat(lit("E"), (coalesce(col("p_size"), lit(1)) % 18 + 1)
           .cast("string")).as("element"),
         ((coalesce(col("p_size"), lit(1)) % 18 + 1).cast(DecimalType(8, 3)) +
@@ -75,6 +79,7 @@ object TrajModel {
     """topo AS (
       |  SELECT atom_id,
       |    CAST((atom_id - 1) // 8 + 1 AS BIGINT) AS residue_id,
+      |    CAST((atom_id - 1) // 256 + 1 AS BIGINT) AS chain_id,
       |    'E' || CAST(coalesce(p_size, 1) % 18 + 1 AS VARCHAR) AS element,
       |    CAST(coalesce(p_size, 1) % 18 + 1 AS DECIMAL(8,3))
       |      + CAST(0.008 AS DECIMAL(4,3)) AS mass

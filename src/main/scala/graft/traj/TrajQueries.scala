@@ -392,6 +392,45 @@ object TrajQueries {
        |ORDER BY frame_id, residue_id""".stripMargin
   }
 
+  /** A1 across the full topology hierarchy: ROLLUP(chain, residue)
+    * inside each frame — one Expand+Aggregate pass emits the chain-level
+    * COM, the (chain, residue) detail AND the per-frame total, completing
+    * the reference topology graph (chain → residue → atom,
+    * core/dask_traj.py:374-375) at every granularity. SQL form, not
+    * Dataset.rollup (which trips Spark 4's ambiguous-self-join check
+    * when grouping keys are re-selected). Grouping levels are encoded
+    * with -1 sentinels so both engines order identically. */
+  def trajComChain(s: SparkSession, d: String): DataFrame = {
+    def com(c: String) =
+      s"""round(CAST(sum(CAST($c AS DECIMAL(18,6)) * mass) AS DOUBLE)
+         |    / CAST(sum(mass) AS DOUBLE), 6) AS com_$c""".stripMargin
+    TrajModel.positionsShared(s, d)
+      .join(broadcast(TrajModel.topologyShared(s, d)), "atom_id")
+      .createOrReplaceTempView("graft_traj_topo_src")
+    s.sql(
+      s"""SELECT frame_id, coalesce(chain_id, -1) AS chain_id,
+         |  coalesce(residue_id, -1) AS residue_id,
+         |  CAST(count(*) AS BIGINT) AS n_atoms,
+         |  ${com("x")}, ${com("y")}, ${com("z")}
+         |FROM graft_traj_topo_src
+         |GROUP BY frame_id, ROLLUP (chain_id, residue_id)
+         |ORDER BY frame_id, chain_id, residue_id""".stripMargin)
+  }
+
+  private val trajComChainSql = {
+    def com(c: String) =
+      s"""round(CAST(sum(CAST($c AS DECIMAL(18,6)) * mass) AS DOUBLE)
+         |    / CAST(sum(mass) AS DOUBLE), 6) AS com_$c""".stripMargin
+    s"""$P, ${TrajModel.topologySql}
+       |SELECT frame_id, coalesce(chain_id, -1) AS chain_id,
+       |  coalesce(residue_id, -1) AS residue_id,
+       |  CAST(count(*) AS BIGINT) AS n_atoms,
+       |  ${com("x")}, ${com("y")}, ${com("z")}
+       |FROM positions JOIN topo USING (atom_id)
+       |GROUP BY frame_id, ROLLUP (chain_id, residue_id)
+       |ORDER BY frame_id, chain_id, residue_id""".stripMargin
+  }
+
   /** A2: per-frame unweighted mean = center of geometry
     * (distance.py:340-390). */
   def trajCog(s: SparkSession, d: String): DataFrame = {
@@ -443,6 +482,49 @@ object TrajQueries {
        |WHERE p1.frame_id = 1 AND p2.frame_id = 1
        |  AND p1.atom_id BETWEEN 1 AND 50 AND p2.atom_id BETWEEN 51 AND 100
        |ORDER BY dist, a1, a2 LIMIT 1""".stripMargin
+
+  /** J3 (periodic path — the reference's DEFAULT): find_closest_contact
+    * takes `periodic=True` and folds each candidate pair through the
+    * frame's minimum image before the top-1
+    * (geometry/distance.py:394-426 — the kernel takes the box vectors;
+    * :426 defaults periodic on). Same bounded 50×50 cross-join +
+    * TakeOrderedAndProject plan as the non-periodic variant; the box
+    * columns ride the relation via TrajModel.cellColumns (frame 1 is
+    * orthorhombic under the synthetic cell, so the per-axis
+    * `d − L·round(d/L)` fold applies exactly). */
+  def trajClosestContactPeriodic(s: SparkSession, d: String): DataFrame = {
+    val p = TrajModel.positionsShared(s, d)
+    val g1 = role(p, "p").filter(col("p_frame") === 1 &&
+      col("p_atom").between(1, 50))
+    val g2 = role(p, "q").filter(col("q_frame") === 1 &&
+      col("q_atom").between(51, 100))
+    g1.crossJoin(g2)
+      .select(Seq(col("p_atom").as("a1"), col("q_atom").as("a2"),
+        (col("px") - col("qx")).as("dx"), (col("py") - col("qy")).as("dy"),
+        (col("pz") - col("qz")).as("dz")) ++
+        TrajModel.cellColumns(col("p_frame")): _*)
+      .select(col("a1"), col("a2"),
+        round(sqrt(norm2(micDelta(col("dx"), col("u_la")),
+          micDelta(col("dy"), col("u_lb")),
+          micDelta(col("dz"), col("u_lc")))), 6).as("dist_mic"))
+      .orderBy(col("dist_mic"), col("a1"), col("a2"))
+      .limit(1)
+  }
+
+  private val trajClosestContactPeriodicSql =
+    s"""$P
+       |SELECT p1.atom_id AS a1, p2.atom_id AS a2,
+       |  round(sqrt(
+       |    ((p1.x-p2.x) - 6.0*round((p1.x-p2.x)/6.0, 0))
+       |      * ((p1.x-p2.x) - 6.0*round((p1.x-p2.x)/6.0, 0))
+       |    + ((p1.y-p2.y) - 7.0*round((p1.y-p2.y)/7.0, 0))
+       |      * ((p1.y-p2.y) - 7.0*round((p1.y-p2.y)/7.0, 0))
+       |    + ((p1.z-p2.z) - 8.0*round((p1.z-p2.z)/8.0, 0))
+       |      * ((p1.z-p2.z) - 8.0*round((p1.z-p2.z)/8.0, 0))), 6) AS dist_mic
+       |FROM positions p1, positions p2
+       |WHERE p1.frame_id = 1 AND p2.frame_id = 1
+       |  AND p1.atom_id BETWEEN 1 AND 50 AND p2.atom_id BETWEEN 51 AND 100
+       |ORDER BY dist_mic, a1, a2 LIMIT 1""".stripMargin
 
   /** J1+W1 (key semantics): trajectory concatenation with duplicate-key
     * dedup (core/dask_traj.py:591-659: UNION ALL ordered by source).
@@ -690,9 +772,12 @@ object TrajQueries {
     QueryDef("q_traj_angles", trajAngles, Some(trajAnglesSql)),
     QueryDef("q_traj_com", trajCom, Some(trajComSql)),
     QueryDef("q_traj_com_residue", trajComResidue, Some(trajComResidueSql)),
+    QueryDef("q_traj_com_chain", trajComChain, Some(trajComChainSql)),
     QueryDef("q_traj_cog", trajCog, Some(trajCogSql)),
     QueryDef("q_traj_closest_contact", trajClosestContact,
       Some(trajClosestContactSql)),
+    QueryDef("q_traj_closest_contact_periodic", trajClosestContactPeriodic,
+      Some(trajClosestContactPeriodicSql)),
     QueryDef("q_traj_join_dedup", trajJoinDedup, Some(trajJoinDedupSql)),
     QueryDef("q_traj_join_overlap", trajJoinOverlap,
       Some(trajJoinOverlapSql)),

@@ -117,4 +117,39 @@ class TrajOpsSpec extends AnyFunSuite {
       assert(math.abs(g - w) < 1e-9, s"$g != $w")
     }
   }
+
+  test("periodic closest contact flips the winner the MIC fold favors " +
+    "(distance.py:394-426, periodic=True default)") {
+    // hand-computed: query atom at origin in a 6×7×8 box; candidate A at
+    // (1,0,0) → dist 1 both ways; candidate B at (5.9,0,0) → plain dist
+    // 5.9 but MIC dist |5.9 − 6·round(5.9/6)| = 0.1. Non-periodic top-1
+    // is A; periodic top-1 must be B.
+    import spark.implicits._
+    val cands = Seq((1L, 1.0, 0.0, 0.0), (2L, 5.9, 0.0, 0.0))
+      .toDF("cand", "x", "y", "z")
+    val plain = cands.select(col("cand"),
+      TrajOps.dist(lit(0.0), lit(0.0), lit(0.0),
+        col("x"), col("y"), col("z")).as("d"))
+      .orderBy("d").limit(1).collect()(0)
+    val mic = cands.select(col("cand"),
+      sqrt(TrajOps.norm2(
+        TrajOps.micDelta(col("x") - 0.0, lit(6.0)),
+        TrajOps.micDelta(col("y") - 0.0, lit(7.0)),
+        TrajOps.micDelta(col("z") - 0.0, lit(8.0)))).as("d"))
+      .orderBy("d").limit(1).collect()(0)
+    assert(plain.getLong(0) == 1L && math.abs(plain.getDouble(1) - 1.0) < 1e-12)
+    assert(mic.getLong(0) == 2L && math.abs(mic.getDouble(1) - 0.1) < 1e-9)
+  }
+
+  test("q_traj_closest_contact_periodic: one row, dist_mic <= plain dist " +
+    "(MIC can only shorten)") {
+    val d = "/root/testdata/sf0.001"
+    val per = graft.traj.TrajQueries.trajClosestContactPeriodic(spark, d)
+      .collect()
+    val plain = graft.traj.TrajQueries.trajClosestContact(spark, d)
+      .collect()
+    assert(per.length == 1 && plain.length == 1)
+    assert(per(0).getAs[Double]("dist_mic") <=
+      plain(0).getAs[Double]("dist") + 1e-9)
+  }
 }
