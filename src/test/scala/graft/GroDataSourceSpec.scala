@@ -61,6 +61,19 @@ class GroDataSourceSpec extends AnyFunSuite {
     assert(df.count() == 4)
   }
 
+  test("gro frame_id pushdown prunes partitions at plan time " +
+    "(xyz parity)") {
+    val df = spark.read.format("gro").option("chunks", 1).load(fixture)
+    val pruned = df.filter(col("frame_id") === 1)
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.count() == 2)
+    assert(df.filter(col("frame_id") > 5).rdd.getNumPartitions == 0)
+    // pushed range is visible in the planned scan
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PushedFilters") ||
+      pruned.rdd.getNumPartitions < df.rdd.getNumPartitions)
+  }
+
   test("gro option validation at plan time") {
     intercept[IllegalArgumentException] {
       spark.read.format("gro").option("chunks", 0).load(fixture).count()

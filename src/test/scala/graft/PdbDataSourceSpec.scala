@@ -73,6 +73,17 @@ class PdbDataSourceSpec extends AnyFunSuite {
     assert(df.count() == 6)
   }
 
+  test("pdb frame_id pushdown prunes whole models at plan time " +
+    "(xyz parity; an unpruned scan would read every MODEL to serve " +
+    "frame_id = 0)") {
+    val df = spark.read.format("pdb").option("chunks", 1).load(fixture)
+    val pruned = df.filter(col("frame_id") === 1)
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.select("frame_id").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(df.filter(col("frame_id") >= 7).rdd.getNumPartitions == 0)
+  }
+
   test("MODEL-less file is a single frame; missing CRYST1 → null box") {
     val txt = Seq(
       atom(1, "O", "HOH", "B", 5, 1.000, 2.000, 3.000, "O"),
