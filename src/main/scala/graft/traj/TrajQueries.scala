@@ -116,6 +116,42 @@ object TrajQueries {
       .orderBy("frame_id", "a1", "a2")
   }
 
+  /** F3 on the WIDE layout: the triplet gather runs as three per-row
+    * map probes against the per-frame atom map — the same
+    * positional-gather strategy as [[trajDistancesWide]], extended to
+    * the 3-atom stencil (the reference gathers xyz[:, triplets] out of
+    * the wide frame array the same way, geometry/angle.py:58-107).
+    * A triplet row is emitted only when all three atoms exist in the
+    * frame (non-null probes = the inner joins of the long path), and
+    * zero-length displacement rows are filtered like [[trajAngles]].
+    * Same values, same oracle as the long form. */
+  def trajAnglesWide(s: SparkSession, d: String): DataFrame = {
+    val atomIds = TrajModel.triplets
+      .flatMap { case (a, b, c) => Seq(a, b, c) }.distinct.sorted
+    val tripArr = array(TrajModel.triplets.map { case (a, b, c) =>
+      struct(lit(a).as("ai"), lit(b).as("aj"), lit(c).as("ak"))
+    }: _*)
+    val ux = col("ca.x") - col("cb.x"); val uy = col("ca.y") - col("cb.y")
+    val uz = col("ca.z") - col("cb.z")
+    val vx = col("cc.x") - col("cb.x"); val vy = col("cc.y") - col("cb.y")
+    val vz = col("cc.z") - col("cb.z")
+    TrajDataset.atomMap(
+        TrajModel.positionsShared(s, d)
+          .filter(col("atom_id").isin(atomIds: _*)))
+      .select(col("frame_id"), explode(tripArr).as("t"), col("atoms"))
+      .select(col("frame_id"), col("t.ai").as("ai"), col("t.aj").as("aj"),
+        col("t.ak").as("ak"),
+        element_at(col("atoms"), col("t.ai")).as("ca"),
+        element_at(col("atoms"), col("t.aj")).as("cb"),
+        element_at(col("atoms"), col("t.ak")).as("cc"))
+      .filter(col("ca").isNotNull && col("cb").isNotNull &&
+        col("cc").isNotNull)
+      .filter(norm2(ux, uy, uz) > 0 && norm2(vx, vy, vz) > 0)
+      .select(col("frame_id"), col("ai"), col("aj"), col("ak"),
+        round(angleRad(ux, uy, uz, vx, vy, vz), 6).as("angle_rad"))
+      .orderBy("frame_id", "ai", "aj", "ak")
+  }
+
   /** F6 (fast path): periodic distance under an orthorhombic 6×6×6 box —
     * the reference's orthogonal MIC fast path (distance.py:50-58). */
   def trajDistancesPeriodic(s: SparkSession, d: String): DataFrame = {
@@ -453,6 +489,31 @@ object TrajQueries {
        |FROM positions GROUP BY frame_id ORDER BY frame_id""".stripMargin
   }
 
+  /** A2 on the TYPED WIDE layout: center of geometry as a PER-ROW array
+    * fold over `Dataset[TrajFrame].xyz` — no aggregation shuffle at all
+    * (the one shuffle is building the wide frame rows; after that every
+    * frame reduces inside its own row, the exact shape of the
+    * reference's per-chunk `xyz.mean(axis=1)` over the frame-major
+    * array, geometry/distance.py:340-390). The fold accumulates in
+    * scaled BIGINT (coordinates are round(·,6), so ×10⁶ is integral) —
+    * exact integer addition, reduction-order independent, matching the
+    * oracle's DECIMAL sum bit-for-bit after the shared /10⁶ and /n
+    * double divisions. Same values, same oracle as [[trajCog]].
+    * (HOF lambdas evaluate interpreted per element — fine for a
+    * demonstration query; a hot path would use a native kernel like
+    * graft.functions.DotScaled.) */
+  def trajCogWide(s: SparkSession, d: String): DataFrame = {
+    val frames = TrajDataset.wide(TrajModel.positionsShared(s, d))
+    def cogW(i: Int, name: String) = round(
+      expr(s"aggregate(xyz, CAST(0 AS BIGINT), " +
+        s"(acc, a) -> acc + CAST(round(a[$i] * 1e6, 0) AS BIGINT))")
+        .cast("double") / 1e6 / col("n_atoms"), 6).as(name)
+    frames.toDF()
+      .select(col("frame_id"), cogW(0, "cog_x"), cogW(1, "cog_y"),
+        cogW(2, "cog_z"), col("n_atoms").cast("long").as("n_atoms"))
+      .orderBy("frame_id")
+  }
+
   /** J3+W2: cross join of two atom groups in one frame + global top-1 —
     * find_closest_contact (distance.py:393-464). Ordered on the rounded
     * distance so both engines break ties identically. Filters on the
@@ -770,10 +831,12 @@ object TrajQueries {
     QueryDef("q_traj_displacements_periodic", trajDisplacementsPeriodic,
       Some(trajDisplacementsPeriodicSql)),
     QueryDef("q_traj_angles", trajAngles, Some(trajAnglesSql)),
+    QueryDef("q_traj_angles_wide", trajAnglesWide, Some(trajAnglesSql)),
     QueryDef("q_traj_com", trajCom, Some(trajComSql)),
     QueryDef("q_traj_com_residue", trajComResidue, Some(trajComResidueSql)),
     QueryDef("q_traj_com_chain", trajComChain, Some(trajComChainSql)),
     QueryDef("q_traj_cog", trajCog, Some(trajCogSql)),
+    QueryDef("q_traj_cog_wide", trajCogWide, Some(trajCogSql)),
     QueryDef("q_traj_closest_contact", trajClosestContact,
       Some(trajClosestContactSql)),
     QueryDef("q_traj_closest_contact_periodic", trajClosestContactPeriodic,
