@@ -199,6 +199,10 @@ class GroScan(path: String, chunks: Int, required: StructType,
     } finally src.close()
   }
 
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    ParseMode.scanMetrics
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GroReaderFactory(path, required, mode)
 }
@@ -222,7 +226,9 @@ class GroPartitionReader(path: String, required: StructType,
     extends PartitionReader[InternalRow] {
 
   private val dropMalformed = mode == ParseMode.DropMalformed
+  private val coerceWarn = mode == ParseMode.CoerceWarn
   private var dropped = 0L
+  private var coerced = 0L
 
   private val src = XyzLines.open(path)
   private val lines = src.getLines()
@@ -259,7 +265,12 @@ class GroPartitionReader(path: String, required: StructType,
   private def numOrFail(tok: String, what: String, line: String): Double =
     try tok.trim.toDouble catch {
       case _: NumberFormatException =>
-        parseFail(s"non-numeric $what '${tok.trim}'", line)
+        // COERCEWARN: accept a convertible-but-mistyped token with a
+        // counted warning (ensure_type's warn-and-cast half)
+        if (coerceWarn) ParseMode.coerce(tok) match {
+          case Some(v) => coerced += 1; v
+          case None => parseFail(s"non-numeric $what '${tok.trim}'", line)
+        } else parseFail(s"non-numeric $what '${tok.trim}'", line)
     }
 
   private def intOr(tok: String, fallback: Int): Int =
@@ -353,8 +364,14 @@ class GroPartitionReader(path: String, required: StructType,
   }
 
   override def get(): InternalRow = current
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    ParseMode.taskMetrics(dropped, coerced)
+
   override def close(): Unit = {
     ParseMode.warnDropped("gro", path, dropped)
+    ParseMode.warnCoerced("gro", path, coerced)
     src.close()
   }
 }

@@ -227,6 +227,10 @@ class PdbScan(path: String, chunks: Int, unitScale: Double,
     } finally src.close()
   }
 
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    ParseMode.scanMetrics
+
   override def createReaderFactory(): PartitionReaderFactory =
     new PdbReaderFactory(path, unitScale, required, mode)
 }
@@ -249,7 +253,9 @@ class PdbPartitionReader(path: String, unitScale: Double,
     extends PartitionReader[InternalRow] {
 
   private val dropMalformed = mode == ParseMode.DropMalformed
+  private val coerceWarn = mode == ParseMode.CoerceWarn
   private var dropped = 0L
+  private var coerced = 0L
 
   private val src = XyzLines.open(path)
   private val lines = src.getLines()
@@ -278,7 +284,12 @@ class PdbPartitionReader(path: String, unitScale: Double,
   private def numOrFail(tok: String, what: String, line: String): Double =
     try tok.trim.toDouble catch {
       case _: NumberFormatException =>
-        parseFail(s"non-numeric $what '${tok.trim}'", line)
+        // COERCEWARN: accept a convertible-but-mistyped token with a
+        // counted warning (ensure_type's warn-and-cast half)
+        if (coerceWarn) ParseMode.coerce(tok) match {
+          case Some(v) => coerced += 1; v
+          case None => parseFail(s"non-numeric $what '${tok.trim}'", line)
+        } else parseFail(s"non-numeric $what '${tok.trim}'", line)
     }
 
   private def intOr(tok: String, fallback: Int): Int =
@@ -357,8 +368,14 @@ class PdbPartitionReader(path: String, unitScale: Double,
   }
 
   override def get(): InternalRow = current
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    ParseMode.taskMetrics(dropped, coerced)
+
   override def close(): Unit = {
     ParseMode.warnDropped("pdb", path, dropped)
+    ParseMode.warnCoerced("pdb", path, coerced)
     src.close()
   }
 }

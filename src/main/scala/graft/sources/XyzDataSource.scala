@@ -28,34 +28,101 @@ private[sources] object XyzLines {
 }
 
 /** Malformed-record handling shared by the trajectory text sources —
-  * the Spark-idiomatic form of the reference's `ensure_type`
-  * warn-and-continue contract (utils/validation.py:97-101: coercible
-  * input is accepted with a warning; only truly invalid input raises).
-  * Same names and semantics as Spark's CSV/JSON sources:
+  * the Spark-idiomatic form of the reference's `ensure_type` contract
+  * (utils/validation.py:89-101: coercible input is accepted with a
+  * warning — the warn-and-CAST half at :97-101 — and only truly invalid
+  * input raises). Same names and semantics as Spark's CSV/JSON sources
+  * where they overlap:
   *  - FAILFAST (default): any malformed record fails the task with
   *    file/frame/line context;
   *  - DROPMALFORMED: malformed records are dropped, counted, and
-  *    reported once per partition through the task's logger.
+  *    reported once per partition through the task's logger;
+  *  - COERCEWARN: numeric tokens in a convertible-but-wrong lexical
+  *    form (Fortran `1.5D0` exponents, trailing `1.5f` type suffixes,
+  *    comma decimals) are accepted after coercion, counted, and
+  *    reported — the direct analog of ensure_type accepting a
+  *    castable-but-mistyped array with a logged warning. Tokens that no
+  *    coercion rescues still fail like FAILFAST.
+  * Both counters also surface as DSv2 custom metrics on the scan
+  * (`droppedRecords` / `coercedRecords`), so the warn path is
+  * observable in the SQL UI and from `executedPlan.metrics`, not only
+  * in executor logs.
   */
 private[sources] object ParseMode {
   val FailFast = "FAILFAST"
   val DropMalformed = "DROPMALFORMED"
+  val CoerceWarn = "COERCEWARN"
 
   def fromOptions(fmt: String, properties: java.util.Map[String, String])
       : String =
     Option(properties.get("mode")).map(_.toUpperCase) match {
       case None | Some(FailFast) => FailFast
       case Some(DropMalformed) => DropMalformed
+      case Some(CoerceWarn) => CoerceWarn
       case Some(other) => throw new IllegalArgumentException(
-        s"$fmt option 'mode' must be FAILFAST or DROPMALFORMED, " +
-          s"got '$other'")
+        s"$fmt option 'mode' must be FAILFAST, DROPMALFORMED or " +
+          s"COERCEWARN, got '$other'")
     }
+
+  /** Lexical coercions for convertible-but-mistyped numeric tokens, in
+    * priority order. Each rule targets one real-world mistyping:
+    * Fortran double-precision exponents (`1.5D0`) and decimal commas
+    * (`1,5`). (C-style `1.5f`/`1.5d` type suffixes already parse
+    * strictly — Java's parseDouble grammar accepts them — so they need
+    * no rule.) Returns None when no rule yields a number — the caller
+    * then fails like FAILFAST. */
+  def coerce(tok: String): Option[Double] = {
+    val t = tok.trim
+    if (t.isEmpty) return None
+    val candidates = Seq(
+      t.replace('D', 'E').replace('d', 'e'),
+      t.replace(',', '.'))
+    candidates.iterator
+      .flatMap(c => scala.util.Try(c.toDouble).toOption)
+      .nextOption()
+  }
 
   def warnDropped(fmt: String, path: String, dropped: Long): Unit =
     if (dropped > 0)
       org.slf4j.LoggerFactory.getLogger(s"graft.sources.$fmt").warn(
         s"$fmt source dropped $dropped malformed record(s) from $path " +
           "(mode=DROPMALFORMED)")
+
+  def warnCoerced(fmt: String, path: String, coerced: Long): Unit =
+    if (coerced > 0)
+      org.slf4j.LoggerFactory.getLogger(s"graft.sources.$fmt").warn(
+        s"$fmt source coerced $coerced mistyped numeric token(s) from " +
+          s"$path (mode=COERCEWARN)")
+
+  /** DSv2 scan-level metrics (driver side sums the per-task values). */
+  def scanMetrics: Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new DroppedRecordsMetric, new CoercedRecordsMetric)
+
+  /** Per-task metric values for a reader's current counters. */
+  def taskMetrics(dropped: Long, coerced: Long)
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(ParseTaskMetric("droppedRecords", dropped),
+      ParseTaskMetric("coercedRecords", coerced))
+}
+
+private[sources] class DroppedRecordsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "droppedRecords"
+  override def description(): String =
+    "malformed records dropped (mode=DROPMALFORMED)"
+}
+
+private[sources] class CoercedRecordsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "coercedRecords"
+  override def description(): String =
+    "mistyped numeric tokens accepted via coercion (mode=COERCEWARN)"
+}
+
+private[sources] case class ParseTaskMetric(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
 }
 
 /** DataSourceV2 connector for the plain-text XYZ trajectory format —
@@ -260,6 +327,10 @@ class XyzScan(path: String, chunks: Int, unitScale: Double,
     } finally src.close()
   }
 
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    ParseMode.scanMetrics
+
   override def createReaderFactory(): PartitionReaderFactory =
     new XyzReaderFactory(path, unitScale, required, mode)
 }
@@ -281,7 +352,9 @@ class XyzPartitionReader(path: String, unitScale: Double,
     extends PartitionReader[InternalRow] {
 
   private val dropMalformed = mode == ParseMode.DropMalformed
+  private val coerceWarn = mode == ParseMode.CoerceWarn
   private var dropped = 0L
+  private var coerced = 0L
 
   private val src = XyzLines.open(path)
   private val lines = src.getLines()
@@ -317,7 +390,13 @@ class XyzPartitionReader(path: String, unitScale: Double,
 
   private def numOrFail(tok: String, what: String, line: String): Double =
     try tok.toDouble catch {
-      case _: NumberFormatException => parseFail(s"non-numeric $what '$tok'", line)
+      case _: NumberFormatException =>
+        // COERCEWARN: the warn-and-cast half of ensure_type — accept a
+        // convertible-but-mistyped token, count it, report on close()
+        if (coerceWarn) ParseMode.coerce(tok) match {
+          case Some(v) => coerced += 1; v
+          case None => parseFail(s"non-numeric $what '$tok'", line)
+        } else parseFail(s"non-numeric $what '$tok'", line)
     }
 
   override def next(): Boolean = {
@@ -391,8 +470,14 @@ class XyzPartitionReader(path: String, unitScale: Double,
   }
 
   override def get(): InternalRow = current
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    ParseMode.taskMetrics(dropped, coerced)
+
   override def close(): Unit = {
     ParseMode.warnDropped("xyz", path, dropped)
+    ParseMode.warnCoerced("xyz", path, coerced)
     src.close()
   }
 }
