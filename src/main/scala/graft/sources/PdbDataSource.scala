@@ -104,13 +104,19 @@ object PdbTable {
 
 class PdbTable(path: String, chunks: Int, unitScale: Double,
     mode: String = ParseMode.FailFast)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"pdb:$path"
   override def schema(): StructType = PdbTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new PdbScanBuilder(path, chunks, unitScale, mode)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new PdbWriteBuilder(path, info)
 }
 
 class PdbScanBuilder(path: String, chunks: Int, unitScale: Double,

@@ -184,4 +184,49 @@ class PdbDataSourceSpec extends AnyFunSuite {
         s"$fmt -> ${cls.getName}")
     }
   }
+
+  test("pdb write path round-trips through the pdb scan (S6 parity)") {
+    val dir = Files.createTempDirectory("pdbout").toString
+    val df = spark.range(0, 2).selectExpr("id AS frame_id")
+      .crossJoin(spark.range(0, 3).selectExpr("CAST(id AS INT) AS atom_id"))
+      .selectExpr(
+        "frame_id", "atom_id",
+        "CAST(atom_id + 1 AS INT) AS serial",
+        "CASE WHEN atom_id = 0 THEN 'N' WHEN atom_id = 1 THEN 'CA' " +
+          "ELSE 'C' END AS name",
+        "'MET' AS res_name",
+        "'B' AS chain",
+        "CAST(7 AS INT) AS res_seq",
+        "CASE WHEN atom_id = 0 THEN 'N' ELSE 'C' END AS element",
+        // nm values picked to be exact at the Å-file's %8.3f resolution
+        "CAST(frame_id * 1.5 + atom_id * 0.125 AS FLOAT) AS x",
+        "CAST(0.25 AS FLOAT) AS y",
+        "CAST(atom_id AS FLOAT) AS z",
+        "CAST(6.0 AS FLOAT) AS box_a", "CAST(7.0 AS FLOAT) AS box_b",
+        "CAST(8.0 AS FLOAT) AS box_c", "CAST(90.0 AS FLOAT) AS box_alpha",
+        "CAST(90.0 AS FLOAT) AS box_beta",
+        "CAST(90.0 AS FLOAT) AS box_gamma")
+      .repartitionByRange(1, col("frame_id"))
+      .sortWithinPartitions("frame_id", "atom_id")
+    df.write.format("pdb").mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".pdb"))
+    assert(files.length == 1)
+    val back = spark.read.format("pdb").load(files(0).getPath)
+    assert(back.count() == 6)
+    assert(back.select("frame_id").distinct().count() == 2)
+    val r = back.filter(col("frame_id") === 1 && col("atom_id") === 2)
+      .collect()(0)
+    assert(r.getAs[String]("name") == "C")
+    assert(r.getAs[String]("res_name") == "MET")
+    assert(r.getAs[String]("chain") == "B")
+    assert(r.getAs[Int]("res_seq") == 7)
+    assert(r.getAs[Int]("serial") == 3)
+    // 1.75 nm → 17.500 Å in the file → 1.75 nm back (default 0.1 scale)
+    assert(math.abs(r.getAs[Float]("x") - 1.75f) < 1e-5)
+    assert(math.abs(r.getAs[Float]("z") - 2.0f) < 1e-5)
+    // CRYST1 round-trip: 6 nm → 60 Å → 6 nm
+    assert(math.abs(r.getAs[Float]("box_a") - 6.0f) < 1e-5)
+    assert(r.getAs[Float]("box_gamma") == 90.0f)
+  }
 }
