@@ -266,7 +266,11 @@ class DcdScanBuilder(path: String, chunks: Int, unitScale: Double,
       mode)
 }
 
-case class DcdFrameRange(startFrame: Long, endFrame: Long) extends InputPartition
+/** startFrame/endFrame are LOCAL to the file; `filePath` (when
+  * non-null) overrides the scan path (directory-of-shards mode) and
+  * `frameOffset` is the global frame id of the file's frame 0. */
+case class DcdFrameRange(startFrame: Long, endFrame: Long,
+    filePath: String = null, frameOffset: Long = 0L) extends InputPartition
 
 class DcdScan(path: String, chunks: Int, unitScale: Double,
     required: StructType, frameLo: Long, frameHi: Long, limit: Int,
@@ -275,20 +279,53 @@ class DcdScan(path: String, chunks: Int, unitScale: Double,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** One driver-side header parse plans every partition; each partition
-    * is a pure frame range that the reader converts to a byte offset. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val h = DcdHeader.parse(path)
-    var lo = math.max(0L, frameLo)
-    var hi = math.min(h.nFrames, frameHi)
-    if (limit >= 0 && h.nAtoms > 0) {
-      val needed = (limit.toLong + h.nAtoms - 1) / h.nAtoms
+  private def planFile(p: String, nAtoms: Int, nFrames: Long, off: Long,
+      rowBudget: Long): (Seq[InputPartition], Long) = {
+    var lo = math.max(off, frameLo)
+    var hi = math.min(off + nFrames, frameHi)
+    if (rowBudget != Long.MaxValue && nAtoms > 0) {
+      val needed = (rowBudget + nAtoms - 1) / nAtoms
       hi = math.min(hi, lo + math.max(needed, 1L))
     }
-    if (lo >= hi) return Array.empty
-    (lo until hi by chunks.toLong).map { start =>
-      DcdFrameRange(start, math.min(start + chunks, hi)): InputPartition
-    }.toArray
+    if (lo >= hi || nAtoms <= 0) return (Nil, 0L)
+    val parts = (lo until hi by chunks.toLong).map { start =>
+      DcdFrameRange(start - off, math.min(start + chunks, hi) - off,
+        p, off): InputPartition
+    }
+    (parts, (hi - lo) * nAtoms)
+  }
+
+  /** One driver-side header parse per file plans every partition (a
+    * ~200-byte read — the binary format's probe is far cheaper than the
+    * text sources' line counts); each partition is a pure frame range
+    * that the reader converts to a byte offset. A directory plans its
+    * `*.dcd` shards in name order with globally contiguous frame ids
+    * (see XyzScan). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val f = new java.io.File(path)
+    val budget0 = if (limit >= 0) limit.toLong else Long.MaxValue
+    if (f.isDirectory) {
+      val shards = f.listFiles()
+        .filter(s => s.isFile && s.getName.endsWith(".dcd"))
+        .sortBy(_.getName)
+      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      var off = 0L
+      var budget = budget0
+      shards.foreach { s =>
+        if (budget > 0 && off < frameHi) {
+          val h = DcdHeader.parse(s.getPath)
+          val (parts, rows) = planFile(s.getPath, h.nAtoms, h.nFrames, off,
+            budget)
+          out ++= parts
+          if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
+          off += h.nFrames
+        }
+      }
+      out.toArray
+    } else {
+      val h = DcdHeader.parse(path)
+      planFile(path, h.nAtoms, h.nFrames, 0L, budget0)._1.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -318,10 +355,12 @@ class DcdPartitionReader(path: String, unitScale: Double,
   private val dropMalformed = mode == ParseMode.DropMalformed
   private var dropped = 0L
 
+  // directory-of-shards partitions carry their own file path
+  private val file = if (range.filePath != null) range.filePath else path
   // header re-parse per task is one 200-byte read; it keeps the
   // InputPartition serializable-small and the reader self-contained
-  private val header = DcdHeader.parse(path)
-  private val raf = new RandomAccessFile(path, "r")
+  private val header = DcdHeader.parse(file)
+  private val raf = new RandomAccessFile(file, "r")
   raf.seek(header.dataStart + range.startFrame * header.frameBytes)
 
   private val frameBuf = new Array[Byte](header.frameBytes.toInt)
@@ -344,7 +383,8 @@ class DcdPartitionReader(path: String, unitScale: Double,
 
   private def parseFail(what: String): Nothing =
     throw new IllegalStateException(
-      s"dcd parse error in $path at frame $frame: $what")
+      s"dcd parse error in $file at frame ${frame + range.frameOffset}: " +
+        what)
 
   /** Reads one whole frame record into the buffers; false at range end.
     * The coordinate record markers double as a consistency check that
@@ -406,7 +446,7 @@ class DcdPartitionReader(path: String, unitScale: Double,
     var i = 0
     while (i < ordinals.length) {
       row(i) = ordinals(i) match {
-        case 0 => frame
+        case 0 => frame + range.frameOffset
         case 1 => time
         case 2 => a
         case 3 => xs(a)
@@ -422,7 +462,7 @@ class DcdPartitionReader(path: String, unitScale: Double,
 
   override def get(): InternalRow = current
   override def close(): Unit = {
-    ParseMode.warnDropped("dcd", path, dropped)
+    ParseMode.warnDropped("dcd", file, dropped)
     raf.close()
   }
 }

@@ -35,6 +35,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * terms (0 when absent — orthorhombic), i.e. full unitcell_vectors.
   *
   * Usage: `spark.read.format("gro").option("chunks", 100).load(path)`.
+  * `path` may be a single file or a DIRECTORY of `*.gro`/`*.gro.gz`
+  * shards (read in name order, globally contiguous frame ids).
   */
 class GroDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "gro"
@@ -157,7 +159,11 @@ class GroScanBuilder(path: String, chunks: Int,
     new GroScan(path, chunks, required, mode, frameLo, frameHi)
 }
 
-case class GroFrameRange(startFrame: Long, endFrame: Long, nAtoms: Int)
+/** startFrame/endFrame are LOCAL to the file; `filePath` (when
+  * non-null) overrides the scan path (directory-of-shards mode) and
+  * `frameOffset` is the global frame id of the file's frame 0. */
+case class GroFrameRange(startFrame: Long, endFrame: Long, nAtoms: Int,
+    filePath: String = null, frameOffset: Long = 0L)
     extends InputPartition
 
 class GroScan(path: String, chunks: Int, required: StructType,
@@ -175,28 +181,56 @@ class GroScan(path: String, chunks: Int, required: StructType,
 
   /** Driver-side length probe → one InputPartition per `chunks` frames
     * (core/dask_traj.py:87-90 analog, same shape as XyzScan). */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val src = XyzLines.open(path)
+  private def probe(p: String): (Int, Long) = {
+    val src = XyzLines.open(p)
     try {
       val it = src.getLines()
-      if (!it.hasNext) return Array.empty
+      if (!it.hasNext) return (0, 0L)
       it.next() // title
-      if (!it.hasNext) return Array.empty
+      if (!it.hasNext) return (0, 0L)
       val nAtoms = it.next().trim.toInt
       if (nAtoms <= 0) throw new IllegalArgumentException(
-        s"gro file $path declares $nAtoms atoms")
+        s"gro file $p declares $nAtoms atoms")
       var lines = 2L
       while (it.hasNext) { it.next(); lines += 1 }
-      val frameLines = nAtoms + 3
-      val nFrames = lines / frameLines
-      val lo = math.max(0L, frameLo)
-      val hi = math.min(nFrames, frameHi)
-      if (lo >= hi) return Array.empty
-      (lo until hi by chunks.toLong).map { start =>
-        GroFrameRange(start, math.min(start + chunks, hi), nAtoms)
-          : InputPartition
-      }.toArray
+      (nAtoms, lines / (nAtoms + 3))
     } finally src.close()
+  }
+
+  private def planFile(p: String, nAtoms: Int, nFrames: Long,
+      off: Long): Seq[InputPartition] = {
+    val lo = math.max(off, frameLo)
+    val hi = math.min(off + nFrames, frameHi)
+    if (lo >= hi || nAtoms <= 0) return Nil
+    (lo until hi by chunks.toLong).map { start =>
+      GroFrameRange(start - off, math.min(start + chunks, hi) - off,
+        nAtoms, p, off): InputPartition
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      // directory-of-shards batch read, globally contiguous frame ids
+      // in lexicographic shard order (see XyzScan)
+      val shards = f.listFiles()
+        .filter(s => s.isFile &&
+          (s.getName.endsWith(".gro") || s.getName.endsWith(".gro.gz")))
+        .sortBy(_.getName)
+      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      var off = 0L
+      shards.foreach { s =>
+        if (off < frameHi) {
+          val (nAtoms, nFrames) = probe(s.getPath)
+          out ++= planFile(s.getPath, nAtoms, nFrames, off)
+          off += nFrames
+        }
+      }
+      out.toArray
+    } else {
+      val (nAtoms, nFrames) = probe(path)
+      planFile(path, nAtoms, nFrames, 0L).toArray
+    }
   }
 
   override def supportedCustomMetrics()
@@ -230,7 +264,9 @@ class GroPartitionReader(path: String, required: StructType,
   private var dropped = 0L
   private var coerced = 0L
 
-  private val src = XyzLines.open(path)
+  // directory-of-shards partitions carry their own file path
+  private val file = if (range.filePath != null) range.filePath else path
+  private val src = XyzLines.open(file)
   private val lines = src.getLines()
   private val frameLines = range.nAtoms + 3
   (0L until range.startFrame * frameLines).foreach { _ =>
@@ -259,8 +295,8 @@ class GroPartitionReader(path: String, required: StructType,
 
   private def parseFail(what: String, content: String): Nothing =
     throw new IllegalStateException(
-      s"gro parse error in $path at frame $frame: $what " +
-        s"(line: '${content.take(120)}')")
+      s"gro parse error in $file at frame ${frame + range.frameOffset}: " +
+        s"$what (line: '${content.take(120)}')")
 
   private def numOrFail(tok: String, what: String, line: String): Double =
     try tok.trim.toDouble catch {
@@ -284,7 +320,7 @@ class GroPartitionReader(path: String, required: StructType,
     val title = lines.next()
     time = title match {
       case timeRe(t) => numOrFail(t, "time", title)
-      case _ => frame.toDouble
+      case _ => (frame + range.frameOffset).toDouble
     }
     if (!lines.hasNext) parseFail("missing natoms line", "")
     lines.next() // natoms (validated at plan time)
@@ -346,7 +382,7 @@ class GroPartitionReader(path: String, required: StructType,
     var i = 0
     while (i < ordinals.length) {
       row(i) = ordinals(i) match {
-        case 0 => frame
+        case 0 => frame + range.frameOffset
         case 1 => time
         case 2 => a
         case 3 => resId(a)
@@ -370,8 +406,8 @@ class GroPartitionReader(path: String, required: StructType,
     ParseMode.taskMetrics(dropped, coerced)
 
   override def close(): Unit = {
-    ParseMode.warnDropped("gro", path, dropped)
-    ParseMode.warnCoerced("gro", path, coerced)
+    ParseMode.warnDropped("gro", file, dropped)
+    ParseMode.warnCoerced("gro", file, coerced)
     src.close()
   }
 }

@@ -171,7 +171,11 @@ class PdbScanBuilder(path: String, chunks: Int, unitScale: Double,
   * like the xyz/gro positioned reads. */
 case class PdbFrameRange(startFrame: Long, endFrame: Long, startLine: Long,
     boxA: Float, boxB: Float, boxC: Float,
-    boxAlpha: Float, boxBeta: Float, boxGamma: Float, hasBox: Boolean)
+    boxAlpha: Float, boxBeta: Float, boxGamma: Float, hasBox: Boolean,
+    // startFrame/endFrame are LOCAL to the file; filePath (when
+    // non-null) overrides the scan path (directory-of-shards mode) and
+    // frameOffset is the global frame id of the file's frame 0
+    filePath: String = null, frameOffset: Long = 0L)
     extends InputPartition
 
 class PdbScan(path: String, chunks: Int, unitScale: Double,
@@ -187,8 +191,11 @@ class PdbScan(path: String, chunks: Int, unitScale: Double,
     * (the shape of the reference's load_chunks dict,
     * core/dask_traj.py:103-140, with byte seeks replaced by line
     * seeks). */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val src = XyzLines.open(path)
+  /** Per-file probe: CRYST1 box + the line index of every MODEL record
+    * + whether any ATOM exists. */
+  private def probe(p: String): (IndexedSeq[Long],
+      Option[(Float, Float, Float, Float, Float, Float)], Boolean) = {
+    val src = XyzLines.open(p)
     try {
       var box: Option[(Float, Float, Float, Float, Float, Float)] = None
       val modelLines = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -204,7 +211,7 @@ class PdbScan(path: String, chunks: Int, unitScale: Double,
               math.min(hi, line.length)).trim
             try (tok.toDouble * scale).toFloat catch {
               case _: NumberFormatException => throw new IllegalStateException(
-                s"pdb parse error in $path: non-numeric CRYST1 field " +
+                s"pdb parse error in $p: non-numeric CRYST1 field " +
                   s"'$tok' (line: '${line.take(120)}')")
             }
           }
@@ -216,21 +223,54 @@ class PdbScan(path: String, chunks: Int, unitScale: Double,
         }
         lineNo += 1
       }
-      if (!sawAtom) return Array.empty
       // a MODEL-less file is one frame starting at line 0
       val starts: IndexedSeq[Long] =
         if (modelLines.isEmpty) IndexedSeq(0L) else modelLines.toIndexedSeq
-      val (ba, bb, bc, bal, bbe, bga) =
-        box.getOrElse((0f, 0f, 0f, 0f, 0f, 0f))
-      val lo = math.max(0L, frameLo).toInt
-      val hi = math.min(starts.length.toLong, frameHi).toInt
-      if (lo >= hi) return Array.empty
-      (lo until hi by chunks).map { s =>
-        PdbFrameRange(s.toLong, math.min(s + chunks, hi).toLong,
-          starts(s), ba, bb, bc, bal, bbe, bga, box.isDefined)
-          : InputPartition
-      }.toArray
+      (starts, box, sawAtom)
     } finally src.close()
+  }
+
+  private def planFile(p: String, starts: IndexedSeq[Long],
+      box: Option[(Float, Float, Float, Float, Float, Float)],
+      off: Long): Seq[InputPartition] = {
+    val (ba, bb, bc, bal, bbe, bga) =
+      box.getOrElse((0f, 0f, 0f, 0f, 0f, 0f))
+    val lo = (math.max(off, frameLo) - off).toInt
+    val hi = (math.min(off + starts.length, frameHi) - off).toInt
+    if (lo >= hi) return Nil
+    (lo until hi by chunks).map { s =>
+      PdbFrameRange(s.toLong, math.min(s + chunks, hi).toLong,
+        starts(s), ba, bb, bc, bal, bbe, bga, box.isDefined, p, off)
+        : InputPartition
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      // directory-of-shards batch read, globally contiguous frame ids
+      // in lexicographic shard order (see XyzScan)
+      val shards = f.listFiles()
+        .filter(s => s.isFile &&
+          (s.getName.endsWith(".pdb") || s.getName.endsWith(".pdb.gz")))
+        .sortBy(_.getName)
+      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      var off = 0L
+      shards.foreach { s =>
+        if (off < frameHi) {
+          val (starts, box, sawAtom) = probe(s.getPath)
+          if (sawAtom) {
+            out ++= planFile(s.getPath, starts, box, off)
+            off += starts.length
+          }
+        }
+      }
+      out.toArray
+    } else {
+      val (starts, box, sawAtom) = probe(path)
+      if (!sawAtom) Array.empty
+      else planFile(path, starts, box, 0L).toArray
+    }
   }
 
   override def supportedCustomMetrics()
@@ -263,7 +303,9 @@ class PdbPartitionReader(path: String, unitScale: Double,
   private var dropped = 0L
   private var coerced = 0L
 
-  private val src = XyzLines.open(path)
+  // directory-of-shards partitions carry their own file path
+  private val file = if (range.filePath != null) range.filePath else path
+  private val src = XyzLines.open(file)
   private val lines = src.getLines()
   (0L until range.startLine).foreach { _ =>
     if (lines.hasNext) lines.next()
@@ -281,8 +323,8 @@ class PdbPartitionReader(path: String, unitScale: Double,
 
   private def parseFail(what: String, content: String): Nothing =
     throw new IllegalStateException(
-      s"pdb parse error in $path at frame $frame: $what " +
-        s"(line: '${content.take(120)}')")
+      s"pdb parse error in $file at frame ${frame + range.frameOffset}: " +
+        s"$what (line: '${content.take(120)}')")
 
   private def slice(line: String, lo: Int, hi: Int): String =
     line.substring(math.min(lo, line.length), math.min(hi, line.length))
@@ -332,7 +374,7 @@ class PdbPartitionReader(path: String, unitScale: Double,
           var i = 0
           while (i < ordinals.length) {
             row(i) = ordinals(i) match {
-              case 0 => frame
+              case 0 => frame + range.frameOffset
               case 1 => atomInFrame
               case 2 => intOr(slice(line, 6, 11), atomInFrame + 1)
               case 3 => UTF8String.fromString(name)
@@ -380,8 +422,8 @@ class PdbPartitionReader(path: String, unitScale: Double,
     ParseMode.taskMetrics(dropped, coerced)
 
   override def close(): Unit = {
-    ParseMode.warnDropped("pdb", path, dropped)
-    ParseMode.warnCoerced("pdb", path, coerced)
+    ParseMode.warnDropped("pdb", file, dropped)
+    ParseMode.warnCoerced("pdb", file, coerced)
     src.close()
   }
 }

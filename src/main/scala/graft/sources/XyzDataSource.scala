@@ -148,6 +148,10 @@ private[sources] case class ParseTaskMetric(metricName: String, v: Long)
   * Output is the long layout: one row per (frame, atom).
   *
   * Usage: `spark.read.format("xyz").option("chunks", 100).load(path)`.
+  * `path` may be a single file or a DIRECTORY of shard files
+  * (`*.xyz` / `*.xyz.gz`, read in name order with globally contiguous
+  * frame ids) — the many-files layout a 100 TB trajectory actually has,
+  * and what the write path produces.
   */
 class XyzDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "xyz"
@@ -163,8 +167,9 @@ class XyzDataSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException(
-        "xyz source requires a single 'path' option " +
-          "(multi-path 'paths' loads are not supported)"))
+        "xyz source requires a single 'path' option — a file or a " +
+          "directory of shards (multi-path 'paths' loads are not " +
+          "supported)"))
     def intOpt(key: String, default: Int): Int =
       Option(properties.get(key)).map { v =>
         try v.toInt catch {
@@ -281,7 +286,13 @@ class XyzScanBuilder(path: String, chunks: Int, unitScale: Double,
       mode)
 }
 
-case class XyzFrameRange(startFrame: Long, endFrame: Long, nAtoms: Int)
+/** One chunk of frames. startFrame/endFrame are LOCAL to the file;
+  * `filePath` (when non-null) overrides the scan path — used by the
+  * directory-of-shards mode — and `frameOffset` is the global frame id
+  * of the file's frame 0, so emitted frame_ids are globally contiguous
+  * across shards. */
+case class XyzFrameRange(startFrame: Long, endFrame: Long, nAtoms: Int,
+    filePath: String = null, frameOffset: Long = 0L)
     extends InputPartition
 
 class XyzScan(path: String, chunks: Int, unitScale: Double,
@@ -299,32 +310,74 @@ class XyzScan(path: String, chunks: Int, unitScale: Double,
     new XyzMicroBatchStream(path, chunks, unitScale, required)
 
   /** Driver-side length probe (the analog of opening the file to read
-    * `len(f)`, core/dask_traj.py:86): one cheap line-count pass. The
-    * planned range is then clipped by pushed frame_id predicates and a
-    * pushed limit — chunk pruning at plan time (SURVEY O3/O5). */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val src = XyzLines.open(path)
+    * `len(f)`, core/dask_traj.py:86): one cheap line-count pass per
+    * file. The planned range is then clipped by pushed frame_id
+    * predicates and a pushed limit — chunk pruning at plan time
+    * (SURVEY O3/O5). */
+  private def probe(p: String): (Int, Long) = {
+    val src = XyzLines.open(p)
     try {
       val it = src.getLines()
-      if (!it.hasNext) return Array.empty
+      if (!it.hasNext) return (0, 0L)
       val nAtoms = it.next().trim.toInt
       var lines = 1L
       while (it.hasNext) { it.next(); lines += 1 }
-      val frameLines = nAtoms + 2
-      val nFrames = lines / frameLines
-      var lo = math.max(0L, frameLo)
-      var hi = math.min(nFrames, frameHi)
-      if (limit >= 0 && nAtoms > 0) {
-        // enough whole frames to cover `limit` rows from lo
-        val needed = (limit.toLong + nAtoms - 1) / nAtoms
-        hi = math.min(hi, lo + math.max(needed, 1L))
-      }
-      if (lo >= hi) return Array.empty
-      (lo until hi by chunks.toLong).map { start =>
-        XyzFrameRange(start, math.min(start + chunks, hi), nAtoms)
-          : InputPartition
-      }.toArray
+      (nAtoms, lines / (nAtoms + 2))
     } finally src.close()
+  }
+
+  /** Chunk plan for one file whose frame 0 has global id `off`,
+    * clipped against the GLOBAL pushed frame range and a row budget.
+    * Returns the partitions and the rows they will produce (for limit
+    * accounting). */
+  private def planFile(p: String, nAtoms: Int, nFrames: Long, off: Long,
+      rowBudget: Long): (Seq[InputPartition], Long) = {
+    var lo = math.max(off, frameLo)
+    var hi = math.min(off + nFrames, frameHi)
+    if (rowBudget != Long.MaxValue && nAtoms > 0) {
+      val needed = (rowBudget + nAtoms - 1) / nAtoms
+      hi = math.min(hi, lo + math.max(needed, 1L))
+    }
+    if (lo >= hi || nAtoms <= 0) return (Nil, 0L)
+    val parts = (lo until hi by chunks.toLong).map { start =>
+      XyzFrameRange(start - off, math.min(start + chunks, hi) - off,
+        nAtoms, p, off): InputPartition
+    }
+    (parts, (hi - lo) * nAtoms)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val f = new java.io.File(path)
+    val budget0 = if (limit >= 0) limit.toLong else Long.MaxValue
+    if (f.isDirectory) {
+      // Directory-of-shards batch read: the many-files shape data has
+      // at scale (and what the write path produces). Frame ids are
+      // GLOBAL — shard k's frames continue where shard k-1 ended, in
+      // lexicographic shard order (the write path's zero-padded
+      // part-NNNNN names), so a sharded trajectory reads back as ONE
+      // trajectory. Pushed frame_id predicates prune whole shards.
+      val shards = f.listFiles()
+        .filter(s => s.isFile &&
+          (s.getName.endsWith(".xyz") || s.getName.endsWith(".xyz.gz")))
+        .sortBy(_.getName)
+      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+      var off = 0L
+      var budget = budget0
+      shards.foreach { s =>
+        if (budget > 0 && off < frameHi) {
+          val (nAtoms, nFrames) = probe(s.getPath)
+          val (parts, rows) = planFile(s.getPath, nAtoms, nFrames, off,
+            budget)
+          out ++= parts
+          if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
+          off += nFrames
+        }
+      }
+      out.toArray
+    } else {
+      val (nAtoms, nFrames) = probe(path)
+      planFile(path, nAtoms, nFrames, 0L, budget0)._1.toArray
+    }
   }
 
   override def supportedCustomMetrics()
@@ -356,7 +409,9 @@ class XyzPartitionReader(path: String, unitScale: Double,
   private var dropped = 0L
   private var coerced = 0L
 
-  private val src = XyzLines.open(path)
+  // directory-of-shards partitions carry their own file path
+  private val file = if (range.filePath != null) range.filePath else path
+  private val src = XyzLines.open(file)
   private val lines = src.getLines()
   private val frameLines = range.nAtoms + 2
   // seek: skip whole frames before our range
@@ -385,8 +440,8 @@ class XyzPartitionReader(path: String, unitScale: Double,
     * line (the plan-time natoms validation can't see mid-file damage). */
   private def parseFail(what: String, content: String): Nothing =
     throw new IllegalStateException(
-      s"xyz parse error in $path at frame $frame: $what " +
-        s"(line: '${content.take(120)}')")
+      s"xyz parse error in $file at frame ${frame + range.frameOffset}: " +
+        s"$what (line: '${content.take(120)}')")
 
   private def numOrFail(tok: String, what: String, line: String): Double =
     try tok.toDouble catch {
@@ -414,11 +469,13 @@ class XyzPartitionReader(path: String, unitScale: Double,
               ((numOrFail(bx, "Box x", comment) * unitScale).toFloat,
                 (numOrFail(by, "Box y", comment) * unitScale).toFloat,
                 (numOrFail(bz, "Box z", comment) * unitScale).toFloat))
-          case _ => time = frame.toDouble; box = None
+          case _ =>
+            time = (frame + range.frameOffset).toDouble; box = None
         } catch {
           // coercion fallback, the warn-don't-fail half of ensure_type
           case _: IllegalStateException if dropMalformed =>
-            time = frame.toDouble; box = None; dropped += 1
+            time = (frame + range.frameOffset).toDouble; box = None
+            dropped += 1
         }
         atomInFrame = 0
       }
@@ -441,7 +498,7 @@ class XyzPartitionReader(path: String, unitScale: Double,
         var i = 0
         while (i < ordinals.length) {
           row(i) = ordinals(i) match {
-            case 0 => frame
+            case 0 => frame + range.frameOffset
             case 1 => time
             case 2 => atomId
             case 3 => UTF8String.fromString(parts(0))
@@ -476,8 +533,8 @@ class XyzPartitionReader(path: String, unitScale: Double,
     ParseMode.taskMetrics(dropped, coerced)
 
   override def close(): Unit = {
-    ParseMode.warnDropped("xyz", path, dropped)
-    ParseMode.warnCoerced("xyz", path, coerced)
+    ParseMode.warnDropped("xyz", file, dropped)
+    ParseMode.warnCoerced("xyz", file, coerced)
     src.close()
   }
 }
