@@ -428,6 +428,55 @@ object TrajQueries {
        |ORDER BY frame_id, residue_id""".stripMargin
   }
 
+  /** A1 on the WIDE layout: center of mass as a per-row fold over the
+    * per-frame xyz array, with the masses delivered as a BROADCAST
+    * one-row position-aligned mass ARRAY — the exact shape of the
+    * reference kernel, which captures the topology's mass array
+    * driver-side into every chunk task and reduces inside the chunk
+    * (geometry/distance.py:319-320, :282-337). No aggregation shuffle:
+    * after the frame grouping builds the wide rows, each frame reduces
+    * within its own row. The masses ride a dense atom_id-indexed ARRAY
+    * (topology atom ids are dense 1..N by construction), probed with
+    * `element_at(masses, atom_id)` — O(1) per element, where a MAP
+    * keyed on atom_id costs an O(atoms) linear scan per probe
+    * (O(atoms²) per frame: measured 81 s vs sub-second at sf0.1). The
+    * fold runs over the frame's own atom map, so frames with missing
+    * atoms (the trajectory boundary-trim case) sum exactly the atoms
+    * present, matching the long path's inner join.
+    * Accumulation is scaled-BIGINT exact at 10⁻⁹ (x has 6 decimals,
+    * mass 3 → the product is a 9-decimal rational, recovered exactly by
+    * round(·×10⁹)), so the fold matches the long path's DECIMAL sums
+    * bit-for-bit after the shared double divisions. Same values, same
+    * oracle as [[trajCom]]. */
+  def trajComWide(s: SparkSession, d: String): DataFrame = {
+    // bounded broadcast: one row, |atoms| doubles (atoms are the
+    // physically bounded axis — see TrajModel.positions)
+    val massArr = TrajModel.topologyShared(s, d)
+      .agg(expr("transform(sort_array(collect_list(struct(atom_id, " +
+        "CAST(mass AS DOUBLE) AS mass))), e -> e.mass)").as("masses"))
+    def sumXM(c: String) = expr(
+      "aggregate(map_entries(atoms), CAST(0 AS BIGINT), (acc, e) -> " +
+        s"acc + CAST(round(e.value.$c * " +
+        "element_at(masses, CAST(e.key AS INT)) * 1e9, 0) AS BIGINT))")
+    val sumM = expr(
+      "aggregate(map_entries(atoms), CAST(0 AS BIGINT), (acc, e) -> " +
+        "acc + CAST(round(element_at(masses, CAST(e.key AS INT)) " +
+        "* 1e3, 0) AS BIGINT))")
+    TrajDataset.atomMap(TrajModel.positionsShared(s, d))
+      .crossJoin(broadcast(massArr))
+      .select(col("frame_id"), sumXM("x").as("sxm"), sumXM("y").as("sym"),
+        sumXM("z").as("szm"), sumM.as("sm"))
+      .select(col("frame_id"),
+        round((col("sxm").cast("double") / 1e9) /
+          (col("sm").cast("double") / 1e3), 6).as("com_x"),
+        round((col("sym").cast("double") / 1e9) /
+          (col("sm").cast("double") / 1e3), 6).as("com_y"),
+        round((col("szm").cast("double") / 1e9) /
+          (col("sm").cast("double") / 1e3), 6).as("com_z"),
+        (col("sm").cast("double") / 1e3).as("total_mass"))
+      .orderBy("frame_id")
+  }
+
   /** A1 across the full topology hierarchy: ROLLUP(chain, residue)
     * inside each frame — one Expand+Aggregate pass emits the chain-level
     * COM, the (chain, residue) detail AND the per-frame total, completing
@@ -833,6 +882,7 @@ object TrajQueries {
     QueryDef("q_traj_angles", trajAngles, Some(trajAnglesSql)),
     QueryDef("q_traj_angles_wide", trajAnglesWide, Some(trajAnglesSql)),
     QueryDef("q_traj_com", trajCom, Some(trajComSql)),
+    QueryDef("q_traj_com_wide", trajComWide, Some(trajComSql)),
     QueryDef("q_traj_com_residue", trajComResidue, Some(trajComResidueSql)),
     QueryDef("q_traj_com_chain", trajComChain, Some(trajComChainSql)),
     QueryDef("q_traj_cog", trajCog, Some(trajCogSql)),

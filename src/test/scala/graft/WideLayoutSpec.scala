@@ -21,6 +21,17 @@ class WideLayoutSpec extends AnyFunSuite {
     assert(wide.toSeq == long.toSeq)
   }
 
+  test("wide-fold COM == long-path COM, bit for bit") {
+    val long = TrajQueries.trajCom(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val wide = TrajQueries.trajComWide(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(long.nonEmpty)
+    assert(wide.toSeq == long.toSeq)
+  }
+
   test("wide round-trip: long -> Dataset[TrajFrame] -> long preserves " +
     "coordinates") {
     val pos = TrajModel.positionsShared(spark, sf)
