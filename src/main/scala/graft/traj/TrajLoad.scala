@@ -1,0 +1,89 @@
+package graft.traj
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Extension-dispatch loader — the analog of the reference's top-level
+  * `load(filename, chunk_size)` entry point, which routes a path
+  * through its per-extension registry to the right reader
+  * (core/dask_traj.py:26-56 `file_returns`, :59-84 `load`). Here the
+  * registry maps extensions to the DSv2 format names registered in
+  * META-INF, so `TrajLoad.load(spark, "traj.dcd")` is exactly
+  * `spark.read.format("dcd").load(...)` — lazy, chunk-planned, pushdown
+  * -capable — with one uniform front door and a clear error for the
+  * extensions the registry knows about but this library does not
+  * implement.
+  *
+  * Directories of shards dispatch on the extension of their first
+  * regular file (all shards of one directory must share a format, the
+  * same contract the per-format shard planners enforce).
+  */
+object TrajLoad {
+
+  /** extension (longest-match, lowercase) → DSv2 format short name.
+    * Multi-suffix extensions (.xyz.gz) must precede their suffix. */
+  val Registry: Seq[(String, String)] = Seq(
+    ".xyz.gz" -> "xyz",
+    ".xyz" -> "xyz",
+    ".gro.gz" -> "gro",
+    ".gro" -> "gro",
+    ".pdb.gz" -> "pdb",
+    ".pdb" -> "pdb",
+    ".dcd" -> "dcd",
+    ".trr" -> "trr")
+
+  /** Reference-registry extensions (core/dask_traj.py:26-56) that this
+    * library deliberately does not read, with the reason — surfaced in
+    * the unknown-extension error so a user porting a workload learns
+    * the status in one message. */
+  val KnownUnsupported: Map[String, String] = Map(
+    ".xtc" -> "GPL-encumbered codec (scope-out, SURVEY §7.4)",
+    ".hdf5" -> "needs an HDF5 codec not present in this environment",
+    ".h5" -> "needs an HDF5 codec not present in this environment",
+    ".nc" -> "needs a NetCDF codec not present in this environment",
+    ".ncdf" -> "needs a NetCDF codec not present in this environment",
+    ".netcdf" -> "needs a NetCDF codec not present in this environment",
+    ".tng" -> "needs the TNG codec not present in this environment")
+
+  private def extensionOf(name: String): Option[(String, String)] = {
+    val lower = name.toLowerCase
+    Registry.find { case (ext, _) => lower.endsWith(ext) }
+  }
+
+  /** Resolves the format for a path: a file dispatches on its own name,
+    * a directory on the name of its first regular file. */
+  def formatFor(path: String): String = {
+    val f = new File(path)
+    val probe =
+      if (f.isDirectory)
+        f.listFiles().filter(_.isFile).sortBy(_.getName).headOption
+          .map(_.getName).getOrElse(
+            throw new IllegalArgumentException(
+              s"trajectory load: directory $path contains no files"))
+      else f.getName
+    extensionOf(probe).map(_._2).getOrElse {
+      val lower = probe.toLowerCase
+      val known = KnownUnsupported.collectFirst {
+        case (ext, why) if lower.endsWith(ext) =>
+          s"'$ext' is in the reference registry but unsupported here: $why"
+      }
+      throw new IllegalArgumentException(
+        s"trajectory load: no reader for '$probe'. " +
+          known.getOrElse("Supported extensions: " +
+            Registry.map(_._1).mkString(", ")))
+    }
+  }
+
+  /** One-call load: dispatch on extension, pass options through to the
+    * format (chunks, unit_scale, mode — the per-format docs list them).
+    * `chunkSize` mirrors the reference's `load(..., chunk_size)`
+    * parameter and maps to the sources' `chunks` (frames per
+    * partition). */
+  def load(spark: SparkSession, path: String,
+      chunkSize: Option[Int] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.read.format(formatFor(path)).options(options)
+    chunkSize.fold(reader)(c => reader.option("chunks", c)).load(path)
+  }
+}

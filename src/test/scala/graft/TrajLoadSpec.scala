@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{DcdWrite, TrrWrite}
+import graft.traj.TrajLoad
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extension-dispatch front door must route every registered
+  * extension to its format, keep reads lazy/pushdown-capable, and fail
+  * informatively on extensions the reference registry knows but this
+  * library scopes out (core/dask_traj.py:26-56). */
+class TrajLoadSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("registry resolves every implemented extension, longest match " +
+    "first (.xyz.gz is xyz, not gz)") {
+    assert(TrajLoad.formatFor("/tmp/a.xyz") == "xyz")
+    assert(TrajLoad.formatFor("/tmp/a.xyz.gz") == "xyz")
+    assert(TrajLoad.formatFor("/tmp/a.GRO") == "gro")
+    assert(TrajLoad.formatFor("/tmp/a.pdb.gz") == "pdb")
+    assert(TrajLoad.formatFor("/tmp/a.dcd") == "dcd")
+    assert(TrajLoad.formatFor("/tmp/a.trr") == "trr")
+  }
+
+  test("load dispatches to a real reader and chunk_size reaches the " +
+    "partition planner") {
+    val f = Files.createTempFile("disp", ".trr")
+    TrrWrite.write(f.toString, (0 until 4).map { fr =>
+      TrrWrite.Frame(Array.tabulate(9)(i => (fr * 10 + i).toFloat))
+    })
+    val df = TrajLoad.load(spark, f.toString, chunkSize = Some(1))
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 12)
+    val dcd = Files.createTempFile("disp", ".dcd")
+    DcdWrite.write(dcd.toString, Seq(DcdWrite.Frame(
+      Array(1f, 2f, 3f), Array(1f, 2f, 3f), Array(1f, 2f, 3f), None)))
+    assert(TrajLoad.load(spark, dcd.toString).count() == 3)
+  }
+
+  test("a directory of shards dispatches on its first file's extension") {
+    val dir = Files.createTempDirectory("disp-shards")
+    TrrWrite.write(s"$dir/a.trr", Seq(
+      TrrWrite.Frame(Array.tabulate(6)(_.toFloat))))
+    TrrWrite.write(s"$dir/b.trr", Seq(
+      TrrWrite.Frame(Array.tabulate(6)(_.toFloat))))
+    assert(TrajLoad.formatFor(dir.toString) == "trr")
+    assert(TrajLoad.load(spark, dir.toString).count() == 4)
+    assert(TrajLoad.load(spark, dir.toString)
+      .agg(max("frame_id")).collect()(0).getLong(0) == 1L)
+  }
+
+  test("unknown extensions error with the supported list; reference-" +
+    "registry scope-outs explain WHY they are unsupported") {
+    val e1 = intercept[IllegalArgumentException](
+      TrajLoad.formatFor("/tmp/a.lammpstrj"))
+    assert(e1.getMessage.contains("Supported extensions"))
+    val e2 = intercept[IllegalArgumentException](
+      TrajLoad.formatFor("/tmp/a.xtc"))
+    assert(e2.getMessage.contains("GPL"))
+    val e3 = intercept[IllegalArgumentException](
+      TrajLoad.formatFor("/tmp/a.h5"))
+    assert(e3.getMessage.contains("HDF5"))
+  }
+}
