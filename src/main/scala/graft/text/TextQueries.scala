@@ -569,6 +569,115 @@ object TextQueries {
       |SELECT doc_id, min(md5(substr(text, CAST(i AS INT), 8))) AS fingerprint
       |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- decontamination
+
+  /** Train/eval decontamination (SURVEY §2.10 family): flag every
+    * training document sharing at least one word-5-gram with the
+    * benchmark set — the n-gram-overlap contamination check the large
+    * LM corpora run before training. The benchmark here is the
+    * deterministic held-out slice `doc_id % 50 = 7` (a stand-in for an
+    * external eval table; swapping in a real one changes one filter).
+    *
+    * Scale shape: the benchmark side is BOUNDED (eval suites are MBs,
+    * not TBs) — its distinct grams broadcast once, so the training
+    * corpus is never shuffled: each doc's grams stream through the
+    * broadcast hash join and only CONTAMINATED rows reach the
+    * aggregation. The train side deliberately skips a distinct() — a
+    * per-(doc,gram) dedup would shuffle the whole corpus to save work
+    * the broadcast filter already avoids; countDistinct in the final
+    * agg (contaminated rows only) gives the same answer. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 4), " +
+          "i -> concat_ws(' ', slice(w, i, 5)))")).as("gram"))
+    val bench = grams(docs.filter(col("doc_id") % 50 === 7))
+      .withColumnRenamed("doc_id", "bench_id").distinct()
+    val train = grams(docs.filter(col("doc_id") % 50 =!= 7))
+    train.join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_shared_grams"),
+        countDistinct("bench_id").as("n_bench_docs"),
+        min("gram").as("first_shared_gram"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |pos AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM pos),
+      |bench AS (
+      |  SELECT DISTINCT doc_id AS bench_id, gram FROM grams
+      |  WHERE doc_id % 50 = 7),
+      |train AS (
+      |  SELECT doc_id, gram FROM grams WHERE doc_id % 50 <> 7)
+      |SELECT t.doc_id,
+      |  CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+      |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs,
+      |  min(t.gram) AS first_shared_gram
+      |FROM train t JOIN bench b ON b.gram = t.gram
+      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ sampling
+
+  /** Deterministic stratified sampling (SURVEY §2.10 family): keep each
+    * document iff the first two hex chars of md5("s42:" + doc_id) fall
+    * under the stratum's threshold — 'en' keeps 128/256 (50 %), other
+    * languages 64/256 (25 %). Hash-based sampling is the
+    * training-pipeline shape: reproducible across runs and engines (no
+    * RNG state), embarrassingly parallel (a pure map filter — ZERO
+    * shuffle before the presentation sort), and any row's membership is
+    * auditable from its key alone. Rates are per-stratum, the
+    * up/down-weighting lever for language balance at 100 TB. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        substring(md5(concat(lit("s42:"), col("doc_id").cast("string"))),
+          1, 2))
+      .filter(col("bucket") <
+        when(col("lang") === "en", lit("80")).otherwise(lit("40")))
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+
+  private val sampleStratifiedSql =
+    """SELECT doc_id, lang,
+      |  substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      |FROM documents
+      |WHERE substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      |  < CASE WHEN lang = 'en' THEN '80' ELSE '40' END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic train/val/test split over the SAME keyed-hash
+    * construction: hash ranges [00,cc) / [cc,e6) / [e6,ff] assign
+    * ~80/10/10. A different salt ("split1:") decorrelates the split
+    * from any sampling decision made with another salt. */
+  def sampleSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        substring(md5(concat(lit("split1:"), col("doc_id").cast("string"))),
+          1, 2))
+      .select(col("doc_id"), col("lang"),
+        when(col("bucket") < "cc", "train")
+          .when(col("bucket") < "e6", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  private val sampleSplitSql =
+    """SELECT doc_id, lang,
+      |  CASE WHEN substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      |         < 'cc' THEN 'train'
+      |       WHEN substr(md5('split1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+      |         < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
@@ -579,5 +688,9 @@ object TextQueries {
     QueryDef("q_quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("q_lang_id", langId, Some(langIdSql)),
     QueryDef("q_lang_id_ngram", langIdNgram, Some(langIdNgramSql)),
-    QueryDef("q_fingerprint", fingerprint, Some(fingerprintSql)))
+    QueryDef("q_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("q_sample_stratified", sampleStratified,
+      Some(sampleStratifiedSql)),
+    QueryDef("q_sample_split", sampleSplit, Some(sampleSplitSql)))
 }
