@@ -56,5 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("tri_mic",
       "tri_mic(dx, dy, dz, ax, bx, by, cx, cy, cz) - triclinic minimum-image distance",
       es => TriclinicMicDist(es)))
+    ext.injectFunction(fn("rep_stats",
+      "rep_stats(text) - (n_words, n_distinct, top_word, top_bigram) repetition counters",
+      es => RepStats(es.head)))
   }
 }

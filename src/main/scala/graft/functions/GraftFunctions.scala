@@ -127,6 +127,30 @@ case class Ngram3Set(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+/** One-pass per-document repetition counters (see
+  * [[HashKernels.repStats]]) — the narrow-projection carrier for the
+  * Gopher/C4 repetition-filter family. */
+case class RepStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("nw", LongType, nullable = false),
+    StructField("ndw", LongType, nullable = false),
+    StructField("topw", LongType, nullable = false),
+    StructField("topbg", LongType, nullable = false)))
+  override def prettyName: String = "rep_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.repStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.repStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -268,5 +292,7 @@ object GraftFunctions {
       es => Lsh16Code(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("tri_mic",
       es => TriclinicMicDist(es), "scala_udf")
+    reg.createOrReplaceTempFunction("rep_stats",
+      es => RepStats(es.head), "scala_udf")
   }
 }

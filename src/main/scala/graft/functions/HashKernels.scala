@@ -375,6 +375,46 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  // ------------------------------------------------- repetition stats
+
+  /** Per-document repetition statistics in ONE pass over the token
+    * stream — (n_words, n_distinct_words, top_word_count,
+    * top_bigram_count) as a 4-long struct. The Gopher/C4 repetition
+    * filters (duplicate-word fraction, most-common-word fraction,
+    * most-common-2-gram fraction) are pure functions of these counts,
+    * so the whole filter family is a NARROW projection: no token
+    * explode, no per-token shuffle — the property that makes it viable
+    * at 100 TB (an explode+groupBy form shuffles every token in the
+    * corpus to compute a per-document number).
+    *
+    * Tokenization is split-on-single-space keeping empties — exactly
+    * `split(text, ' ')` (Spark) / `string_split(text, ' ')` (DuckDB),
+    * so the oracle's unnest+GROUP BY form counts the same tokens. All
+    * four outputs are exact integers: no cross-engine float hazard. */
+  def repStats(text: UTF8String): InternalRow = {
+    val parts = text.toString.split(" ", -1)
+    val wc = new java.util.HashMap[String, Int]()
+    var topw = 0
+    var i = 0
+    while (i < parts.length) {
+      val c = wc.merge(parts(i), 1, (a, b) => a + b)
+      if (c > topw) topw = c
+      i += 1
+    }
+    var topbg = 0
+    if (parts.length >= 2) {
+      val bc = new java.util.HashMap[String, Int]()
+      i = 0
+      while (i < parts.length - 1) {
+        val c = bc.merge(parts(i) + " " + parts(i + 1), 1, (a, b) => a + b)
+        if (c > topbg) topbg = c
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      parts.length.toLong, wc.size.toLong, topw.toLong, topbg.toLong))
+  }
+
   /** |A∩B| of two ascending-sorted long arrays via a merge walk. */
   def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0

@@ -678,6 +678,114 @@ object TextQueries {
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- repetition filters
+
+  /** Gopher/C4-style repetition filters (SURVEY §2.10 family):
+    * duplicate-word fraction, most-common-word fraction and
+    * most-common-bigram fraction per document, plus the filter verdict
+    * at the Gopher-ish thresholds (top word > 20 %, duplicate words
+    * > 30 %). The four underlying counters come from ONE
+    * `rep_stats(text)` kernel call — a narrow projection with no token
+    * explode and no shuffle (the oracle's unnest+GROUP BY form shuffles
+    * every token; at 100 TB that is the difference between a map-only
+    * scan and re-shuffling the whole corpus to compute per-doc
+    * numbers). Ratios are integer-exact (Det.ratio6); the verdict is
+    * evaluated as integer cross-multiplication, so no float boundary
+    * can flip it between engines. */
+  def repetitionFilter(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), expr("rep_stats(text)").as("r"))
+      .select(col("doc_id"), col("lang"),
+        ratio6(col("r.nw") - col("r.ndw"), col("r.nw"))
+          .as("dup_word_ratio"),
+        ratio6(col("r.topw"), col("r.nw")).as("top_word_ratio"),
+        ratio6(col("r.topbg"), greatest(col("r.nw") - 1, lit(1L)))
+          .as("top_bigram_ratio"),
+        (col("r.topw") * 5 > col("r.nw") ||
+          (col("r.nw") - col("r.ndw")) * 10 > col("r.nw") * 3)
+          .as("would_filter"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionFilterSql =
+    s"""WITH arrs AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS arr FROM documents),
+      |wc AS (
+      |  SELECT doc_id, w, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(arr) AS w FROM arrs)
+      |  GROUP BY doc_id, w),
+      |ws AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+      |    CAST(count(*) AS BIGINT) AS ndw, CAST(max(c) AS BIGINT) AS topw
+      |  FROM wc GROUP BY doc_id),
+      |bc AS (
+      |  SELECT doc_id, b, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(arr)),
+      |          i -> arr[i] || ' ' || arr[i + 1])) AS b
+      |        FROM arrs)
+      |  GROUP BY doc_id, b),
+      |bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS topbg
+      |       FROM bc GROUP BY doc_id)
+      |SELECT a.doc_id, a.lang,
+      |  ${ratio6Sql("ws.nw - ws.ndw", "ws.nw")} AS dup_word_ratio,
+      |  ${ratio6Sql("ws.topw", "ws.nw")} AS top_word_ratio,
+      |  ${ratio6Sql("coalesce(bs.topbg, 0)", "greatest(ws.nw - 1, 1)")}
+      |    AS top_bigram_ratio,
+      |  (ws.topw * 5 > ws.nw OR (ws.nw - ws.ndw) * 10 > ws.nw * 3)
+      |    AS would_filter
+      |FROM arrs a
+      |JOIN ws ON ws.doc_id = a.doc_id
+      |LEFT JOIN bs ON bs.doc_id = a.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
+  // ----------------------------------------------------- PII redaction
+
+  /** Sensitive terms treated as the PII dictionary — a real pipeline
+    * plugs in its own blocklist / NER output here. */
+  private val piiDict = "customer|supplier"
+
+  /** Regex PII redaction (SURVEY §2.10 family): emails, phone-shaped
+    * digit runs and dictionary terms are each replaced with a typed
+    * placeholder; the output carries per-category hit counts and the
+    * md5 of the redacted text (so the oracle verifies the REPLACEMENT,
+    * not just the counts). A pure per-row projection — zero shuffle
+    * before the presentation sort. The email/phone patterns stay in the
+    * RE2-compatible subset (character classes + quantifiers, no
+    * backrefs/lookahead) so Spark's Java regex and DuckDB's RE2 match
+    * identically; DuckDB needs the 'g' flag to match Spark's
+    * replace-all default. */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9._]+@[a-z0-9.]+"
+    val phone = "[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$email', 0)")).cast("long")
+          .as("n_email"),
+        size(expr(s"regexp_extract_all(text, '$phone', 0)")).cast("long")
+          .as("n_phone"),
+        size(expr(s"regexp_extract_all(text, '$piiDict', 0)")).cast("long")
+          .as("n_dict"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "<EMAIL>"), phone, "<PHONE>"), piiDict, "<NAME>"))
+          .as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val piiRedactSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+'))
+      |    AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(text, 'customer|supplier'))
+      |    AS BIGINT) AS n_dict,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |    '[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}', '<PHONE>', 'g'),
+      |    'customer|supplier', '<NAME>', 'g')) AS redacted_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
@@ -692,5 +800,8 @@ object TextQueries {
     QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("q_sample_stratified", sampleStratified,
       Some(sampleStratifiedSql)),
-    QueryDef("q_sample_split", sampleSplit, Some(sampleSplitSql)))
+    QueryDef("q_sample_split", sampleSplit, Some(sampleSplitSql)),
+    QueryDef("q_repetition_filter", repetitionFilter,
+      Some(repetitionFilterSql)),
+    QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)))
 }
