@@ -407,6 +407,33 @@ object RelQueries {
       |  SELECT * FROM events UNION ALL SELECT * FROM events) u) d
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Purchase←view attribution interval join (batch twin of
+    * graft.streaming.EventStreams.attributionJoin — the stream-stream
+    * join face of §2.8): one row per (purchase, same-user view within
+    * the preceding 30 minutes). The transformation is shared verbatim
+    * with the streaming path; EventStreamsSpec drives the same plan
+    * through two watermarked readStreams. */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    graft.streaming.EventStreams.attributionJoin(
+      e.filter(col("event_type") === "purchase"),
+      e.filter(col("event_type") === "view"),
+      streaming = false)
+      .orderBy("purchase_id", "view_id")
+  }
+
+  private val eventsAttributionSql =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  CAST(floor(epoch(p.ts)) AS BIGINT) AS p_epoch,
+      |  v.event_id AS view_id,
+      |  CAST(floor(epoch(v.ts)) AS BIGINT) AS v_epoch,
+      |  CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_sec
+      |FROM events p JOIN events v
+      |  ON p.user_id = v.user_id
+      | AND p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+      |ORDER BY purchase_id, view_id""".stripMargin
+
   /** Content hashing (SURVEY §2.7 F8): md5 over a canonicalized row
     * string — the content-identity replacement for the reference's
     * plan-identity __hash__ (core/dask_traj.py:661-669). Only strings,
@@ -598,6 +625,8 @@ object RelQueries {
     QueryDef("q_events_sessionize", eventsSessionize,
       Some(eventsSessionizeSql)),
     QueryDef("q_events_dedup", eventsDedup, Some(eventsDedupSql)),
+    QueryDef("q_events_attribution", eventsAttribution,
+      Some(eventsAttributionSql)),
     QueryDef("q_content_hash", contentHash, Some(contentHashSql)),
     QueryDef("q_approx_distinct", approxDistinct, Some(approxDistinctSql)))
 }

@@ -53,6 +53,36 @@ object EventStreams {
     src.dropDuplicates("event_id")
   }
 
+  /** Stream-stream interval join (SURVEY §2.8): attribute each purchase
+    * to the same user's views in the preceding 30 minutes. On streams,
+    * BOTH sides carry watermarks and the join condition carries the
+    * time-range — exactly what Structured Streaming needs to bound join
+    * state (each side keeps only rows inside watermark + interval; no
+    * unbounded buffering). On batch frames the same plan is a plain
+    * shuffle join keyed on user_id. Output timestamps are epoch seconds
+    * (raw TIMESTAMP columns break the cross-engine parquet compare).
+    *
+    * Scale shape: the shuffle keys on user_id, so a 100 TB event log
+    * partitions by user; a production deployment pre-buckets both
+    * sides on user_id to make this join shuffle-free. */
+  def attributionJoin(purchases: DataFrame, views: DataFrame,
+      streaming: Boolean): DataFrame = {
+    val p0 = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("p_ts"))
+    val v0 = views.select(col("event_id").as("view_id"),
+      col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val p = if (streaming) p0.withWatermark("p_ts", "2 hours") else p0
+    val v = if (streaming) v0.withWatermark("v_ts", "2 hours") else v0
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"),
+        unix_timestamp(col("p_ts")).as("p_epoch"),
+        col("view_id"), unix_timestamp(col("v_ts")).as("v_epoch"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts")))
+          .as("gap_sec"))
+  }
+
   final case class SessionInput(user_id: Long, e: Long)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Long,

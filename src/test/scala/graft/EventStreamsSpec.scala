@@ -84,6 +84,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch attribution join") {
+    val src = java.nio.file.Paths.get(s"${SparkTestBase.sf}/events.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("events_stream3")
+    java.nio.file.Files.copy(src, tmp.resolve("events.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def side(tpe: String) = spark.readStream.schema(schema)
+      .parquet(tmp.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter(col("event_type") === tpe)
+    val q = EventStreams.attributionJoin(
+      side("purchase"), side("view"), streaming = true)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .orderBy("purchase_id", "view_id")
+        .collect().map(_.toString).toSeq
+      val want = rel.RelQueries.eventsAttribution(spark, SparkTestBase.sf)
+        .collect().map(_.toString).toSeq
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches batch islands " +
     "on closed sessions") {
     import spark.implicits._
