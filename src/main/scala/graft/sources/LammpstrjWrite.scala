@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.io.{BufferedWriter, File, FileWriter}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+/** DSv2 write path for the LAMMPS dump format — the inverse of the
+  * scan, same sharding contract as the other trajectory writers: one
+  * frame's rows consecutive within a partition, each task emits an
+  * independent `part-NNNNN.lammpstrj` shard that is itself a valid
+  * dump file. The writer emits orthogonal `BOX BOUNDS` from the
+  * lengths columns (0..box_a etc.); tilted boxes would need the
+  * inverse of the reader's bound-adjustment and are out of the write
+  * path's scope (read-side triclinic support is full). */
+class LammpstrjWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write =
+    new LammpstrjWrite(path, info.schema(), doTruncate)
+}
+
+class LammpstrjWrite(path: String, schema: StructType, truncate: Boolean)
+    extends Write {
+  override def toBatch: BatchWrite =
+    new LammpstrjBatchWrite(path, schema, truncate)
+}
+
+class LammpstrjBatchWrite(path: String, schema: StructType,
+    truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val dir = new File(path)
+    if (truncate && dir.exists())
+      dir.listFiles().filter(_.getName.endsWith(".lammpstrj"))
+        .foreach(_.delete())
+    dir.mkdirs()
+    new LammpstrjWriterFactory(path, schema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class LammpstrjWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new LammpstrjDataWriter(path, schema, partitionId)
+}
+
+private case class LammpstrjCommit(partitionId: Int, frames: Long)
+    extends WriterCommitMessage
+
+class LammpstrjDataWriter(path: String, schema: StructType,
+    partitionId: Int) extends DataWriter[InternalRow] {
+
+  private def idx(name: String): Int = schema.fieldNames.indexOf(name)
+  private val iFrame = idx("frame_id")
+  private val iTime = idx("time")
+  private val iAtom = idx("atom_id")
+  private val iElement = idx("element")
+  private val iX = idx("x"); private val iY = idx("y")
+  private val iZ = idx("z")
+  private val iA = idx("box_a"); private val iB = idx("box_b")
+  private val iC = idx("box_c")
+  require(iFrame >= 0 && iAtom >= 0 && iX >= 0 && iY >= 0 && iZ >= 0,
+    s"lammpstrj write needs columns frame_id, atom_id, x, y, z; got " +
+      schema.fieldNames.mkString(", "))
+
+  private val file = new File(path, f"part-$partitionId%05d.lammpstrj")
+  private val out = new BufferedWriter(new FileWriter(file))
+  private var curFrame = Long.MinValue
+  private var curTime = 0.0
+  private var curBox: Option[(Float, Float, Float)] = None
+  private val atoms = new java.lang.StringBuilder()
+  private var atomCount = 0
+  private var frames = 0L
+
+  private def flushFrame(): Unit = {
+    if (atomCount == 0) return
+    out.write("ITEM: TIMESTEP\n")
+    // real dumps carry an integer step; keep a round-trippable token
+    out.write(
+      if (curTime == curTime.toLong.toDouble) curTime.toLong.toString
+      else curTime.toString)
+    out.write("\nITEM: NUMBER OF ATOMS\n")
+    out.write(atomCount.toString)
+    out.write("\nITEM: BOX BOUNDS pp pp pp\n")
+    val (ba, bb, bc) = curBox.getOrElse((0.0f, 0.0f, 0.0f))
+    out.write(s"0.0 $ba\n0.0 $bb\n0.0 $bc\n")
+    out.write("ITEM: ATOMS id element x y z\n")
+    out.write(atoms.toString)
+    atoms.setLength(0)
+    atomCount = 0
+    frames += 1
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val f = row.getLong(iFrame)
+    if (f != curFrame) {
+      flushFrame()
+      curFrame = f
+      curTime = if (iTime >= 0 && !row.isNullAt(iTime)) row.getDouble(iTime)
+        else f.toDouble
+      curBox =
+        if (iA >= 0 && !row.isNullAt(iA) && iB >= 0 && !row.isNullAt(iB)
+          && iC >= 0 && !row.isNullAt(iC))
+          Some((row.getFloat(iA), row.getFloat(iB), row.getFloat(iC)))
+        else None
+    }
+    atoms.append(row.getInt(iAtom))
+      .append(' ')
+      .append(if (iElement >= 0 && !row.isNullAt(iElement))
+        row.getUTF8String(iElement).toString else "X")
+      .append(' ').append(row.getFloat(iX))
+      .append(' ').append(row.getFloat(iY))
+      .append(' ').append(row.getFloat(iZ)).append('\n')
+    atomCount += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushFrame()
+    out.close()
+    LammpstrjCommit(partitionId, frames)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    file.delete()
+  }
+
+  override def close(): Unit = ()
+}

@@ -31,7 +31,9 @@ object TrajLoad {
     ".pdb.gz" -> "pdb",
     ".pdb" -> "pdb",
     ".dcd" -> "dcd",
-    ".trr" -> "trr")
+    ".trr" -> "trr",
+    ".lammpstrj.gz" -> "lammpstrj",
+    ".lammpstrj" -> "lammpstrj")
 
   /** Reference-registry extensions (core/dask_traj.py:26-56) that this
     * library deliberately does not read, with the reason — surfaced in
