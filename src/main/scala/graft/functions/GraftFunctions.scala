@@ -294,5 +294,8 @@ object GraftFunctions {
       es => TriclinicMicDist(es), "scala_udf")
     reg.createOrReplaceTempFunction("rep_stats",
       es => RepStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("topk_pairs",
+      es => TopKPairs(es(0), es(1), TopKPairs.literalK(es))
+        .toAggregateExpression(), "scala_udf")
   }
 }

@@ -1,0 +1,152 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Per-key top-k as a PARTIAL-AGGREGATABLE function (SURVEY §2.9,
+  * aggregate tier): `topk_pairs(value, id, k)` keeps a bounded k-element
+  * heap per group and merges heaps across partitions.
+  *
+  * Why this exists: the window form of per-key top-k
+  * (`row_number() OVER (PARTITION BY key ORDER BY v DESC) <= k`,
+  * q_window_topk_orders) must shuffle EVERY row to its key's partition
+  * and sort there — at 100 TB that is a full-data shuffle to keep ~k
+  * rows per key. As a TypedImperativeAggregate the plan becomes
+  * ObjectHashAggregate with a map-side partial: each input partition
+  * reduces to ≤ k entries per local key BEFORE the shuffle, so the
+  * exchange carries O(keys × k) data instead of O(rows) — the same
+  * partial-combine shape Spark gives sum/count for free.
+  *
+  * Determinism: ordering is (value DESC, id ASC) — a TOTAL order, so
+  * heap contents never depend on arrival order and the result is
+  * engine-reproducible (ties broken by id).
+  *
+  * Output: `array<struct<v double, id bigint>>` sorted by the same
+  * total order; `posexplode` turns it into ranked rows.
+  */
+case class TopKPairs(valueExpr: Expression, idExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0, s"topk_pairs: k must be > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(valueExpr, idExpr)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("v", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_pairs"
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buffer: TopKBuffer, input: InternalRow)
+      : TopKBuffer = {
+    val v = valueExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (v != null && id != null)
+      buffer.offer(v.asInstanceOf[Double], id.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    other.foreach((v, id) => buffer.offer(v, id))
+    buffer
+  }
+
+  override def eval(buffer: TopKBuffer): Any = {
+    val sorted = buffer.sortedDesc
+    new GenericArrayData(sorted.map { case (v, id) =>
+      new GenericInternalRow(Array[Any](v, id)): Any
+    })
+  }
+
+  override def serialize(buffer: TopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val entries = buffer.sortedDesc
+    out.writeInt(entries.length)
+    entries.foreach { case (v, id) =>
+      out.writeDouble(v); out.writeLong(id)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new TopKBuffer(k)
+    var i = 0
+    while (i < n) { buf.offer(in.readDouble(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(valueExpr = newChildren(0), idExpr = newChildren(1))
+}
+
+object TopKPairs {
+  /** The k argument must be a foldable integer literal — aggregation
+    * state is sized at plan time. */
+  def literalK(es: Seq[Expression]): Int = {
+    require(es.length == 3,
+      "topk_pairs(value, id, k) takes exactly 3 arguments")
+    require(es(2).foldable,
+      "topk_pairs: k must be a literal integer")
+    es(2).eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"topk_pairs: k must be an integer literal, got $other")
+    }
+  }
+}
+
+/** Bounded top-k heap over (value, id) with the total order
+  * (value DESC, id ASC). The heap root is the WEAKEST kept entry, so
+  * offer() is O(log k) and the buffer never exceeds k entries — the
+  * invariant that keeps the partial-aggregate state (and its shuffle
+  * bytes) bounded regardless of input size. */
+final class TopKBuffer(k: Int) {
+  // min-heap on the keep-order: weakest first
+  private val heap = new java.util.PriorityQueue[(Double, Long)](
+    math.min(k, 16),
+    (a: (Double, Long), b: (Double, Long)) => {
+      val c = java.lang.Double.compare(a._1, b._1) // smaller value first
+      if (c != 0) c else java.lang.Long.compare(b._2, a._2) // larger id first
+    })
+
+  def offer(v: Double, id: Long): Unit = {
+    if (heap.size < k) { heap.offer((v, id)); return }
+    val weakest = heap.peek()
+    // stronger = larger value, or equal value with smaller id
+    if (v > weakest._1 || (v == weakest._1 && id < weakest._2)) {
+      heap.poll(); heap.offer((v, id))
+    }
+  }
+
+  def foreach(f: (Double, Long) => Unit): Unit = {
+    val it = heap.iterator()
+    while (it.hasNext) { val e = it.next(); f(e._1, e._2) }
+  }
+
+  def sortedDesc: Array[(Double, Long)] = {
+    val arr = heap.toArray(new Array[(Double, Long)](heap.size))
+    scala.util.Sorting.stableSort(arr,
+      (a: (Double, Long), b: (Double, Long)) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    arr
+  }
+}

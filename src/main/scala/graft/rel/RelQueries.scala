@@ -231,6 +231,28 @@ object RelQueries {
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** Per-key top-k via the partial-aggregatable `topk_pairs` aggregate
+    * (graft.functions.TopKPairs) — same answer as the window form
+    * above, radically different plan: ObjectHashAggregate with a
+    * MAP-SIDE partial bounds each input partition to ≤ k entries per
+    * local key before the shuffle, so the exchange carries
+    * O(keys × k) instead of every row (the window form shuffles and
+    * sorts the full table). At 100 TB this is the difference between
+    * shuffling ~100 TB and shuffling ~the answer. The oracle is the
+    * window SQL — both engines must produce identical ranked rows
+    * (ties are impossible in the order (o_totalprice DESC,
+    * o_orderkey ASC), which is total). */
+  def topkAgg(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(expr("topk_pairs(o_totalprice, o_orderkey, 3)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.id").as("o_orderkey"), col("col.v").as("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Running-total analytic window with an explicit ROWS frame; the sum
     * runs over DECIMAL so the prefix sums are exact in both engines. */
   def windowRunningSum(s: SparkSession, d: String): DataFrame = {
@@ -612,6 +634,7 @@ object RelQueries {
     QueryDef("q_set_ops", setOps, Some(setOpsSql)),
     QueryDef("q_window_topk_orders", windowTopkOrders,
       Some(windowTopkOrdersSql)),
+    QueryDef("q_topk_agg", topkAgg, Some(windowTopkOrdersSql)),
     QueryDef("q_window_running_sum", windowRunningSum,
       Some(windowRunningSumSql)),
     QueryDef("q_rollup_region", rollupRegion, Some(rollupRegionSql)),

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKAggSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("topk_pairs == window row_number form across many partitions " +
+    "(merge + serialize path)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // adversarial spread: every group's rows land in many partitions,
+    // with ties on value broken by id
+    val df = (1L to 2000L).map { i =>
+      (i % 7, (i % 13).toDouble, i)
+    }.toDF("key", "v", "id").repartition(16)
+    val got = df.groupBy("key")
+      .agg(expr("topk_pairs(v, id, 5)").as("top"))
+      .select(col("key"), posexplode(col("top")))
+      .select(col("key"), (col("pos") + 1).as("rn"),
+        col("col.v").as("v"), col("col.id").as("id"))
+      .orderBy("key", "rn")
+      .collect().map(_.toString).toSeq
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+      .orderBy(col("v").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("key"), col("rn"), col("v"), col("id"))
+      .orderBy("key", "rn")
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("plan is ObjectHashAggregate with a map-side partial (no full " +
+    "shuffle of input rows)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i % 3, i.toDouble, i))
+      .toDF("key", "v", "id")
+    val agg = df.groupBy("key").agg(expr("topk_pairs(v, id, 3)"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    // partial + final pair: the aggregate appears on both sides of the
+    // exchange, proving the map-side combine that bounds shuffle bytes
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2)
+  }
+
+  test("k must be a positive literal") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, 1.0, 1L)).toDF("key", "v", "id")
+    assertThrows[Exception] {
+      df.groupBy("key").agg(expr("topk_pairs(v, id, 0)")).collect()
+    }
+  }
+}
