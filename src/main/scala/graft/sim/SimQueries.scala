@@ -414,8 +414,87 @@ object SimQueries {
       |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos_sim
       |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  // -------------------------------------------------- int8 quantization
+
+  /** Symmetric int8 vector quantization (the embedding-compression
+    * step an ANN index runs before sharding a 100 TB vector corpus):
+    * per-vector scale = max |v_i|, q_i = ⌊v_i/scale·127 + 0.5⌋ ∈
+    * [-127, 127]. A pure per-row projection — zero shuffle.
+    *
+    * Cross-engine determinism: the elementwise formula is written with
+    * the IDENTICAL parenthesization in both engines, so IEEE double
+    * ops produce bit-identical q_i (no library round() involved —
+    * floor is exact); all emitted aggregates over q_i (sum, norm²,
+    * saturation count) are integer sums, and the reconstruction error
+    * is quantized to 1e-12 per element before summing (the dot_scaled
+    * discipline). */
+  def embQuantize(s: SparkSession, d: String): DataFrame = {
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("scale",
+        expr("array_max(transform(emb, v -> abs(v)))"))
+      // 127e0/5e-1, not 127.0/0.5: fractional literals parse as
+      // DECIMAL in Spark SQL, silently mixing decimal rounding into
+      // the lambda; exponent notation forces pure IEEE double math in
+      // both engines.
+      .withColumn("q", expr(
+        "transform(emb, v -> CAST(floor(CASE WHEN scale = 0 THEN 0e0 " +
+          "ELSE v / scale * 127e0 + 5e-1 END) AS BIGINT))"))
+      .select(col("vec_id"), col("label"),
+        // raw double: max-abs is a pure selection (no arithmetic), so
+        // the value is bit-exact in both engines — rounding would only
+        // ADD a boundary hazard here
+        col("scale"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("qsum"),
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+          .as("qnorm2"),
+        expr("size(filter(q, x -> abs(x) >= 127))").cast("long")
+          .as("n_sat"),
+        // per-element |reconstruction - original|, quantized then
+        // summed. floor(x + 0.5), NOT round(x, 0): Spark's round on
+        // DOUBLE goes through BigDecimal.valueOf (shortest decimal
+        // string) while DuckDB rounds the exact binary value — they
+        // disagree near halves; floor and + are the same IEEE ops in
+        // both engines (x ≥ 0 here, so half-up == half-away).
+        expr("aggregate(zip_with(q, emb, (qi, v) -> " +
+          "CAST(floor(abs(qi / 127e0 * scale - v) * 1e12 + 5e-1) " +
+          "AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("abs_err_s"))
+      .orderBy("vec_id")
+  }
+
+  private val embQuantizeSql =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))
+      |      AS scale,
+      |    list_transform(embedding, v -> CAST(floor(
+      |      CASE WHEN list_max(list_transform(embedding,
+      |             w -> abs(CAST(w AS DOUBLE)))) = 0 THEN 0e0
+      |           ELSE CAST(v AS DOUBLE) / list_max(list_transform(embedding,
+      |             w -> abs(CAST(w AS DOUBLE)))) * 127e0 + 5e-1
+      |      END) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT q.vec_id AS vec_id, q.label AS label, q.scale AS scale,
+      |    unnest(qv) AS qi,
+      |    unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE))) AS v
+      |  FROM q JOIN embeddings e ON e.vec_id = q.vec_id)
+      |SELECT vec_id, label, scale,
+      |  CAST(sum(qi) AS BIGINT) AS qsum,
+      |  CAST(sum(qi * qi) AS BIGINT) AS qnorm2,
+      |  CAST(sum(CASE WHEN abs(qi) >= 127 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sat,
+      |  CAST(sum(CAST(floor(abs(qi / 127e0 * scale - v) * 1e12 + 5e-1)
+      |    AS BIGINT)) AS BIGINT) AS abs_err_s
+      |FROM u GROUP BY vec_id, label, scale
+      |ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sim_topk", simTopk, Some(simTopkSql)),
     QueryDef("q_sim_neardup_lsh", simNeardupLsh, Some(simNeardupLshSql)),
-    QueryDef("q_sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)))
+    QueryDef("q_sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)),
+    QueryDef("q_emb_quantize", embQuantize, Some(embQuantizeSql)))
 }
