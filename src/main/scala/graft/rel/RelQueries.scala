@@ -429,6 +429,42 @@ object RelQueries {
       |  SELECT * FROM events UNION ALL SELECT * FROM events) u) d
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Fixed-width value histogram (binning operator): bucket
+    * l_extendedprice into 5000-unit bins with exact per-bucket stats.
+    * Bucket identity is computed in INTEGER space —
+    * floor(price) DIV 5000 — so no float division can flip an edge
+    * value across buckets between engines (2-decimal money doubles
+    * floor deterministically; exact multiples of 5000 are
+    * integer-representable). One map-side-combined aggregation whose
+    * output cardinality is the number of buckets, not rows — the
+    * binned-statistics shape (feature histograms, length
+    * distributions) a training pipeline runs corpus-wide. */
+  def histogramPrice(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("bucket",
+        expr("CAST(floor(l_extendedprice) AS BIGINT) DIV 5000"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_items"),
+        sumMoney(col("l_extendedprice")).as("sum_price"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .select(col("bucket"), (col("bucket") * 5000).as("lo"),
+        col("n_items"), col("sum_price"), col("min_price"),
+        col("max_price"))
+      .orderBy("bucket")
+
+  private val histogramPriceSql =
+    """SELECT bucket, bucket * 5000 AS lo,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  min(l_extendedprice) AS min_price,
+      |  max(l_extendedprice) AS max_price
+      |FROM (SELECT l_extendedprice,
+      |        CAST(floor(l_extendedprice) AS BIGINT) // 5000 AS bucket
+      |      FROM lineitem) t
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Purchase←view attribution interval join (batch twin of
     * graft.streaming.EventStreams.attributionJoin — the stream-stream
     * join face of §2.8): one row per (purchase, same-user view within
@@ -650,6 +686,8 @@ object RelQueries {
     QueryDef("q_events_dedup", eventsDedup, Some(eventsDedupSql)),
     QueryDef("q_events_attribution", eventsAttribution,
       Some(eventsAttributionSql)),
+    QueryDef("q_histogram_price", histogramPrice,
+      Some(histogramPriceSql)),
     QueryDef("q_content_hash", contentHash, Some(contentHashSql)),
     QueryDef("q_approx_distinct", approxDistinct, Some(approxDistinctSql)))
 }

@@ -156,4 +156,52 @@ class HashKernelsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("code") == r.getAs[Long]("code_sql"))
     }
   }
+
+  test("rep_stats: hand-computed counters incl. split-on-space " +
+    "empties, single word, saturation and non-BMP text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def rs(t: String): (Long, Long, Long, Long) = {
+      val r = HashKernels.repStats(UTF8String.fromString(t))
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // 6 words, 3 distinct, 'a' ×3, bigram "a b" ×2
+    assert(rs("a b a b a c") == (6L, 3L, 3L, 2L))
+    // single word: no bigrams
+    assert(rs("hello") == (1L, 1L, 1L, 0L))
+    // empty string splits to one empty token (split(text,' ') parity)
+    assert(rs("") == (1L, 1L, 1L, 0L))
+    // consecutive spaces produce empty tokens, like split/string_split
+    assert(rs("a  b") == (3L, 3L, 1L, 1L))
+    // fully repeated: top word == nw, top bigram == nw-1
+    assert(rs("x x x x") == (4L, 1L, 4L, 3L))
+    // non-BMP (surrogate pairs) are opaque token content — counts are
+    // word-level, so code-unit vs code-point indexing cannot differ
+    assert(rs("😀 😀 y") == (3L, 2L, 2L, 1L))
+  }
+
+  test("rep_stats expression matches an explode+groupBy SQL twin") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = samples.toDF("t")
+    val k = docs.select(expr("rep_stats(t)").as("r"))
+      .select(col("r.nw"), col("r.ndw"), col("r.topw"), col("r.topbg"))
+      .collect().map(_.toString).toSeq
+    val sql = docs.select(
+      size(split(col("t"), " ")).cast("long").as("nw"),
+      size(array_distinct(split(col("t"), " "))).cast("long").as("ndw"),
+      expr("array_max(transform(array_distinct(split(t, ' ')), w -> " +
+        "size(filter(split(t, ' '), x -> x = w))))").cast("long")
+        .as("topw"),
+      expr("CASE WHEN size(split(t, ' ')) < 2 THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(array_max(transform(array_distinct(" +
+        "transform(sequence(1, size(split(t, ' ')) - 1), i -> " +
+        "concat(element_at(split(t, ' '), i), ' ', " +
+        "element_at(split(t, ' '), i + 1)))), b -> " +
+        "size(filter(transform(sequence(1, size(split(t, ' ')) - 1), " +
+        "i -> concat(element_at(split(t, ' '), i), ' ', " +
+        "element_at(split(t, ' '), i + 1))), x -> x = b)))) AS BIGINT) " +
+        "END").as("topbg"))
+      .collect().map(_.toString).toSeq
+    assert(k == sql)
+  }
 }
