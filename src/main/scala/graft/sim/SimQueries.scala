@@ -492,9 +492,166 @@ object SimQueries {
       |FROM u GROUP BY vec_id, label, scale
       |ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------ product quantization
+
+  /** Product quantization (PQ) codebooks — the vector-compression step
+    * between scalar int8 (q_emb_quantize) and a full ANN index: the
+    * 64-dim vector splits into 8 contiguous 8-dim subspaces, each with
+    * its own 16-centroid codebook trained by the SAME deterministic
+    * seeded k-means-lite as the IVF coarse quantizer (seeds =
+    * vec_id % 31 = 0 ∧ vec_id < 496 → 16 seed vectors at any corpus
+    * size; ONE Lloyd pass). Output per vector: the 8 sub-codes joined
+    * into a code string + the total squared reconstruction distortion,
+    * accumulated in scaled BIGINT (integer-exact, so the whole
+    * training loop is oracle-checkable — the property that makes this
+    * clustering testable at all).
+    *
+    * Scale shape: codebooks are tiny (8×16×8 doubles) and broadcast;
+    * assignment is a broadcast join + argmin per (vector, subspace) —
+    * the corpus is never shuffled except by the per-(vec,sub) argmin
+    * window, which a production run replaces with a max_by aggregation
+    * keyed the same way. At 100 TB: PQ codes are 8 bytes/vector vs
+    * 256 bytes float32 — the 32× compression that makes a billion-
+    * vector index RAM-resident. */
+  def embPq(s: SparkSession, d: String): DataFrame = {
+    val vecs = withNorm(s, d)
+    // long layout: one row per (vector, subspace, position)
+    val e = vecs
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("idx0", "v")))
+      .select(col("vec_id"), expr("idx0 DIV 8").as("sub"),
+        expr("idx0 % 8").as("pos"), col("v"),
+        expr("CAST(floor(v * 1e12 + 5e-1) AS BIGINT)").as("vs"))
+      .localCheckpoint(false)
+    val sn2 = e.groupBy("vec_id", "sub")
+      .agg(sum(expr("CAST(floor(v * v * 1e12 + 5e-1) AS BIGINT)"))
+        .as("sub_n2s"))
+
+    // exact-integer nearest-centroid assignment per (vector, subspace)
+    def assign(cent: DataFrame): DataFrame = {
+      val cn = cent.groupBy("sub", "cid")
+        .agg(sum(expr("CAST(floor(cv * cv * 1e12 + 5e-1) AS BIGINT)"))
+          .as("c_n2s"))
+      val dots = e.join(broadcast(cent), Seq("sub", "pos"))
+        .groupBy("vec_id", "sub", "cid")
+        .agg(sum(expr("CAST(floor(v * cv * 1e12 + 5e-1) AS BIGINT)"))
+          .as("dot"))
+      val w = Window.partitionBy("vec_id", "sub").orderBy("d2s", "cid")
+      dots.join(sn2, Seq("vec_id", "sub"))
+        .join(broadcast(cn), Seq("sub", "cid"))
+        .withColumn("d2s", col("sub_n2s") + col("c_n2s") - col("dot") * 2)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "sub", "cid")
+    }
+
+    val c0 = e.filter(col("vec_id") % 31 === 0 && col("vec_id") < 496)
+      .select(col("sub"), col("vec_id").as("cid"), col("pos"),
+        col("v").as("cv"))
+    // one Lloyd pass: exact scaled-integer per-position means
+    val c1 = e.join(assign(c0), Seq("vec_id", "sub"))
+      .groupBy("sub", "cid", "pos")
+      .agg(sum("vs").as("sv"), count(lit(1)).as("cnt"))
+      .select(col("sub"), col("cid"), col("pos"),
+        (col("sv").cast("double") / col("cnt") / expr(S)).as("cv"))
+      .localCheckpoint(false)
+    val codes = assign(c1)
+
+    // per-vector code string + exact scaled squared distortion
+    val recon = e.join(codes, Seq("vec_id", "sub"))
+      .join(broadcast(c1), Seq("sub", "cid", "pos"))
+      .groupBy("vec_id")
+      .agg(
+        expr("concat_ws('-', transform(sort_array(collect_set(" +
+          "struct(sub, cid))), x -> CAST(x.cid AS STRING)))")
+          .as("pq_code"),
+        sum(expr("CAST(floor((v - cv) * (v - cv) * 1e12 + 5e-1) " +
+          "AS BIGINT)")).as("dist_s"))
+    vecs.select(col("vec_id"), col("label"))
+      .join(recon, "vec_id")
+      .orderBy("vec_id")
+  }
+
+  private val embPqSql =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    (generate_subscripts(embedding, 1) - 1) // 8 AS sub,
+      |    (generate_subscripts(embedding, 1) - 1) % 8 AS pos,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |es AS (
+      |  SELECT vec_id, sub, pos, v,
+      |    CAST(floor(v * 1e12 + 5e-1) AS BIGINT) AS vs
+      |  FROM e),
+      |sn2 AS (
+      |  SELECT vec_id, sub,
+      |    sum(CAST(floor(v * v * 1e12 + 5e-1) AS BIGINT)) AS sub_n2s
+      |  FROM e GROUP BY 1, 2),
+      |c0 AS (
+      |  SELECT sub, vec_id AS cid, pos, v AS cv FROM e
+      |  WHERE vec_id % 31 = 0 AND vec_id < 496),
+      |cn0 AS (
+      |  SELECT sub, cid,
+      |    sum(CAST(floor(cv * cv * 1e12 + 5e-1) AS BIGINT)) AS c_n2s
+      |  FROM c0 GROUP BY 1, 2),
+      |d0 AS (
+      |  SELECT e.vec_id, e.sub, c.cid,
+      |    sum(CAST(floor(e.v * c.cv * 1e12 + 5e-1) AS BIGINT)) AS dot
+      |  FROM e JOIN c0 c ON c.sub = e.sub AND c.pos = e.pos
+      |  GROUP BY 1, 2, 3),
+      |a0 AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT d.vec_id, d.sub, d.cid, row_number() OVER (
+      |        PARTITION BY d.vec_id, d.sub
+      |        ORDER BY s.sub_n2s + cn.c_n2s - 2 * d.dot, d.cid) AS rn
+      |    FROM d0 d
+      |    JOIN sn2 s ON s.vec_id = d.vec_id AND s.sub = d.sub
+      |    JOIN cn0 cn ON cn.sub = d.sub AND cn.cid = d.cid) t
+      |  WHERE rn = 1),
+      |c1 AS (
+      |  SELECT a.sub, a.cid, s.pos,
+      |    (CAST(sum(s.vs) AS DOUBLE) / count(*)) / 1e12 AS cv
+      |  FROM a0 a JOIN es s ON s.vec_id = a.vec_id AND s.sub = a.sub
+      |  GROUP BY 1, 2, 3),
+      |cn1 AS (
+      |  SELECT sub, cid,
+      |    sum(CAST(floor(cv * cv * 1e12 + 5e-1) AS BIGINT)) AS c_n2s
+      |  FROM c1 GROUP BY 1, 2),
+      |d1 AS (
+      |  SELECT e.vec_id, e.sub, c.cid,
+      |    sum(CAST(floor(e.v * c.cv * 1e12 + 5e-1) AS BIGINT)) AS dot
+      |  FROM e JOIN c1 c ON c.sub = e.sub AND c.pos = e.pos
+      |  GROUP BY 1, 2, 3),
+      |a1 AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT d.vec_id, d.sub, d.cid, row_number() OVER (
+      |        PARTITION BY d.vec_id, d.sub
+      |        ORDER BY s.sub_n2s + cn.c_n2s - 2 * d.dot, d.cid) AS rn
+      |    FROM d1 d
+      |    JOIN sn2 s ON s.vec_id = d.vec_id AND s.sub = d.sub
+      |    JOIN cn1 cn ON cn.sub = d.sub AND cn.cid = d.cid) t
+      |  WHERE rn = 1),
+      |recon AS (
+      |  SELECT e.vec_id,
+      |    CAST(sum(CAST(floor((e.v - c.cv) * (e.v - c.cv) * 1e12 + 5e-1)
+      |      AS BIGINT)) AS BIGINT) AS dist_s
+      |  FROM e
+      |  JOIN a1 a ON a.vec_id = e.vec_id AND a.sub = e.sub
+      |  JOIN c1 c ON c.sub = e.sub AND c.cid = a.cid AND c.pos = e.pos
+      |  GROUP BY 1),
+      |code AS (
+      |  SELECT vec_id,
+      |    string_agg(CAST(cid AS VARCHAR), '-' ORDER BY sub) AS pq_code
+      |  FROM a1 GROUP BY vec_id)
+      |SELECT emb.vec_id, emb.label, code.pq_code, recon.dist_s
+      |FROM embeddings emb
+      |JOIN code ON code.vec_id = emb.vec_id
+      |JOIN recon ON recon.vec_id = emb.vec_id
+      |ORDER BY emb.vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sim_topk", simTopk, Some(simTopkSql)),
     QueryDef("q_sim_neardup_lsh", simNeardupLsh, Some(simNeardupLshSql)),
     QueryDef("q_sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)),
-    QueryDef("q_emb_quantize", embQuantize, Some(embQuantizeSql)))
+    QueryDef("q_emb_quantize", embQuantize, Some(embQuantizeSql)),
+    QueryDef("q_emb_pq", embPq, Some(embPqSql)))
 }
