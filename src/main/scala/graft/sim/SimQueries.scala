@@ -246,14 +246,16 @@ object SimQueries {
 
     // assignment of every vector to its nearest centroid, exact-integer
     def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy("d2s", "cluster")
+      // argmin via min(struct(d2s, cluster)) — the same (d2s, cluster)
+      // total order the previous window form used, but as a map-side-
+      // combinable aggregation instead of a per-key sort
       vecs.select(col("vec_id"), col("emb"), col("n2s"))
         .crossJoin(broadcast(cent))
         .withColumn("d2s", col("n2s") + col("c_n2s") -
           expr(s"2 * ${dotScaled("emb", "cemb")}"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "cluster")
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2s"), col("cluster"))).getField("cluster")
+          .as("cluster"))
     }
 
     // Lloyd update: exact scaled-integer per-dimension means
@@ -535,13 +537,16 @@ object SimQueries {
         .groupBy("vec_id", "sub", "cid")
         .agg(sum(expr("CAST(floor(v * cv * 1e12 + 5e-1) AS BIGINT)"))
           .as("dot"))
-      val w = Window.partitionBy("vec_id", "sub").orderBy("d2s", "cid")
+      // argmin as an AGGREGATION, not a window: min over the struct
+      // (d2s, cid) is the lexicographic minimum — the same total order
+      // the window form sorts by — but ObjectHashAggregate partials
+      // combine map-side, where a window must sort its partition
       dots.join(sn2, Seq("vec_id", "sub"))
         .join(broadcast(cn), Seq("sub", "cid"))
         .withColumn("d2s", col("sub_n2s") + col("c_n2s") - col("dot") * 2)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "sub", "cid")
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2s"), col("cid"))).getField("cid")
+          .as("cid"))
     }
 
     val c0 = e.filter(col("vec_id") % 31 === 0 && col("vec_id") < 496)
