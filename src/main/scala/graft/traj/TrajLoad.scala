@@ -33,7 +33,11 @@ object TrajLoad {
     ".dcd" -> "dcd",
     ".trr" -> "trr",
     ".lammpstrj.gz" -> "lammpstrj",
-    ".lammpstrj" -> "lammpstrj")
+    ".lammpstrj" -> "lammpstrj",
+    ".mdcrd.gz" -> "mdcrd",
+    ".mdcrd" -> "mdcrd",
+    ".crd.gz" -> "mdcrd",
+    ".crd" -> "mdcrd")
 
   /** Reference-registry extensions (core/dask_traj.py:26-56) that this
     * library deliberately does not read, with the reason — surfaced in
