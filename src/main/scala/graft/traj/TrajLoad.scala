@@ -37,7 +37,13 @@ object TrajLoad {
     ".mdcrd.gz" -> "mdcrd",
     ".mdcrd" -> "mdcrd",
     ".crd.gz" -> "mdcrd",
-    ".crd" -> "mdcrd")
+    ".crd" -> "mdcrd",
+    ".inpcrd.gz" -> "inpcrd",
+    ".inpcrd" -> "inpcrd",
+    ".rst7.gz" -> "inpcrd",
+    ".rst7" -> "inpcrd",
+    ".restrt.gz" -> "inpcrd",
+    ".restrt" -> "inpcrd")
 
   /** Reference-registry extensions (core/dask_traj.py:26-56) that this
     * library deliberately does not read, with the reason — surfaced in
