@@ -43,7 +43,8 @@ object TrajLoad {
     ".rst7.gz" -> "inpcrd",
     ".rst7" -> "inpcrd",
     ".restrt.gz" -> "inpcrd",
-    ".restrt" -> "inpcrd")
+    ".restrt" -> "inpcrd",
+    ".binpos" -> "binpos")
 
   /** Reference-registry extensions (core/dask_traj.py:26-56) that this
     * library deliberately does not read, with the reason — surfaced in

@@ -54,7 +54,7 @@ class TrajLoadSpec extends AnyFunSuite {
   test("unknown extensions error with the supported list; reference-" +
     "registry scope-outs explain WHY they are unsupported") {
     val e1 = intercept[IllegalArgumentException](
-      TrajLoad.formatFor("/tmp/a.binpos"))
+      TrajLoad.formatFor("/tmp/a.dtr"))
     assert(e1.getMessage.contains("Supported extensions"))
     val e2 = intercept[IllegalArgumentException](
       TrajLoad.formatFor("/tmp/a.xtc"))
