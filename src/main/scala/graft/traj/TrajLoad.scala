@@ -44,7 +44,9 @@ object TrajLoad {
     ".rst7" -> "inpcrd",
     ".restrt.gz" -> "inpcrd",
     ".restrt" -> "inpcrd",
-    ".binpos" -> "binpos")
+    ".binpos" -> "binpos",
+    ".arc.gz" -> "arc",
+    ".arc" -> "arc")
 
   /** Reference-registry extensions (core/dask_traj.py:26-56) that this
     * library deliberately does not read, with the reason — surfaced in
