@@ -151,6 +151,59 @@ case class RepStats(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+/** All-pairs distance statistics per frame (see
+  * [[GeomKernels.pairDistStats]]) — `pair_dist_stats(xs, ys, zs)`. */
+case class PairDistStats(children: Seq[Expression]) extends Expression {
+  require(children.length == 3,
+    "pair_dist_stats takes (xs, ys, zs) float arrays")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == ArrayType(FloatType, false)) ||
+      children.forall(_.dataType == ArrayType(FloatType, true)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires 3 ARRAY<FLOAT> arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum", DoubleType, nullable = false),
+    StructField("mn", DoubleType, nullable = false),
+    StructField("mx", DoubleType, nullable = false),
+    StructField("cnt", LongType, nullable = false)))
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "pair_dist_stats"
+
+  override def eval(input: InternalRow): Any = {
+    val xs = children(0).eval(input)
+    val ys = children(1).eval(input)
+    val zs = children(2).eval(input)
+    if (xs == null || ys == null || zs == null) null
+    else GeomKernels.pairDistStats(
+      xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData],
+      zs.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val childCode = evs.map(_.code).reduce(_ + _)
+    val anyNull =
+      if (nullable) evs.map(_.isNull.toString).mkString(" || ") else "false"
+    val args = evs.map(_.value.toString).mkString(", ")
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $anyNull;
+        InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.GeomKernels.pairDistStats($args);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -294,6 +347,8 @@ object GraftFunctions {
       es => TriclinicMicDist(es), "scala_udf")
     reg.createOrReplaceTempFunction("rep_stats",
       es => RepStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("pair_dist_stats",
+      es => PairDistStats(es), "scala_udf")
     reg.createOrReplaceTempFunction("topk_pairs",
       es => TopKPairs(es(0), es(1), TopKPairs.literalK(es))
         .toAggregateExpression(), "scala_udf")

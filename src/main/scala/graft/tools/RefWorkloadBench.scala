@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Head-to-head with the reference's ONLY published workload
+  * (BASELINE.md): 1,251 frames × 22,561 atoms, `compute_distances`
+  * over the C(500,2) = 124,750 pair combinations — dask-traj threaded
+  * 13.3 s / serial mdtraj 11.5 s / dask-traj distributed (4 proc) 6.32
+  * s on the 100 MB binary XTC. Here the same shape runs as: binary DCD
+  * scan (the registry's seek-addressable binary format; XTC itself is
+  * the GPL scope-out) → per-frame gather of the 500-atom slice →
+  * ONE `pair_dist_stats` kernel call per frame (all 124,750 distances
+  * in a tight codegen'd JVM loop) → global reduction. The summary
+  * aggregation forces every distance to be computed while keeping the
+  * output one row, mirroring the reference's `.compute()` which
+  * materializes the full (1251 × 124750) array.
+  *
+  * Usage: `sbt "runMain graft.tools.RefWorkloadBench [workDir]"` —
+  * generates the DCD once (untimed, like the reference's external
+  * download), then reports load/compute seconds as one JSON line.
+  */
+object RefWorkloadBench {
+  private val Frames = 1251
+  private val Atoms = 22561
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_refbench")
+    new java.io.File(dir).mkdirs()
+    val file = s"$dir/ref.dcd"
+
+    if (!new java.io.File(file).exists()) {
+      // deterministic synthetic trajectory, reference workload shape
+      System.err.println(s"[refbench] generating $file " +
+        s"($Frames frames x $Atoms atoms)...")
+      val frames = (0 until Frames).map { f =>
+        val xs = new Array[Float](Atoms)
+        val ys = new Array[Float](Atoms)
+        val zs = new Array[Float](Atoms)
+        var a = 0
+        while (a < Atoms) {
+          xs(a) = ((f * 7 + a * 3) % 1000) / 10.0f
+          ys(a) = ((f * 11 + a * 5) % 1000) / 10.0f
+          zs(a) = ((f * 13 + a * 17) % 1000) / 10.0f
+          a += 1
+        }
+        graft.sources.DcdWrite.Frame(xs, ys, zs,
+          Some((100.0, 100.0, 100.0, 90.0, 90.0, 90.0)))
+      }
+      graft.sources.DcdWrite.write(file, frames)
+      System.err.println("[refbench] generated " +
+        new java.io.File(file).length() / (1024 * 1024) + " MB")
+    }
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    // "load": lazy plan build + length probe, the analog of the
+    // reference's dmd.load() 0.751 s (graph build, no data read)
+    val t0 = System.nanoTime()
+    val df = spark.read.format("dcd").option("chunks", 40).load(file)
+    val nParts = df.rdd.getNumPartitions
+    val loadSec = (System.nanoTime() - t0) / 1e9
+
+    // "compute_distances": full file parse, 500-atom slice, all
+    // C(500,2) distances per frame, global reduction
+    val t1 = System.nanoTime()
+    val row = df.filter(col("atom_id") < 500)
+      .select(col("frame_id"), col("atom_id"), col("x"), col("y"),
+        col("z"))
+      .groupBy("frame_id")
+      .agg(sort_array(collect_list(struct(col("atom_id"), col("x"),
+        col("y"), col("z")))).as("a"))
+      .select(expr("pair_dist_stats(" +
+        "transform(a, s -> s.x), transform(a, s -> s.y), " +
+        "transform(a, s -> s.z))").as("st"))
+      .agg(sum(col("st.sum")).as("sum_d"), min(col("st.mn")).as("min_d"),
+        max(col("st.mx")).as("max_d"), sum(col("st.cnt")).as("n_dists"))
+      .collect()(0)
+    val computeSec = (System.nanoTime() - t1) / 1e9
+
+    println(s"""{"metric":"ref_workload","frames":$Frames,""" +
+      s""""atoms":$Atoms,"pairs":124750,"partitions":$nParts,""" +
+      s""""load_sec":$loadSec,"compute_sec":$computeSec,""" +
+      s""""n_dists":${row.getAs[Long]("n_dists")},""" +
+      s""""baseline_dask_threaded_sec":13.3,""" +
+      s""""baseline_mdtraj_serial_sec":11.5,""" +
+      s""""baseline_dask_distributed_sec":6.32}""")
+    spark.stop()
+  }
+}
