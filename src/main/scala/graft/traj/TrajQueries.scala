@@ -72,6 +72,52 @@ object TrajQueries {
       .stripMargin
 
   /** F1: per-(frame, pair) Euclidean distance (distance.py:15-66). */
+  /** Per-frame ALL-PAIRS distance statistics over the first 100 atoms
+    * via the `pair_dist_stats` kernel (one call evaluates all C(n,2)
+    * distances per frame — the RefWorkloadBench hot loop, here under
+    * the oracle gate). Emitted columns are the selection/count outputs
+    * (min, max, n_pairs): each candidate distance is computed with the
+    * identical IEEE expression in both engines (floats widened to
+    * double, dx·dx+dy·dy+dz·dz left-to-right, sqrt), so the min/max
+    * SELECTIONS are bit-identical; the kernel's running double SUM is
+    * reduction-order-dependent and deliberately not emitted. */
+  def trajPairStats(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    TrajModel.positionsShared(s, d)
+      .filter(col("atom_id") <= 100)
+      .select(col("frame_id"), col("atom_id"),
+        col("x").cast("float").as("fx"), col("y").cast("float").as("fy"),
+        col("z").cast("float").as("fz"))
+      .groupBy("frame_id")
+      .agg(sort_array(collect_list(struct(col("atom_id"), col("fx"),
+        col("fy"), col("fz")))).as("a"))
+      .select(col("frame_id"), expr("pair_dist_stats(" +
+        "transform(a, s -> s.fx), transform(a, s -> s.fy), " +
+        "transform(a, s -> s.fz))").as("st"))
+      .select(col("frame_id"), col("st.cnt").as("n_pairs"),
+        col("st.mn").as("min_dist"), col("st.mx").as("max_dist"))
+      .orderBy("frame_id")
+  }
+
+  private val trajPairStatsSql =
+    s"""$P,
+      |pf AS (
+      |  SELECT frame_id, atom_id,
+      |    CAST(CAST(x AS REAL) AS DOUBLE) AS x,
+      |    CAST(CAST(y AS REAL) AS DOUBLE) AS y,
+      |    CAST(CAST(z AS REAL) AS DOUBLE) AS z
+      |  FROM positions WHERE atom_id <= 100),
+      |dists AS (
+      |  SELECT p1.frame_id,
+      |    sqrt((p2.x - p1.x) * (p2.x - p1.x) +
+      |         (p2.y - p1.y) * (p2.y - p1.y) +
+      |         (p2.z - p1.z) * (p2.z - p1.z)) AS d
+      |  FROM pf p1 JOIN pf p2
+      |    ON p2.frame_id = p1.frame_id AND p2.atom_id > p1.atom_id)
+      |SELECT frame_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  min(d) AS min_dist, max(d) AS max_dist
+      |FROM dists GROUP BY frame_id ORDER BY frame_id""".stripMargin
+
   def trajDistances(s: SparkSession, d: String): DataFrame =
     pairExpansion(s, TrajModel.positionsShared(s, d))
       .select(col("p_frame").as("frame_id"), col("a1"), col("a2"),
@@ -867,6 +913,7 @@ object TrajQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_traj_distances", trajDistances, Some(trajDistancesSql)),
+    QueryDef("q_traj_pair_stats", trajPairStats, Some(trajPairStatsSql)),
     QueryDef("q_traj_distances_wide", trajDistancesWide,
       Some(trajDistancesSql)),
     QueryDef("q_traj_distances_periodic", trajDistancesPeriodic,
