@@ -59,6 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("rep_stats",
       "rep_stats(text) - (n_words, n_distinct, top_word, top_bigram) repetition counters",
       es => RepStats(es.head)))
+    ext.injectFunction(fn("pair_dist_stats",
+      "pair_dist_stats(xs, ys, zs) - all-pairs C(n,2) distance sum/min/max/count per frame",
+      es => PairDistStats(es)))
     ext.injectFunction(fn("topk_pairs",
       "topk_pairs(v, id, k) - partial-aggregatable per-group top-k of (v, id) pairs",
       es => TopKPairs(es(0), es(1), TopKPairs.literalK(es))
