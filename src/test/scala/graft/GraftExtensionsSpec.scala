@@ -23,6 +23,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("code") >= 0L)
   }
 
+  test("round-4 injections resolve: rep_stats, topk_pairs, " +
+    "pair_dist_stats") {
+    val r = spark.sql(
+      """SELECT rep_stats('a b a').topw AS topw,
+        |  pair_dist_stats(CAST(array(0.0, 3.0) AS ARRAY<FLOAT>),
+        |                  CAST(array(0.0, 0.0) AS ARRAY<FLOAT>),
+        |                  CAST(array(0.0, 4.0) AS ARRAY<FLOAT>)).mx AS mx
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Long]("topw") == 2L)
+    assert(r.getAs[Double]("mx") == 5.0)
+    val agg = spark.sql(
+      """SELECT k, topk_pairs(v, id, 2) AS top FROM VALUES
+        |  (1, CAST(3.0 AS DOUBLE), CAST(10 AS BIGINT)),
+        |  (1, 1.0, 11), (1, 2.0, 12) AS t(k, v, id)
+        |GROUP BY k""".stripMargin).collect()(0)
+    val top = agg.getSeq[org.apache.spark.sql.Row](1)
+    assert(top.map(_.getLong(1)) == Seq(10L, 12L))
+  }
+
   test("injected and registry forms are the same expressions") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
