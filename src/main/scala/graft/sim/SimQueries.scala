@@ -515,7 +515,11 @@ object SimQueries {
     * keyed the same way. At 100 TB: PQ codes are 8 bytes/vector vs
     * 256 bytes float32 — the 32× compression that makes a billion-
     * vector index RAM-resident. */
-  def embPq(s: SparkSession, d: String): DataFrame = {
+  /** Shared PQ training pipeline: (vecs, e, codebooks c1, codes).
+    * Deterministic end to end, so the search query retrains the same
+    * codebooks the compression query emitted. */
+  private def pqTrain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val vecs = withNorm(s, d)
     // long layout: one row per (vector, subspace, position)
     val e = vecs
@@ -560,7 +564,11 @@ object SimQueries {
         (col("sv").cast("double") / col("cnt") / expr(S)).as("cv"))
       .localCheckpoint(false)
     val codes = assign(c1)
+    (vecs, e, c1, codes)
+  }
 
+  def embPq(s: SparkSession, d: String): DataFrame = {
+    val (vecs, e, c1, codes) = pqTrain(s, d)
     // per-vector code string + exact scaled squared distortion
     val recon = e.join(codes, Seq("vec_id", "sub"))
       .join(broadcast(c1), Seq("sub", "cid", "pos"))
@@ -576,7 +584,7 @@ object SimQueries {
       .orderBy("vec_id")
   }
 
-  private val embPqSql =
+  private val pqTrainSql =
     """WITH e AS (
       |  SELECT vec_id,
       |    (generate_subscripts(embedding, 1) - 1) // 8 AS sub,
@@ -634,7 +642,9 @@ object SimQueries {
       |    FROM d1 d
       |    JOIN sn2 s ON s.vec_id = d.vec_id AND s.sub = d.sub
       |    JOIN cn1 cn ON cn.sub = d.sub AND cn.cid = d.cid) t
-      |  WHERE rn = 1),
+      |  WHERE rn = 1)""".stripMargin
+
+  private val embPqSql = pqTrainSql + """,
       |recon AS (
       |  SELECT e.vec_id,
       |    CAST(sum(CAST(floor((e.v - c.cv) * (e.v - c.cv) * 1e12 + 5e-1)
@@ -653,10 +663,68 @@ object SimQueries {
       |JOIN recon ON recon.vec_id = emb.vec_id
       |ORDER BY emb.vec_id""".stripMargin
 
+  /** PQ asymmetric-distance (ADC) top-k search — the READ side of
+    * q_emb_pq's compression: each query precomputes an 8×16 lookup
+    * table of exact scaled-integer squared distances to every
+    * codebook centroid, then a corpus vector's approximate distance
+    * is EIGHT integer table lookups summed — never a touch of the
+    * original floats. The per-query top-5 comes from our own
+    * `topk_pairs` aggregate (value = −adc, so the bounded heap keeps
+    * the smallest distances; ADC sums stay < 2⁵³, so the double cast
+    * is exact and the (adc, vec_id) order survives bit-for-bit).
+    *
+    * Scale shape: the LUT is queries × 128 rows (broadcast); the
+    * corpus side reads only the code table (8 small ints per vector —
+    * the 32× compression), and the top-k aggregation partials combine
+    * map-side. This is exactly how a billion-vector PQ index serves
+    * queries: codes in RAM, one LUT per query, integer adds. */
+  def simAnnPq(s: SparkSession, d: String): DataFrame = {
+    val (_, e, c1, codes) = pqTrain(s, d)
+    val qe = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
+      .select(col("vec_id").as("qid"), col("sub"), col("pos"),
+        col("v").as("qv"))
+    val lut = qe.join(broadcast(c1), Seq("sub", "pos"))
+      .groupBy("qid", "sub", "cid")
+      .agg(sum(expr(
+        "CAST(floor((qv - cv) * (qv - cv) * 1e12 + 5e-1) AS BIGINT)"))
+        .as("d2s"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("d2s").as("adc_s"))
+    adc.groupBy("qid")
+      .agg(expr("topk_pairs(CAST(-adc_s AS DOUBLE), vec_id, 5)")
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("nid"), (-col("col.v")).cast("long").as("adc_s"))
+      .orderBy("qid", "rk")
+  }
+
+  private val simAnnPqSql = pqTrainSql + """,
+      |lut AS (
+      |  SELECT e.vec_id AS qid, c.sub, c.cid,
+      |    CAST(sum(CAST(floor((e.v - c.cv) * (e.v - c.cv) * 1e12 + 5e-1)
+      |      AS BIGINT)) AS BIGINT) AS d2s
+      |  FROM e JOIN c1 c ON c.sub = e.sub AND c.pos = e.pos
+      |  WHERE e.vec_id % 50 = 0 AND e.vec_id < 2500
+      |  GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT l.qid, a.vec_id, CAST(sum(l.d2s) AS BIGINT) AS adc_s
+      |  FROM a1 a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
+      |  WHERE a.vec_id <> l.qid
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY adc_s, vec_id) AS rk FROM adc)
+      |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id AS nid, adc_s
+      |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sim_topk", simTopk, Some(simTopkSql)),
     QueryDef("q_sim_neardup_lsh", simNeardupLsh, Some(simNeardupLshSql)),
     QueryDef("q_sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)),
     QueryDef("q_emb_quantize", embQuantize, Some(embQuantizeSql)),
-    QueryDef("q_emb_pq", embPq, Some(embPqSql)))
+    QueryDef("q_emb_pq", embPq, Some(embPqSql)),
+    QueryDef("q_sim_ann_pq", simAnnPq, Some(simAnnPqSql)))
 }
