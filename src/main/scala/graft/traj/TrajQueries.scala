@@ -49,19 +49,21 @@ object TrajQueries {
     val atomIds = TrajModel.pairs.flatMap { case (a, b) => Seq(a, b) }
       .distinct.sorted
     val pf = p.filter(col("atom_id").isin(atomIds: _*))
-    // The filtered roles are ≤ |atoms(pairs)| × n_frames rows — KB-sized
-    // for the harness (17 atoms × 7 frames), so hint the broadcast
-    // rather than waiting for AQE to discover it (checkpoint stats hide
-    // the filter's selectivity from the static planner). SCALE CAVEAT:
-    // these roles still carry the frame axis; on a cluster where frames
-    // are unbounded the hint must go and this join becomes the
-    // frame-co-partitioned join (positions bucketed by frame_id, both
-    // roles collocate; the 10-row pair list is the only broadcast) —
-    // see SCALING.md §traj. Never keep a forced broadcast on a relation
-    // whose row count follows the frame axis.
-    TrajModel.pairsDf(s)
-      .join(broadcast(role(pf, "p")), col("p_atom") === col("a1"))
-      .join(broadcast(role(pf, "q")), col("q_atom") === col("a2") &&
+    // The ONLY forced broadcast is the 10-row pair list — the analog of
+    // the reference capturing atom_pairs into every chunk task
+    // (geometry/distance.py:131-141). The positions roles carry the
+    // frame axis (|atoms(pairs)| × n_frames rows), and frames are
+    // exactly the axis that grows without bound at 100 TB, so they are
+    // never hinted: the roles meet in a frame-co-partitioned equi-join
+    // on (atom_id, frame_id) — both sides shuffle by the same key and
+    // collocate, scaling linearly in frames — and AQE is free to
+    // downgrade it to a runtime broadcast when the actual scan is tiny
+    // (a stats-gated decision, not a forced one). PlanShapeSpec pins
+    // this rule: no BroadcastExchange in the suite may carry a frame
+    // column.
+    role(pf, "p")
+      .join(broadcast(TrajModel.pairsDf(s)), col("p_atom") === col("a1"))
+      .join(role(pf, "q"), col("q_atom") === col("a2") &&
         col("p_frame") === col("q_frame"))
   }
 
@@ -381,11 +383,15 @@ object TrajQueries {
     val uz = col("az") - col("bz")
     val vx = col("cx") - col("bx"); val vy = col("cy") - col("by")
     val vz = col("cz") - col("bz")
-    TrajModel.tripletsDf(s)
-      .join(broadcast(role(p, "a")), col("a_atom") === col("ai"))
-      .join(broadcast(role(p, "b")), col("b_atom") === col("aj") &&
+    // Same broadcast discipline as pairExpansion: the 5-row triplet
+    // list is the only forced broadcast; the three positions roles
+    // (frame-axis relations) meet in (atom_id, frame_id)-co-partitioned
+    // equi-joins.
+    role(p, "a")
+      .join(broadcast(TrajModel.tripletsDf(s)), col("a_atom") === col("ai"))
+      .join(role(p, "b"), col("b_atom") === col("aj") &&
         col("a_frame") === col("b_frame"))
-      .join(broadcast(role(p, "c")), col("c_atom") === col("ak") &&
+      .join(role(p, "c"), col("c_atom") === col("ak") &&
         col("a_frame") === col("c_frame"))
       .filter(norm2(ux, uy, uz) > 0 && norm2(vx, vy, vz) > 0)
       .select(col("a_frame").as("frame_id"), col("ai"), col("aj"),
