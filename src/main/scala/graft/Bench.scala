@@ -83,8 +83,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val cgTotal = results.map(_._4).sum
     val total = results.collect { case (_, ts, None, _) if ts.nonEmpty => ts.min }.sum
+    // The stdout line stays COMPACT (per-query minima only — no raw
+    // runs array): the driver captures a bounded tail of the output,
+    // and r4's full line outgrew it (the 70-query runs array pushed
+    // the JSON head out of the window → parsed: null). The complete
+    // artifact, raw runs included, goes to its own file.
     val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"codegen_errors":$cgs,"codegen_error_total":$cgTotal,"reps":$reps,"sf":"$sfDir","runs_file":"BENCH_FULL.json"}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"codegen_errors":$cgs,"codegen_error_total":$cgTotal,"reps":$reps,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     // raw stdout (build.sbt routes forked run output through StdoutOutput,
     // so this line arrives unprefixed for the driver's JSON parse)
     println(line)

@@ -563,12 +563,36 @@ object SimQueries {
       .select(col("sub"), col("cid"), col("pos"),
         (col("sv").cast("double") / col("cnt") / expr(S)).as("cv"))
       .localCheckpoint(false)
-    val codes = assign(c1)
+    // codes behind the barrier too: both PQ queries and every action
+    // within one query reuse the assignment instead of re-running the
+    // broadcast-join + argmin per consumer
+    val codes = assign(c1).localCheckpoint(false)
     (vecs, e, c1, codes)
   }
 
+  /** Trained PQ state cached per (session, dir) — the production
+    * shape: ADC search reads PERSISTED codebooks and codes (training
+    * is an offline job, never re-run per query), so q_emb_pq and
+    * q_sim_ann_pq ride ONE training run. Same get+putIfAbsent pattern
+    * as TrajModel.shared (training is deterministic end to end, so a
+    * benign double-build race is harmless). */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
+
+  private def pqTrainShared(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val k = (s, d)
+    val existing = pqCache.get(k)
+    if (existing != null) existing
+    else {
+      val built = pqTrain(s, d)
+      val prev = pqCache.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
+
   def embPq(s: SparkSession, d: String): DataFrame = {
-    val (vecs, e, c1, codes) = pqTrain(s, d)
+    val (vecs, e, c1, codes) = pqTrainShared(s, d)
     // per-vector code string + exact scaled squared distortion
     val recon = e.join(codes, Seq("vec_id", "sub"))
       .join(broadcast(c1), Seq("sub", "cid", "pos"))
@@ -679,7 +703,7 @@ object SimQueries {
     * map-side. This is exactly how a billion-vector PQ index serves
     * queries: codes in RAM, one LUT per query, integer adds. */
   def simAnnPq(s: SparkSession, d: String): DataFrame = {
-    val (_, e, c1, codes) = pqTrain(s, d)
+    val (_, e, c1, codes) = pqTrainShared(s, d)
     val qe = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
       .select(col("vec_id").as("qid"), col("sub"), col("pos"),
         col("v").as("qv"))
