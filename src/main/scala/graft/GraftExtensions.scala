@@ -64,7 +64,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => PairDistStats(es)))
     ext.injectFunction(fn("topk_pairs",
       "topk_pairs(v, id, k) - partial-aggregatable per-group top-k of (v, id) pairs",
-      es => TopKPairs(es(0), es(1), TopKPairs.literalK(es))
-        .toAggregateExpression()))
+      es => TopKPairs.build(es).toAggregateExpression()))
   }
 }

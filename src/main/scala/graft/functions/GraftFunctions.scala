@@ -350,7 +350,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("pair_dist_stats",
       es => PairDistStats(es), "scala_udf")
     reg.createOrReplaceTempFunction("topk_pairs",
-      es => TopKPairs(es(0), es(1), TopKPairs.literalK(es))
-        .toAggregateExpression(), "scala_udf")
+      es => TopKPairs.build(es).toAggregateExpression(), "scala_udf")
   }
 }

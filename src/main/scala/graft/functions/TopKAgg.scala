@@ -3,8 +3,9 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -36,6 +37,20 @@ case class TopKPairs(valueExpr: Expression, idExpr: Expression, k: Int,
   require(k > 0, s"topk_pairs: k must be > 0, got $k")
 
   override def children: Seq[Expression] = Seq(valueExpr, idExpr)
+
+  /** Analysis-time contract (registration wraps the arguments in
+    * casts to DOUBLE/BIGINT, see TopKPairs.build, so DECIMAL/INT/FLOAT
+    * inputs coerce instead of throwing ClassCastException in update());
+    * this check rejects a hand-constructed instance whose children are
+    * not the buffer types. NaN values sort as strongest, matching
+    * Spark's own double ordering (NaN is greatest in ORDER BY), so the
+    * window form and this aggregate agree. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (valueExpr.dataType == DoubleType && idExpr.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_pairs(value, id, k) needs (DOUBLE, BIGINT) after casts, " +
+        s"got (${valueExpr.dataType.sql}, ${idExpr.dataType.sql})")
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("v", DoubleType, nullable = false),
@@ -98,6 +113,13 @@ case class TopKPairs(valueExpr: Expression, idExpr: Expression, k: Int,
 }
 
 object TopKPairs {
+  /** Registration-time builder: wraps value/id in casts to the buffer
+    * types so any numeric argument (DECIMAL, INT, FLOAT) resolves —
+    * the implicit-cast contract, expressed with public Cast nodes
+    * (AbstractDataType/ImplicitCastInputTypes are private[sql]). */
+  def build(es: Seq[Expression]): TopKPairs =
+    TopKPairs(Cast(es(0), DoubleType), Cast(es(1), LongType), literalK(es))
+
   /** The k argument must be a foldable integer literal — aggregation
     * state is sized at plan time. */
   def literalK(es: Seq[Expression]): Int = {

@@ -288,18 +288,26 @@ class ArcPartitionReader(unitScale: Double, required: StructType,
       if (atomInFrame == range.nAtoms) {
         if (!lines.hasNext) return false
         lines.next() // natoms [title] — validated at plan time
+        // box parse honors DROPMALFORMED like the lammpstrj reader:
+        // a malformed box line drops the frame's box (null + counted)
+        // instead of failing the whole task in drop mode
         box =
           if (range.hasBox) {
-            val bl = if (lines.hasNext) lines.next() else ""
-            val t = bl.trim.split("\\s+")
-            if (t.length < 6) parseFail("box line needs 6 values", bl)
-            Array(
-              (numOrFail(t(0), "box a", bl) * unitScale).toFloat,
-              (numOrFail(t(1), "box b", bl) * unitScale).toFloat,
-              (numOrFail(t(2), "box c", bl) * unitScale).toFloat,
-              numOrFail(t(3), "alpha", bl).toFloat,
-              numOrFail(t(4), "beta", bl).toFloat,
-              numOrFail(t(5), "gamma", bl).toFloat)
+            try {
+              val bl = if (lines.hasNext) lines.next() else ""
+              val t = bl.trim.split("\\s+")
+              if (t.length < 6) parseFail("box line needs 6 values", bl)
+              Array(
+                (numOrFail(t(0), "box a", bl) * unitScale).toFloat,
+                (numOrFail(t(1), "box b", bl) * unitScale).toFloat,
+                (numOrFail(t(2), "box c", bl) * unitScale).toFloat,
+                numOrFail(t(3), "alpha", bl).toFloat,
+                numOrFail(t(4), "beta", bl).toFloat,
+                numOrFail(t(5), "gamma", bl).toFloat)
+            } catch {
+              case _: IllegalStateException if dropMalformed =>
+                dropped += 1; null
+            }
           } else null
         atomInFrame = 0
       }

@@ -246,9 +246,19 @@ class BinposPartitionReader(unitScale: Double, required: StructType,
   }
 
   private def readFrame(): Boolean = {
+    // readFully, not read(): a single read() may legitimately return
+    // fewer bytes than requested (large frames, network filesystems),
+    // and treating that as EOF would silently drop the rest of the
+    // partition. True EOF (no bytes left) ends the partition; a
+    // PARTIAL trailing frame is a truncated file and errors.
+    val remaining = raf.length() - raf.getFilePointer
+    if (remaining <= 0) return false
+    if (remaining < stride)
+      throw new IllegalStateException(
+        s"binpos ${range.filePath}: truncated trailing frame " +
+          s"($remaining of $stride bytes)")
     val buf = new Array[Byte](stride.toInt)
-    val got = raf.read(buf)
-    if (got < stride) return false
+    raf.readFully(buf)
     val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
     val n = bb.getInt
     if (n != range.nAtoms)

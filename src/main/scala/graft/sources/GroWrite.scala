@@ -30,7 +30,9 @@ class GroBatchWrite(path: String, schema: StructType, truncate: Boolean)
       : DataWriterFactory = {
     val dir = new File(path)
     if (truncate && dir.exists())
-      dir.listFiles().filter(_.getName.endsWith(".gro")).foreach(_.delete())
+      dir.listFiles().filter { f => // all extensions the scan accepts
+        f.getName.endsWith(".gro") || f.getName.endsWith(".gro.gz")
+      }.foreach(_.delete())
     dir.mkdirs()
     new GroWriterFactory(path, schema)
   }

@@ -149,7 +149,7 @@ class LammpstrjTable(path: String, chunks: Int, unitScale: Double,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new LammpstrjWriteBuilder(path, info)
+    new LammpstrjWriteBuilder(path, unitScale, info)
 }
 
 class LammpstrjScanBuilder(path: String, chunks: Int, unitScale: Double,

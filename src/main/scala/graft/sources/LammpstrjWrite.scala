@@ -13,48 +13,65 @@ import org.apache.spark.sql.types.StructType
   * dump file. The writer emits orthogonal `BOX BOUNDS` from the
   * lengths columns (0..box_a etc.); tilted boxes would need the
   * inverse of the reader's bound-adjustment and are out of the write
-  * path's scope (read-side triclinic support is full). */
-class LammpstrjWriteBuilder(path: String, info: LogicalWriteInfo)
+  * path's scope (read-side triclinic support is full).
+  *
+  * Boxless frames: the dump spec's frame layout is a FIXED 9-line
+  * header — `ITEM: BOX BOUNDS` cannot be omitted without breaking the
+  * line arithmetic every LAMMPS consumer (including our reader) relies
+  * on — so null box columns write the documented `0.0 0.0` placeholder
+  * bounds (a zero-size box). A round-trip therefore reads a boxless
+  * frame back as box_a=box_b=box_c=0, not null; callers that need the
+  * distinction must keep it out of band.
+  *
+  * `unit_scale` is inverted on write like the mdcrd/arc/binpos
+  * writers: coords and box lengths are divided by the scan's scale so
+  * data loaded with unit_scale=0.1 (Å→nm) writes back in Å. */
+class LammpstrjWriteBuilder(path: String, unitScale: Double,
+    info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write =
-    new LammpstrjWrite(path, info.schema(), doTruncate)
+    new LammpstrjWrite(path, unitScale, info.schema(), doTruncate)
 }
 
-class LammpstrjWrite(path: String, schema: StructType, truncate: Boolean)
-    extends Write {
+class LammpstrjWrite(path: String, unitScale: Double, schema: StructType,
+    truncate: Boolean) extends Write {
   override def toBatch: BatchWrite =
-    new LammpstrjBatchWrite(path, schema, truncate)
+    new LammpstrjBatchWrite(path, unitScale, schema, truncate)
 }
 
-class LammpstrjBatchWrite(path: String, schema: StructType,
-    truncate: Boolean) extends BatchWrite {
+class LammpstrjBatchWrite(path: String, unitScale: Double,
+    schema: StructType, truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
     val dir = new File(path)
+    // truncate must delete every extension the SCAN accepts (plain and
+    // .gz) or stale shards survive an overwrite and merge into reads
     if (truncate && dir.exists())
-      dir.listFiles().filter(_.getName.endsWith(".lammpstrj"))
-        .foreach(_.delete())
+      dir.listFiles().filter { f =>
+        val n = f.getName
+        n.endsWith(".lammpstrj") || n.endsWith(".lammpstrj.gz")
+      }.foreach(_.delete())
     dir.mkdirs()
-    new LammpstrjWriterFactory(path, schema)
+    new LammpstrjWriterFactory(path, unitScale, schema)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class LammpstrjWriterFactory(path: String, schema: StructType)
-    extends DataWriterFactory {
+class LammpstrjWriterFactory(path: String, unitScale: Double,
+    schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new LammpstrjDataWriter(path, schema, partitionId)
+    new LammpstrjDataWriter(path, unitScale, schema, partitionId)
 }
 
 private case class LammpstrjCommit(partitionId: Int, frames: Long)
     extends WriterCommitMessage
 
-class LammpstrjDataWriter(path: String, schema: StructType,
-    partitionId: Int) extends DataWriter[InternalRow] {
+class LammpstrjDataWriter(path: String, unitScale: Double,
+    schema: StructType, partitionId: Int) extends DataWriter[InternalRow] {
 
   private def idx(name: String): Int = schema.fieldNames.indexOf(name)
   private val iFrame = idx("frame_id")
@@ -88,8 +105,11 @@ class LammpstrjDataWriter(path: String, schema: StructType,
     out.write("\nITEM: NUMBER OF ATOMS\n")
     out.write(atomCount.toString)
     out.write("\nITEM: BOX BOUNDS pp pp pp\n")
+    // null box -> documented 0.0-bounds placeholder (see class doc)
     val (ba, bb, bc) = curBox.getOrElse((0.0f, 0.0f, 0.0f))
-    out.write(s"0.0 $ba\n0.0 $bb\n0.0 $bc\n")
+    out.write(s"0.0 ${(ba / unitScale).toFloat}\n" +
+      s"0.0 ${(bb / unitScale).toFloat}\n" +
+      s"0.0 ${(bc / unitScale).toFloat}\n")
     out.write("ITEM: ATOMS id element x y z\n")
     out.write(atoms.toString)
     atoms.setLength(0)
@@ -114,9 +134,10 @@ class LammpstrjDataWriter(path: String, schema: StructType,
       .append(' ')
       .append(if (iElement >= 0 && !row.isNullAt(iElement))
         row.getUTF8String(iElement).toString else "X")
-      .append(' ').append(row.getFloat(iX))
-      .append(' ').append(row.getFloat(iY))
-      .append(' ').append(row.getFloat(iZ)).append('\n')
+      .append(' ').append((row.getFloat(iX) / unitScale).toFloat)
+      .append(' ').append((row.getFloat(iY) / unitScale).toFloat)
+      .append(' ').append((row.getFloat(iZ) / unitScale).toFloat)
+      .append('\n')
     atomCount += 1
   }
 

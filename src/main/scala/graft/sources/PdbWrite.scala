@@ -41,7 +41,9 @@ class PdbBatchWrite(path: String, schema: StructType, truncate: Boolean,
       : DataWriterFactory = {
     val dir = new File(path)
     if (truncate && dir.exists())
-      dir.listFiles().filter(_.getName.endsWith(".pdb")).foreach(_.delete())
+      dir.listFiles().filter { f => // all extensions the scan accepts
+        f.getName.endsWith(".pdb") || f.getName.endsWith(".pdb.gz")
+      }.foreach(_.delete())
     dir.mkdirs()
     new PdbWriterFactory(path, schema, unitScale)
   }

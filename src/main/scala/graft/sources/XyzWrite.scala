@@ -38,7 +38,9 @@ class XyzBatchWrite(path: String, schema: StructType, truncate: Boolean)
       : DataWriterFactory = {
     val dir = new File(path)
     if (truncate && dir.exists())
-      dir.listFiles().filter(_.getName.endsWith(".xyz")).foreach(_.delete())
+      dir.listFiles().filter { f => // all extensions the scan accepts
+        f.getName.endsWith(".xyz") || f.getName.endsWith(".xyz.gz")
+      }.foreach(_.delete())
     dir.mkdirs()
     new XyzWriterFactory(path, schema)
   }
