@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // repo base for Bench's artifact writes (fork cwd is normally the
+  // baseDirectory already; this makes it explicit)
+  s"-Dgraft.base=${baseDirectory.value.getAbsolutePath}",
 )

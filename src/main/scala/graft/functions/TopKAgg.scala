@@ -116,9 +116,29 @@ object TopKPairs {
   /** Registration-time builder: wraps value/id in casts to the buffer
     * types so any numeric argument (DECIMAL, INT, FLOAT) resolves —
     * the implicit-cast contract, expressed with public Cast nodes
-    * (AbstractDataType/ImplicitCastInputTypes are private[sql]). */
-  def build(es: Seq[Expression]): TopKPairs =
-    TopKPairs(Cast(es(0), DoubleType), Cast(es(1), LongType), literalK(es))
+    * (AbstractDataType/ImplicitCastInputTypes are private[sql]).
+    *
+    * The id cast is gated on the argument being an INTEGRAL type:
+    * Spark's implicit casts never narrow double→bigint, and a blanket
+    * Cast would silently truncate fractional ids and null out
+    * unparseable strings (rows then silently skipped in update()). */
+  def build(es: Seq[Expression]): TopKPairs = {
+    val k = literalK(es)
+    if (es(0).resolved && !es(0).dataType.isInstanceOf[NumericType])
+      throw new IllegalArgumentException(
+        s"topk_pairs: value must be numeric, got ${es(0).dataType.sql}")
+    if (es(1).resolved && !integral(es(1).dataType))
+      throw new IllegalArgumentException(
+        s"topk_pairs: id must be an integral type (TINYINT/SMALLINT/" +
+          s"INT/BIGINT — implicit casts never narrow), got " +
+          es(1).dataType.sql)
+    TopKPairs(Cast(es(0), DoubleType), Cast(es(1), LongType), k)
+  }
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
 
   /** The k argument must be a foldable integer literal — aggregation
     * state is sized at plan time. */
@@ -153,8 +173,12 @@ final class TopKBuffer(k: Int) {
   def offer(v: Double, id: Long): Unit = {
     if (heap.size < k) { heap.offer((v, id)); return }
     val weakest = heap.peek()
-    // stronger = larger value, or equal value with smaller id
-    if (v > weakest._1 || (v == weakest._1 && id < weakest._2)) {
+    // stronger = larger value, or equal value with smaller id — via
+    // Double.compare so NaN ranks GREATEST, the same total order as the
+    // heap comparator and Spark's ORDER BY (a primitive `>` here would
+    // silently discard NaN and make results arrival-order dependent)
+    val c = java.lang.Double.compare(v, weakest._1)
+    if (c > 0 || (c == 0 && id < weakest._2)) {
       heap.poll(); heap.offer((v, id))
     }
   }
@@ -166,9 +190,13 @@ final class TopKBuffer(k: Int) {
 
   def sortedDesc: Array[(Double, Long)] = {
     val arr = heap.toArray(new Array[(Double, Long)](heap.size))
-    scala.util.Sorting.stableSort(arr,
-      (a: (Double, Long), b: (Double, Long)) =>
-        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    // Double.compare keeps NaN consistently greatest here too, so the
+    // output order agrees with the heap's keep/evict decisions
+    java.util.Arrays.sort(arr,
+      (a: (Double, Long), b: (Double, Long)) => {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      })
     arr
   }
 }

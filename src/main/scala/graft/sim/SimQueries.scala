@@ -579,6 +579,13 @@ object SimQueries {
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
 
+  /** Cached state pins localCheckpoint blocks for the session lifetime
+    * and serves the codebooks trained from the files as they were at
+    * first touch — the offline-training contract (retraining per query
+    * is the bug this cache fixes; if the files under `dir` change
+    * within a session, stop the session to retrain). Entries for a
+    * session are evicted when its application ends, so long-lived
+    * multi-session processes don't accumulate dead block references. */
   private def pqTrainShared(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val k = (s, d)
@@ -587,6 +594,15 @@ object SimQueries {
     else {
       val built = pqTrain(s, d)
       val prev = pqCache.putIfAbsent(k, built)
+      if (prev == null) {
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler
+                  .SparkListenerApplicationEnd): Unit =
+              pqCache.keySet.removeIf(_._1 eq s)
+          })
+      }
       if (prev != null) prev else built
     }
   }

@@ -24,8 +24,13 @@ class PlanShapeSpec extends AnyFunSuite {
     * still choose a runtime broadcast from observed sizes — that is a
     * sized decision, not a forced one, and is out of scope here. */
   test("no query force-broadcasts a relation carrying a frame column") {
+    // NAME-BASED guard: frame columns must be called frame_id, frame,
+    // or *_frame for this rule to see them — any new query that aliases
+    // the frame axis to another name (fid, f, ...) evades the check, so
+    // new frame-column aliases MUST follow the *_frame convention.
     def carriesFrame(name: String): Boolean =
-      name == "frame_id" || name == "u_frame" || name.endsWith("_frame")
+      name == "frame_id" || name == "frame" || name == "u_frame" ||
+        name.endsWith("_frame")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

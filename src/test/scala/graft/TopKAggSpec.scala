@@ -46,6 +46,35 @@ class TopKAggSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2)
   }
 
+  test("NaN ranks greatest regardless of arrival order (matches the " +
+    "window form, where NaN is greatest in ORDER BY DESC)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // NaN arrives LAST in each partition after the heap is full — the
+    // arrival-order hazard: a primitive `>` comparison would discard it
+    val rows = (1L to 50L).map(i => (0L, i.toDouble, i)) :+
+      ((0L, Double.NaN, 999L))
+    val df = rows.toDF("key", "v", "id").repartition(1)
+    val got = df.groupBy("key")
+      .agg(expr("topk_pairs(v, id, 3)").as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id").as("id"))
+      .collect().map(_.getLong(0)).toSeq
+    // NaN (id 999) first, then 50.0, 49.0
+    assert(got == Seq(999L, 50L, 49L))
+  }
+
+  test("non-integral id types are rejected at build time (no silent " +
+    "double->bigint truncation)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, 1.0, 1.5)).toDF("key", "v", "id")
+    val e = intercept[Exception] {
+      df.groupBy("key").agg(expr("topk_pairs(v, id, 3)")).collect()
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("k must be a positive literal") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
