@@ -38,9 +38,7 @@ class ArcDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "arc source requires a single 'path' option"))
+    val paths = MultiPath.rawPaths("arc", properties)
     val chunks = Option(properties.get("chunks")).map { v =>
       try v.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -64,7 +62,7 @@ class ArcDataSource extends TableProvider with DataSourceRegister {
           "; the supplied read schema " + schema.simpleString +
           " does not match (drop .schema(...) or make it identical)")
     }
-    new ArcTable(path, chunks, unitScale, mode)
+    new ArcTable(paths, chunks, unitScale, mode)
   }
 }
 
@@ -93,23 +91,24 @@ object ArcTable {
   }
 }
 
-class ArcTable(path: String, chunks: Int, unitScale: Double, mode: String)
+class ArcTable(paths: Seq[String], chunks: Int, unitScale: Double,
+    mode: String)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = s"arc:$path"
+  override def name(): String = s"arc:${paths.mkString(",")}"
   override def schema(): StructType = ArcTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new ArcScanBuilder(path, chunks, unitScale, mode)
+      : ScanBuilder = new ArcScanBuilder(paths, chunks, unitScale, mode)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new ArcWriteBuilder(path, unitScale, info)
+    new ArcWriteBuilder(MultiPath.single("arc", paths, "write"), unitScale, info)
 }
 
-class ArcScanBuilder(path: String, chunks: Int, unitScale: Double,
+class ArcScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double,
     mode: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit {
@@ -149,7 +148,7 @@ class ArcScanBuilder(path: String, chunks: Int, unitScale: Double,
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   override def build(): Scan =
-    new ArcScan(path, chunks, unitScale, required, frameLo, frameHi,
+    new ArcScan(paths, chunks, unitScale, required, frameLo, frameHi,
       limit, mode)
 }
 
@@ -157,7 +156,7 @@ case class ArcFrameRange(startFrame: Long, endFrame: Long, nAtoms: Int,
     hasBox: Boolean, filePath: String = null, frameOffset: Long = 0L)
     extends InputPartition
 
-class ArcScan(path: String, chunks: Int, unitScale: Double,
+class ArcScan(paths: Seq[String], chunks: Int, unitScale: Double,
     required: StructType, frameLo: Long, frameHi: Long, limit: Int,
     mode: String) extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -198,31 +197,24 @@ class ArcScan(path: String, chunks: Int, unitScale: Double,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
+    // files/directories/lists/globs -> one ordered file list with
+    // globally contiguous frame ids (see XyzScan / MultiPath)
+    val files = MultiPath.expandAll("arc", paths, Seq(".arc", ".arc.gz"))
     val budget0 = if (limit >= 0) limit.toLong else Long.MaxValue
-    if (f.isDirectory) {
-      val shards = f.listFiles()
-        .filter(s => s.isFile && (s.getName.endsWith(".arc") ||
-          s.getName.endsWith(".arc.gz")))
-        .sortBy(_.getName)
-      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-      var off = 0L
-      var budget = budget0
-      shards.foreach { s =>
-        if (budget > 0 && off < frameHi) {
-          val (nAtoms, hasBox, nFrames) = probe(s.getPath)
-          val (parts, rows) = planFile(s.getPath, nAtoms, hasBox, nFrames,
-            off, budget)
-          out ++= parts
-          if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
-          off += nFrames
-        }
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var off = 0L
+    var budget = budget0
+    files.foreach { p =>
+      if (budget > 0 && off < frameHi) {
+        val (nAtoms, hasBox, nFrames) = probe(p)
+        val (parts, rows) = planFile(p, nAtoms, hasBox, nFrames, off,
+          budget)
+        out ++= parts
+        if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
+        off += nFrames
       }
-      out.toArray
-    } else {
-      val (nAtoms, hasBox, nFrames) = probe(path)
-      planFile(path, nAtoms, hasBox, nFrames, 0L, budget0)._1.toArray
     }
+    out.toArray
   }
 
   override def supportedCustomMetrics()

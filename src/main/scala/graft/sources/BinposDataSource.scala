@@ -34,9 +34,7 @@ class BinposDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "binpos source requires a single 'path' option"))
+    val paths = MultiPath.rawPaths("binpos", properties)
     val chunks = Option(properties.get("chunks")).map { v =>
       try v.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -61,7 +59,7 @@ class BinposDataSource extends TableProvider with DataSourceRegister {
           "; the supplied read schema " + schema.simpleString +
           " does not match (drop .schema(...) or make it identical)")
     }
-    new BinposTable(path, chunks, unitScale)
+    new BinposTable(paths, chunks, unitScale)
   }
 }
 
@@ -102,23 +100,23 @@ object BinposTable {
   }
 }
 
-class BinposTable(path: String, chunks: Int, unitScale: Double)
+class BinposTable(paths: Seq[String], chunks: Int, unitScale: Double)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = s"binpos:$path"
+  override def name(): String = s"binpos:${paths.mkString(",")}"
   override def schema(): StructType = BinposTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new BinposScanBuilder(path, chunks, unitScale)
+      : ScanBuilder = new BinposScanBuilder(paths, chunks, unitScale)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new BinposWriteBuilder(path, unitScale, info)
+    new BinposWriteBuilder(MultiPath.single("binpos", paths, "write"), unitScale, info)
 }
 
-class BinposScanBuilder(path: String, chunks: Int, unitScale: Double)
+class BinposScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = BinposTable.Schema
@@ -157,7 +155,7 @@ class BinposScanBuilder(path: String, chunks: Int, unitScale: Double)
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   override def build(): Scan =
-    new BinposScan(path, chunks, unitScale, required, frameLo, frameHi,
+    new BinposScan(paths, chunks, unitScale, required, frameLo, frameHi,
       limit)
 }
 
@@ -165,7 +163,7 @@ case class BinposFrameRange(startFrame: Long, endFrame: Long,
     nAtoms: Int, filePath: String, frameOffset: Long)
     extends InputPartition
 
-class BinposScan(path: String, chunks: Int, unitScale: Double,
+class BinposScan(paths: Seq[String], chunks: Int, unitScale: Double,
     required: StructType, frameLo: Long, frameHi: Long, limit: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -188,30 +186,24 @@ class BinposScan(path: String, chunks: Int, unitScale: Double,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
+    // files/directories/lists/globs -> one ordered file list with
+    // globally contiguous frame ids (see XyzScan / MultiPath); the
+    // per-file probe is a header read + length arithmetic
+    val files = MultiPath.expandAll("binpos", paths, Seq(".binpos"))
     val budget0 = if (limit >= 0) limit.toLong else Long.MaxValue
-    if (f.isDirectory) {
-      val shards = f.listFiles()
-        .filter(s => s.isFile && s.getName.endsWith(".binpos"))
-        .sortBy(_.getName)
-      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-      var off = 0L
-      var budget = budget0
-      shards.foreach { s =>
-        if (budget > 0 && off < frameHi) {
-          val (nAtoms, nFrames) = BinposTable.probe(s.getPath)
-          val (parts, rows) = planFile(s.getPath, nAtoms, nFrames, off,
-            budget)
-          out ++= parts
-          if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
-          off += nFrames
-        }
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var off = 0L
+    var budget = budget0
+    files.foreach { p =>
+      if (budget > 0 && off < frameHi) {
+        val (nAtoms, nFrames) = BinposTable.probe(p)
+        val (parts, rows) = planFile(p, nAtoms, nFrames, off, budget)
+        out ++= parts
+        if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
+        off += nFrames
       }
-      out.toArray
-    } else {
-      val (nAtoms, nFrames) = BinposTable.probe(path)
-      planFile(path, nAtoms, nFrames, 0L, budget0)._1.toArray
     }
+    out.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -161,9 +161,7 @@ class DcdDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "dcd source requires a single 'path' option"))
+    val paths = MultiPath.rawPaths("dcd", properties)
     val chunks = Option(properties.get("chunks")).map { v =>
       try v.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -186,7 +184,7 @@ class DcdDataSource extends TableProvider with DataSourceRegister {
         "dcd source has a fixed schema " + DcdTable.Schema.simpleString +
           "; the supplied read schema does not match")
     }
-    new DcdTable(path, chunks, unitScale, mode)
+    new DcdTable(paths, chunks, unitScale, mode)
   }
 }
 
@@ -208,17 +206,18 @@ object DcdTable {
     StructField("box_gamma", FloatType, nullable = true)))
 }
 
-class DcdTable(path: String, chunks: Int, unitScale: Double, mode: String)
+class DcdTable(paths: Seq[String], chunks: Int, unitScale: Double,
+    mode: String)
     extends Table with SupportsRead {
-  override def name(): String = s"dcd:$path"
+  override def name(): String = s"dcd:${paths.mkString(",")}"
   override def schema(): StructType = DcdTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new DcdScanBuilder(path, chunks, unitScale, mode)
+      : ScanBuilder = new DcdScanBuilder(paths, chunks, unitScale, mode)
 }
 
-class DcdScanBuilder(path: String, chunks: Int, unitScale: Double,
+class DcdScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double,
     mode: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
@@ -262,7 +261,7 @@ class DcdScanBuilder(path: String, chunks: Int, unitScale: Double,
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   override def build(): Scan =
-    new DcdScan(path, chunks, unitScale, required, frameLo, frameHi, limit,
+    new DcdScan(paths, chunks, unitScale, required, frameLo, frameHi, limit,
       mode)
 }
 
@@ -272,7 +271,7 @@ class DcdScanBuilder(path: String, chunks: Int, unitScale: Double,
 case class DcdFrameRange(startFrame: Long, endFrame: Long,
     filePath: String = null, frameOffset: Long = 0L) extends InputPartition
 
-class DcdScan(path: String, chunks: Int, unitScale: Double,
+class DcdScan(paths: Seq[String], chunks: Int, unitScale: Double,
     required: StructType, frameLo: Long, frameHi: Long, limit: Int,
     mode: String)
     extends Scan with Batch {
@@ -302,34 +301,28 @@ class DcdScan(path: String, chunks: Int, unitScale: Double,
     * `*.dcd` shards in name order with globally contiguous frame ids
     * (see XyzScan). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
+    // files/directories/lists/globs → one ordered file list with
+    // globally contiguous frame ids (see XyzScan / MultiPath); the
+    // per-file probe is a ~200-byte header parse
+    val files = MultiPath.expandAll("dcd", paths, Seq(".dcd"))
     val budget0 = if (limit >= 0) limit.toLong else Long.MaxValue
-    if (f.isDirectory) {
-      val shards = f.listFiles()
-        .filter(s => s.isFile && s.getName.endsWith(".dcd"))
-        .sortBy(_.getName)
-      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-      var off = 0L
-      var budget = budget0
-      shards.foreach { s =>
-        if (budget > 0 && off < frameHi) {
-          val h = DcdHeader.parse(s.getPath)
-          val (parts, rows) = planFile(s.getPath, h.nAtoms, h.nFrames, off,
-            budget)
-          out ++= parts
-          if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
-          off += h.nFrames
-        }
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var off = 0L
+    var budget = budget0
+    files.foreach { p =>
+      if (budget > 0 && off < frameHi) {
+        val h = DcdHeader.parse(p)
+        val (parts, rows) = planFile(p, h.nAtoms, h.nFrames, off, budget)
+        out ++= parts
+        if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
+        off += h.nFrames
       }
-      out.toArray
-    } else {
-      val h = DcdHeader.parse(path)
-      planFile(path, h.nAtoms, h.nFrames, 0L, budget0)._1.toArray
     }
+    out.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DcdReaderFactory(path, unitScale, required, mode)
+    new DcdReaderFactory(paths.head, unitScale, required, mode)
 }
 
 class DcdReaderFactory(path: String, unitScale: Double,

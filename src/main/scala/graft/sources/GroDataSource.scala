@@ -35,7 +35,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * terms (0 when absent — orthorhombic), i.e. full unitcell_vectors.
   *
   * Usage: `spark.read.format("gro").option("chunks", 100).load(path)`.
-  * `path` may be a single file or a DIRECTORY of `*.gro`/`*.gro.gz`
+  * `path` may be a single file, a `load(paths: _*)` list, a trailing
+  * -segment glob, or a DIRECTORY of `*.gro`/`*.gro.gz`
   * shards (read in name order, globally contiguous frame ids).
   */
 class GroDataSource extends TableProvider with DataSourceRegister {
@@ -46,9 +47,7 @@ class GroDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "gro source requires a single 'path' option"))
+    val paths = MultiPath.rawPaths("gro", properties)
     val chunks = Option(properties.get("chunks")).map { v =>
       try v.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -65,7 +64,7 @@ class GroDataSource extends TableProvider with DataSourceRegister {
         "gro source has a fixed schema " + GroTable.Schema.simpleString +
           "; the supplied read schema does not match")
     }
-    new GroTable(path, chunks, mode)
+    new GroTable(paths, chunks, mode)
   }
 }
 
@@ -93,26 +92,26 @@ object GroTable {
     StructField("bv3z", FloatType, nullable = true)))
 }
 
-class GroTable(path: String, chunks: Int,
+class GroTable(paths: Seq[String], chunks: Int,
     mode: String = ParseMode.FailFast) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = s"gro:$path"
+  override def name(): String = s"gro:${paths.mkString(",")}"
   override def schema(): StructType = GroTable.Schema
-  // batch reads take a FILE path; streaming reads take a DIRECTORY of
-  // immutable shard files (as produced by the write path) — same
+  // batch reads take files/directories/lists/globs; streaming reads and
+  // writes take a SINGLE directory of immutable shard files — same
   // contract as the xyz source
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new GroScanBuilder(path, chunks, mode)
+      : ScanBuilder = new GroScanBuilder(paths, chunks, mode)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new GroWriteBuilder(path, info)
+    new GroWriteBuilder(MultiPath.single("gro", paths, "write"), info)
 }
 
-class GroScanBuilder(path: String, chunks: Int,
+class GroScanBuilder(paths: Seq[String], chunks: Int,
     mode: String = ParseMode.FailFast)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -156,7 +155,7 @@ class GroScanBuilder(path: String, chunks: Int,
     pushed
 
   override def build(): Scan =
-    new GroScan(path, chunks, required, mode, frameLo, frameHi)
+    new GroScan(paths, chunks, required, mode, frameLo, frameHi)
 }
 
 /** startFrame/endFrame are LOCAL to the file; `filePath` (when
@@ -166,18 +165,19 @@ case class GroFrameRange(startFrame: Long, endFrame: Long, nAtoms: Int,
     filePath: String = null, frameOffset: Long = 0L)
     extends InputPartition
 
-class GroScan(path: String, chunks: Int, required: StructType,
+class GroScan(paths: Seq[String], chunks: Int, required: StructType,
     mode: String = ParseMode.FailFast, frameLo: Long = 0L,
     frameHi: Long = Long.MaxValue)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Streaming twin over a directory of shard files (same shape as
-    * XyzMicroBatchStream). */
+  /** Streaming twin over a (single) directory of shard files (same
+    * shape as XyzMicroBatchStream). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GroMicroBatchStream(path, chunks, required)
+    new GroMicroBatchStream(
+      MultiPath.single("gro", paths, "streaming read"), chunks, required)
 
   /** Driver-side length probe → one InputPartition per `chunks` frames
     * (core/dask_traj.py:87-90 analog, same shape as XyzScan). */
@@ -209,28 +209,19 @@ class GroScan(path: String, chunks: Int, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
-    if (f.isDirectory) {
-      // directory-of-shards batch read, globally contiguous frame ids
-      // in lexicographic shard order (see XyzScan)
-      val shards = f.listFiles()
-        .filter(s => s.isFile &&
-          (s.getName.endsWith(".gro") || s.getName.endsWith(".gro.gz")))
-        .sortBy(_.getName)
-      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-      var off = 0L
-      shards.foreach { s =>
-        if (off < frameHi) {
-          val (nAtoms, nFrames) = probe(s.getPath)
-          out ++= planFile(s.getPath, nAtoms, nFrames, off)
-          off += nFrames
-        }
+    // files/directories/lists/globs → one ordered file list with
+    // globally contiguous frame ids (see XyzScan / MultiPath)
+    val files = MultiPath.expandAll("gro", paths, Seq(".gro", ".gro.gz"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var off = 0L
+    files.foreach { p =>
+      if (off < frameHi) {
+        val (nAtoms, nFrames) = probe(p)
+        out ++= planFile(p, nAtoms, nFrames, off)
+        off += nFrames
       }
-      out.toArray
-    } else {
-      val (nAtoms, nFrames) = probe(path)
-      planFile(path, nAtoms, nFrames, 0L).toArray
     }
+    out.toArray
   }
 
   override def supportedCustomMetrics()
@@ -238,7 +229,7 @@ class GroScan(path: String, chunks: Int, required: StructType,
     ParseMode.scanMetrics
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GroReaderFactory(path, required, mode)
+    new GroReaderFactory(paths.head, required, mode)
 }
 
 class GroReaderFactory(path: String, required: StructType,

@@ -43,7 +43,7 @@ class GroMicroBatchStream(dir: String, chunks: Int, schema: StructType)
     val shards = listShards()
     (s until math.min(e, shards.length)).flatMap { i =>
       val path = shards(i).getPath
-      new GroScan(path, chunks, schema)
+      new GroScan(Seq(path), chunks, schema)
         .planInputPartitions()
         .map(p => GroShardPartition(path,
           p.asInstanceOf[GroFrameRange]): InputPartition)

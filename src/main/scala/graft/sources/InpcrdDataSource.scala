@@ -44,10 +44,7 @@ class InpcrdDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "inpcrd source requires a single 'path' option — a restart " +
-          "file or a directory of restart shards"))
+    val paths = MultiPath.rawPaths("inpcrd", properties)
     val chunks = Option(properties.get("chunks")).map { v =>
       try v.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -78,7 +75,7 @@ class InpcrdDataSource extends TableProvider with DataSourceRegister {
           "; the supplied read schema " + schema.simpleString +
           " does not match (drop .schema(...) or make it identical)")
     }
-    new InpcrdTable(path, chunks, unitScale, vel)
+    new InpcrdTable(paths, chunks, unitScale, vel)
   }
 }
 
@@ -102,17 +99,17 @@ object InpcrdTable {
       ".restrt.gz")
 }
 
-class InpcrdTable(path: String, chunks: Int, unitScale: Double,
+class InpcrdTable(paths: Seq[String], chunks: Int, unitScale: Double,
     vel: String) extends Table with SupportsRead {
-  override def name(): String = s"inpcrd:$path"
+  override def name(): String = s"inpcrd:${paths.mkString(",")}"
   override def schema(): StructType = InpcrdTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new InpcrdScanBuilder(path, chunks, unitScale, vel)
+      : ScanBuilder = new InpcrdScanBuilder(paths, chunks, unitScale, vel)
 }
 
-class InpcrdScanBuilder(path: String, chunks: Int, unitScale: Double,
+class InpcrdScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double,
     vel: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit {
@@ -152,7 +149,7 @@ class InpcrdScanBuilder(path: String, chunks: Int, unitScale: Double,
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   override def build(): Scan =
-    new InpcrdScan(path, chunks, unitScale, vel, required, frameLo,
+    new InpcrdScan(paths, chunks, unitScale, vel, required, frameLo,
       frameHi, limit)
 }
 
@@ -160,7 +157,7 @@ class InpcrdScanBuilder(path: String, chunks: Int, unitScale: Double,
 case class InpcrdFileRange(files: Seq[String], firstFrame: Long)
     extends InputPartition
 
-class InpcrdScan(path: String, chunks: Int, unitScale: Double,
+class InpcrdScan(paths: Seq[String], chunks: Int, unitScale: Double,
     vel: String, required: StructType, frameLo: Long, frameHi: Long,
     limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -171,14 +168,10 @@ class InpcrdScan(path: String, chunks: Int, unitScale: Double,
     * before any I/O (cheaper than every multi-frame source, which must
     * at least line-count each shard). */
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
+    // files/directories/lists/globs -> one ordered file list; the
+    // frame axis IS the file list (see MultiPath)
     val files: Seq[String] =
-      if (f.isDirectory)
-        f.listFiles()
-          .filter(s => s.isFile &&
-            InpcrdTable.Extensions.exists(s.getName.endsWith))
-          .sortBy(_.getName).map(_.getPath).toSeq
-      else Seq(path)
+      MultiPath.expandAll("inpcrd", paths, InpcrdTable.Extensions)
     var lo = math.max(0L, frameLo)
     var hi = math.min(files.length.toLong, frameHi)
     if (limit >= 0) hi = math.min(hi, lo + math.max(limit, 1))

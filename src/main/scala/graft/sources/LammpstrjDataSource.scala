@@ -57,11 +57,7 @@ class LammpstrjDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "lammpstrj source requires a single 'path' option — a file or " +
-          "a directory of shards (multi-path 'paths' loads are not " +
-          "supported)"))
+    val paths = MultiPath.rawPaths("lammpstrj", properties)
     def intOpt(key: String, default: Int): Int =
       Option(properties.get(key)).map { v =>
         try v.toInt catch {
@@ -89,7 +85,7 @@ class LammpstrjDataSource extends TableProvider with DataSourceRegister {
           "; the supplied read schema " + schema.simpleString +
           " does not match (drop .schema(...) or make it identical)")
     }
-    new LammpstrjTable(path, chunks, unitScale, mode)
+    new LammpstrjTable(paths, chunks, unitScale, mode)
   }
 }
 
@@ -136,23 +132,25 @@ object LammpstrjTable {
   }
 }
 
-class LammpstrjTable(path: String, chunks: Int, unitScale: Double,
+class LammpstrjTable(paths: Seq[String], chunks: Int, unitScale: Double,
     mode: String) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = s"lammpstrj:$path"
+  override def name(): String = s"lammpstrj:${paths.mkString(",")}"
   override def schema(): StructType = LammpstrjTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new LammpstrjScanBuilder(path, chunks, unitScale, mode)
+      : ScanBuilder =
+    new LammpstrjScanBuilder(paths, chunks, unitScale, mode)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new LammpstrjWriteBuilder(path, unitScale, info)
+    new LammpstrjWriteBuilder(
+      MultiPath.single("lammpstrj", paths, "write"), unitScale, info)
 }
 
-class LammpstrjScanBuilder(path: String, chunks: Int, unitScale: Double,
+class LammpstrjScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double,
     mode: String) extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = LammpstrjTable.Schema
@@ -191,7 +189,7 @@ class LammpstrjScanBuilder(path: String, chunks: Int, unitScale: Double,
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   override def build(): Scan =
-    new LammpstrjScan(path, chunks, unitScale, required, frameLo, frameHi,
+    new LammpstrjScan(paths, chunks, unitScale, required, frameLo, frameHi,
       limit, mode)
 }
 
@@ -200,7 +198,7 @@ case class LammpstrjFrameRange(startFrame: Long, endFrame: Long,
     filePath: String = null, frameOffset: Long = 0L)
     extends InputPartition
 
-class LammpstrjScan(path: String, chunks: Int, unitScale: Double,
+class LammpstrjScan(paths: Seq[String], chunks: Int, unitScale: Double,
     required: StructType, frameLo: Long, frameHi: Long, limit: Int,
     mode: String) extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -254,31 +252,25 @@ class LammpstrjScan(path: String, chunks: Int, unitScale: Double,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
+    // files/directories/lists/globs -> one ordered file list with
+    // globally contiguous frame ids (see XyzScan / MultiPath)
+    val files = MultiPath.expandAll("lammpstrj", paths,
+      Seq(".lammpstrj", ".lammpstrj.gz"))
     val budget0 = if (limit >= 0) limit.toLong else Long.MaxValue
-    if (f.isDirectory) {
-      val shards = f.listFiles()
-        .filter(s => s.isFile && (s.getName.endsWith(".lammpstrj") ||
-          s.getName.endsWith(".lammpstrj.gz")))
-        .sortBy(_.getName)
-      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-      var off = 0L
-      var budget = budget0
-      shards.foreach { s =>
-        if (budget > 0 && off < frameHi) {
-          val (nAtoms, nFrames, layout) = probe(s.getPath)
-          val (parts, rows) =
-            planFile(s.getPath, nAtoms, nFrames, layout, off, budget)
-          out ++= parts
-          if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
-          off += nFrames
-        }
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var off = 0L
+    var budget = budget0
+    files.foreach { p =>
+      if (budget > 0 && off < frameHi) {
+        val (nAtoms, nFrames, layout) = probe(p)
+        val (parts, rows) =
+          planFile(p, nAtoms, nFrames, layout, off, budget)
+        out ++= parts
+        if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
+        off += nFrames
       }
-      out.toArray
-    } else {
-      val (nAtoms, nFrames, layout) = probe(path)
-      planFile(path, nAtoms, nFrames, layout, 0L, budget0)._1.toArray
     }
+    out.toArray
   }
 
   override def supportedCustomMetrics()
@@ -286,7 +278,7 @@ class LammpstrjScan(path: String, chunks: Int, unitScale: Double,
     ParseMode.scanMetrics
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LammpstrjReaderFactory(path, unitScale, required, mode)
+    new LammpstrjReaderFactory(paths.head, unitScale, required, mode)
 }
 
 class LammpstrjReaderFactory(path: String, unitScale: Double,

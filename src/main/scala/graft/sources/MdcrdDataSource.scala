@@ -45,10 +45,7 @@ class MdcrdDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "mdcrd source requires a single 'path' option — a file or a " +
-          "directory of shards"))
+    val paths = MultiPath.rawPaths("mdcrd", properties)
     def intOpt(key: String, default: Int): Int =
       Option(properties.get(key)).map { v =>
         try v.toInt catch {
@@ -85,7 +82,7 @@ class MdcrdDataSource extends TableProvider with DataSourceRegister {
           "; the supplied read schema " + schema.simpleString +
           " does not match (drop .schema(...) or make it identical)")
     }
-    new MdcrdTable(path, natoms, box, chunks, unitScale, mode)
+    new MdcrdTable(paths, natoms, box, chunks, unitScale, mode)
   }
 }
 
@@ -109,10 +106,11 @@ object MdcrdTable {
     (3 * natoms + 9) / 10 + (if (box) 1 else 0)
 }
 
-class MdcrdTable(path: String, natoms: Int, box: Boolean, chunks: Int,
-    unitScale: Double, mode: String) extends Table with SupportsRead
+class MdcrdTable(paths: Seq[String], natoms: Int, box: Boolean,
+    chunks: Int, unitScale: Double, mode: String)
+    extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = s"mdcrd:$path"
+  override def name(): String = s"mdcrd:${paths.mkString(",")}"
   override def schema(): StructType = MdcrdTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -123,15 +121,15 @@ class MdcrdTable(path: String, natoms: Int, box: Boolean, chunks: Int,
       "mdcrd option 'natoms' is required and must be > 0 — the AMBER " +
         "trajectory format does not carry the atom count (readers get " +
         "it from the prmtop topology)")
-    new MdcrdScanBuilder(path, natoms, box, chunks, unitScale, mode)
+    new MdcrdScanBuilder(paths, natoms, box, chunks, unitScale, mode)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new MdcrdWriteBuilder(path, box, unitScale, info)
+    new MdcrdWriteBuilder(MultiPath.single("mdcrd", paths, "write"), box, unitScale, info)
 }
 
-class MdcrdScanBuilder(path: String, natoms: Int, box: Boolean,
+class MdcrdScanBuilder(paths: Seq[String], natoms: Int, box: Boolean,
     chunks: Int, unitScale: Double, mode: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
@@ -171,7 +169,7 @@ class MdcrdScanBuilder(path: String, natoms: Int, box: Boolean,
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   override def build(): Scan =
-    new MdcrdScan(path, natoms, box, chunks, unitScale, required,
+    new MdcrdScan(paths, natoms, box, chunks, unitScale, required,
       frameLo, frameHi, limit, mode)
 }
 
@@ -179,7 +177,7 @@ case class MdcrdFrameRange(startFrame: Long, endFrame: Long,
     filePath: String = null, frameOffset: Long = 0L)
     extends InputPartition
 
-class MdcrdScan(path: String, natoms: Int, box: Boolean, chunks: Int,
+class MdcrdScan(paths: Seq[String], natoms: Int, box: Boolean, chunks: Int,
     unitScale: Double, required: StructType, frameLo: Long,
     frameHi: Long, limit: Int, mode: String) extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -216,29 +214,25 @@ class MdcrdScan(path: String, natoms: Int, box: Boolean, chunks: Int,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
+    // files/directories/lists/globs -> one ordered file list with
+    // globally contiguous frame ids (see XyzScan / MultiPath); every
+    // file shares the natoms/box shape options (one topology)
+    val files = MultiPath.expandAll("mdcrd", paths,
+      Seq(".crd", ".mdcrd", ".crd.gz", ".mdcrd.gz"))
     val budget0 = if (limit >= 0) limit.toLong else Long.MaxValue
-    if (f.isDirectory) {
-      val shards = f.listFiles()
-        .filter(s => s.isFile && Seq(".crd", ".mdcrd", ".crd.gz",
-          ".mdcrd.gz").exists(s.getName.endsWith))
-        .sortBy(_.getName)
-      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-      var off = 0L
-      var budget = budget0
-      shards.foreach { s =>
-        if (budget > 0 && off < frameHi) {
-          val nFrames = probe(s.getPath)
-          val (parts, rows) = planFile(s.getPath, nFrames, off, budget)
-          out ++= parts
-          if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
-          off += nFrames
-        }
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var off = 0L
+    var budget = budget0
+    files.foreach { p =>
+      if (budget > 0 && off < frameHi) {
+        val nFrames = probe(p)
+        val (parts, rows) = planFile(p, nFrames, off, budget)
+        out ++= parts
+        if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
+        off += nFrames
       }
-      out.toArray
-    } else {
-      planFile(path, probe(path), 0L, budget0)._1.toArray
     }
+    out.toArray
   }
 
   override def supportedCustomMetrics()
@@ -246,7 +240,8 @@ class MdcrdScan(path: String, natoms: Int, box: Boolean, chunks: Int,
     ParseMode.scanMetrics
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MdcrdReaderFactory(path, natoms, box, unitScale, required, mode)
+    new MdcrdReaderFactory(paths.head, natoms, box, unitScale, required,
+      mode)
 }
 
 class MdcrdReaderFactory(path: String, natoms: Int, box: Boolean,

@@ -51,9 +51,7 @@ class PdbDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "pdb source requires a single 'path' option"))
+    val paths = MultiPath.rawPaths("pdb", properties)
     val chunks = Option(properties.get("chunks")).map { v =>
       try v.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -76,7 +74,7 @@ class PdbDataSource extends TableProvider with DataSourceRegister {
         "pdb source has a fixed schema " + PdbTable.Schema.simpleString +
           "; the supplied read schema does not match")
     }
-    new PdbTable(path, chunks, unitScale, mode)
+    new PdbTable(paths, chunks, unitScale, mode)
   }
 }
 
@@ -102,24 +100,24 @@ object PdbTable {
     StructField("box_gamma", FloatType, nullable = true)))
 }
 
-class PdbTable(path: String, chunks: Int, unitScale: Double,
+class PdbTable(paths: Seq[String], chunks: Int, unitScale: Double,
     mode: String = ParseMode.FailFast)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = s"pdb:$path"
+  override def name(): String = s"pdb:${paths.mkString(",")}"
   override def schema(): StructType = PdbTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new PdbScanBuilder(path, chunks, unitScale, mode)
+      : ScanBuilder = new PdbScanBuilder(paths, chunks, unitScale, mode)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new PdbWriteBuilder(path, info)
+    new PdbWriteBuilder(MultiPath.single("pdb", paths, "write"), info)
 }
 
-class PdbScanBuilder(path: String, chunks: Int, unitScale: Double,
+class PdbScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double,
     mode: String = ParseMode.FailFast)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -162,7 +160,7 @@ class PdbScanBuilder(path: String, chunks: Int, unitScale: Double,
     pushed
 
   override def build(): Scan =
-    new PdbScan(path, chunks, unitScale, required, mode, frameLo, frameHi)
+    new PdbScan(paths, chunks, unitScale, required, mode, frameLo, frameHi)
 }
 
 /** One partition = a run of whole models; startLine is the absolute
@@ -178,7 +176,7 @@ case class PdbFrameRange(startFrame: Long, endFrame: Long, startLine: Long,
     filePath: String = null, frameOffset: Long = 0L)
     extends InputPartition
 
-class PdbScan(path: String, chunks: Int, unitScale: Double,
+class PdbScan(paths: Seq[String], chunks: Int, unitScale: Double,
     required: StructType, mode: String = ParseMode.FailFast,
     frameLo: Long = 0L, frameHi: Long = Long.MaxValue)
     extends Scan with Batch {
@@ -246,31 +244,22 @@ class PdbScan(path: String, chunks: Int, unitScale: Double,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
-    if (f.isDirectory) {
-      // directory-of-shards batch read, globally contiguous frame ids
-      // in lexicographic shard order (see XyzScan)
-      val shards = f.listFiles()
-        .filter(s => s.isFile &&
-          (s.getName.endsWith(".pdb") || s.getName.endsWith(".pdb.gz")))
-        .sortBy(_.getName)
-      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-      var off = 0L
-      shards.foreach { s =>
-        if (off < frameHi) {
-          val (starts, box, sawAtom) = probe(s.getPath)
-          if (sawAtom) {
-            out ++= planFile(s.getPath, starts, box, off)
-            off += starts.length
-          }
+    // files/directories/lists/globs -> one ordered file list with
+    // globally contiguous frame ids (see XyzScan / MultiPath);
+    // ATOM-less files contribute no frames
+    val files = MultiPath.expandAll("pdb", paths, Seq(".pdb", ".pdb.gz"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var off = 0L
+    files.foreach { p =>
+      if (off < frameHi) {
+        val (starts, box, sawAtom) = probe(p)
+        if (sawAtom) {
+          out ++= planFile(p, starts, box, off)
+          off += starts.length
         }
       }
-      out.toArray
-    } else {
-      val (starts, box, sawAtom) = probe(path)
-      if (!sawAtom) Array.empty
-      else planFile(path, starts, box, 0L).toArray
     }
+    out.toArray
   }
 
   override def supportedCustomMetrics()
@@ -278,7 +267,7 @@ class PdbScan(path: String, chunks: Int, unitScale: Double,
     ParseMode.scanMetrics
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PdbReaderFactory(path, unitScale, required, mode)
+    new PdbReaderFactory(paths.head, unitScale, required, mode)
 }
 
 class PdbReaderFactory(path: String, unitScale: Double,

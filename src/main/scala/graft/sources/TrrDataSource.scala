@@ -180,9 +180,7 @@ class TrrDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "trr source requires a single 'path' option"))
+    val paths = MultiPath.rawPaths("trr", properties)
     val chunks = Option(properties.get("chunks")).map { v =>
       try v.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -205,7 +203,7 @@ class TrrDataSource extends TableProvider with DataSourceRegister {
         "trr source has a fixed schema " + TrrTable.Schema.simpleString +
           "; the supplied read schema does not match")
     }
-    new TrrTable(path, chunks, unitScale, mode)
+    new TrrTable(paths, chunks, unitScale, mode)
   }
 }
 
@@ -239,17 +237,18 @@ object TrrTable {
     StructField("bv3z", FloatType, nullable = true)))
 }
 
-class TrrTable(path: String, chunks: Int, unitScale: Double, mode: String)
+class TrrTable(paths: Seq[String], chunks: Int, unitScale: Double,
+    mode: String)
     extends Table with SupportsRead {
-  override def name(): String = s"trr:$path"
+  override def name(): String = s"trr:${paths.mkString(",")}"
   override def schema(): StructType = TrrTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new TrrScanBuilder(path, chunks, unitScale, mode)
+      : ScanBuilder = new TrrScanBuilder(paths, chunks, unitScale, mode)
 }
 
-class TrrScanBuilder(path: String, chunks: Int, unitScale: Double,
+class TrrScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double,
     mode: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
@@ -292,7 +291,7 @@ class TrrScanBuilder(path: String, chunks: Int, unitScale: Double,
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   override def build(): Scan =
-    new TrrScan(path, chunks, unitScale, required, frameLo, frameHi, limit,
+    new TrrScan(paths, chunks, unitScale, required, frameLo, frameHi, limit,
       mode)
 }
 
@@ -302,7 +301,7 @@ class TrrScanBuilder(path: String, chunks: Int, unitScale: Double,
 case class TrrFrameRange(startFrame: Long, endFrame: Long, startByte: Long,
     filePath: String, frameOffset: Long) extends InputPartition
 
-class TrrScan(path: String, chunks: Int, unitScale: Double,
+class TrrScan(paths: Seq[String], chunks: Int, unitScale: Double,
     required: StructType, frameLo: Long, frameHi: Long, limit: Int,
     mode: String)
     extends Scan with Batch {
@@ -342,30 +341,24 @@ class TrrScan(path: String, chunks: Int, unitScale: Double,
     * stop the walk early — the last shard the bound reaches is the
     * last one indexed. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
+    // files/directories/lists/globs -> one ordered file list with
+    // globally contiguous frame ids (see XyzScan / MultiPath)
+    val files = MultiPath.expandAll("trr", paths, Seq(".trr"))
     val budget0 = if (limit >= 0) limit.toLong else Long.MaxValue
-    if (f.isDirectory) {
-      val shards = f.listFiles()
-        .filter(s => s.isFile && s.getName.endsWith(".trr"))
-        .sortBy(_.getName)
-      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-      var off = 0L
-      var budget = budget0
-      shards.foreach { s =>
-        if (budget > 0 && off < frameHi) {
-          val idx = TrrFormat.index(s.getPath, mode,
-            if (frameHi == Long.MaxValue) Long.MaxValue else frameHi - off)
-          val (parts, rows) = planFile(s.getPath, idx, off, budget)
-          out ++= parts
-          if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
-          off += idx.length
-        }
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var off = 0L
+    var budget = budget0
+    files.foreach { p =>
+      if (budget > 0 && off < frameHi) {
+        val idx = TrrFormat.index(p, mode,
+          if (frameHi == Long.MaxValue) Long.MaxValue else frameHi - off)
+        val (parts, rows) = planFile(p, idx, off, budget)
+        out ++= parts
+        if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
+        off += idx.length
       }
-      out.toArray
-    } else {
-      val idx = TrrFormat.index(path, mode, frameHi)
-      planFile(path, idx, 0L, budget0)._1.toArray
     }
+    out.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

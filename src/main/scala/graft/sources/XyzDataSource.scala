@@ -148,10 +148,12 @@ private[sources] case class ParseTaskMetric(metricName: String, v: Long)
   * Output is the long layout: one row per (frame, atom).
   *
   * Usage: `spark.read.format("xyz").option("chunks", 100).load(path)`.
-  * `path` may be a single file or a DIRECTORY of shard files
-  * (`*.xyz` / `*.xyz.gz`, read in name order with globally contiguous
-  * frame ids) — the many-files layout a 100 TB trajectory actually has,
-  * and what the write path produces.
+  * `path` may be a single file, a DIRECTORY of shard files
+  * (`*.xyz` / `*.xyz.gz`), an explicit `load(paths: _*)` list, or a
+  * trailing-segment glob (`dir/part-*.xyz`) — files read in order with
+  * globally contiguous frame ids (see [[MultiPath]]) — the many-files
+  * layout a 100 TB trajectory actually has, and what the write path
+  * produces.
   */
 class XyzDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "xyz"
@@ -159,17 +161,14 @@ class XyzDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     XyzTable.Schema
 
-  /** Plan-time option validation. The xyz source reads a single file
-    * with a fixed schema: a user-supplied schema must match it exactly
-    * (erroring beats silently ignoring it), and only the `path` option
-    * is supported (no multi-path `paths`). */
+  /** Plan-time option validation. The source's fixed schema must match
+    * a user-supplied one exactly (erroring beats silently ignoring it).
+    * Paths: a file, a directory of shards, a `load(paths: _*)` list, or
+    * a trailing-segment glob — all resolved by [[MultiPath]] with
+    * globally contiguous frame ids across files. */
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "xyz source requires a single 'path' option — a file or a " +
-          "directory of shards (multi-path 'paths' loads are not " +
-          "supported)"))
+    val paths = MultiPath.rawPaths("xyz", properties)
     def intOpt(key: String, default: Int): Int =
       Option(properties.get(key)).map { v =>
         try v.toInt catch {
@@ -195,7 +194,7 @@ class XyzDataSource extends TableProvider with DataSourceRegister {
           "; the supplied read schema " + schema.simpleString +
           " does not match (drop .schema(...) or make it identical)")
     }
-    new XyzTable(path, chunks, unitScale, mode)
+    new XyzTable(paths, chunks, unitScale, mode)
   }
 }
 
@@ -216,26 +215,26 @@ object XyzTable {
     StructField("box_z", FloatType, nullable = true)))
 }
 
-class XyzTable(path: String, chunks: Int, unitScale: Double,
+class XyzTable(paths: Seq[String], chunks: Int, unitScale: Double,
     mode: String = ParseMode.FailFast)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = s"xyz:$path"
+  override def name(): String = s"xyz:${paths.mkString(",")}"
   override def schema(): StructType = XyzTable.Schema
-  // batch reads take a FILE path; streaming reads take a DIRECTORY of
-  // immutable shard files (as produced by the write path)
+  // batch reads take files/directories/lists/globs; streaming reads and
+  // writes take a SINGLE directory of immutable shard files
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new XyzScanBuilder(path, chunks, unitScale, mode)
+      : ScanBuilder = new XyzScanBuilder(paths, chunks, unitScale, mode)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new XyzWriteBuilder(path, info)
+    new XyzWriteBuilder(MultiPath.single("xyz", paths, "write"), info)
 }
 
-class XyzScanBuilder(path: String, chunks: Int, unitScale: Double,
+class XyzScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double,
     mode: String = ParseMode.FailFast)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
@@ -282,7 +281,7 @@ class XyzScanBuilder(path: String, chunks: Int, unitScale: Double,
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   override def build(): Scan =
-    new XyzScan(path, chunks, unitScale, required, frameLo, frameHi, limit,
+    new XyzScan(paths, chunks, unitScale, required, frameLo, frameHi, limit,
       mode)
 }
 
@@ -295,7 +294,7 @@ case class XyzFrameRange(startFrame: Long, endFrame: Long, nAtoms: Int,
     filePath: String = null, frameOffset: Long = 0L)
     extends InputPartition
 
-class XyzScan(path: String, chunks: Int, unitScale: Double,
+class XyzScan(paths: Seq[String], chunks: Int, unitScale: Double,
     required: StructType, frameLo: Long = 0L,
     frameHi: Long = Long.MaxValue, limit: Int = -1,
     mode: String = ParseMode.FailFast)
@@ -303,11 +302,13 @@ class XyzScan(path: String, chunks: Int, unitScale: Double,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  /** Streaming twin: `path` is a directory of shard files (see
-    * XyzMicroBatchStream). */
+  /** Streaming twin: the (single) path is a directory of shard files
+    * (see XyzMicroBatchStream). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new XyzMicroBatchStream(path, chunks, unitScale, required)
+    new XyzMicroBatchStream(
+      MultiPath.single("xyz", paths, "streaming read"),
+      chunks, unitScale, required)
 
   /** Driver-side length probe (the analog of opening the file to read
     * `len(f)`, core/dask_traj.py:86): one cheap line-count pass per
@@ -347,37 +348,28 @@ class XyzScan(path: String, chunks: Int, unitScale: Double,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(path)
+    // Many-files batch read — directories of shards, explicit path
+    // lists and globs all resolve to one ordered file list (the shape
+    // data has at scale, and what the write path produces). Frame ids
+    // are GLOBAL: file k's frames continue where file k-1 ended, so a
+    // split trajectory reads back as ONE trajectory. Pushed frame_id
+    // predicates prune whole files (probing stops at the range's upper
+    // bound) and a pushed limit stops planning once covered.
+    val files = MultiPath.expandAll("xyz", paths, Seq(".xyz", ".xyz.gz"))
     val budget0 = if (limit >= 0) limit.toLong else Long.MaxValue
-    if (f.isDirectory) {
-      // Directory-of-shards batch read: the many-files shape data has
-      // at scale (and what the write path produces). Frame ids are
-      // GLOBAL — shard k's frames continue where shard k-1 ended, in
-      // lexicographic shard order (the write path's zero-padded
-      // part-NNNNN names), so a sharded trajectory reads back as ONE
-      // trajectory. Pushed frame_id predicates prune whole shards.
-      val shards = f.listFiles()
-        .filter(s => s.isFile &&
-          (s.getName.endsWith(".xyz") || s.getName.endsWith(".xyz.gz")))
-        .sortBy(_.getName)
-      val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-      var off = 0L
-      var budget = budget0
-      shards.foreach { s =>
-        if (budget > 0 && off < frameHi) {
-          val (nAtoms, nFrames) = probe(s.getPath)
-          val (parts, rows) = planFile(s.getPath, nAtoms, nFrames, off,
-            budget)
-          out ++= parts
-          if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
-          off += nFrames
-        }
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var off = 0L
+    var budget = budget0
+    files.foreach { p =>
+      if (budget > 0 && off < frameHi) {
+        val (nAtoms, nFrames) = probe(p)
+        val (parts, rows) = planFile(p, nAtoms, nFrames, off, budget)
+        out ++= parts
+        if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
+        off += nFrames
       }
-      out.toArray
-    } else {
-      val (nAtoms, nFrames) = probe(path)
-      planFile(path, nAtoms, nFrames, 0L, budget0)._1.toArray
     }
+    out.toArray
   }
 
   override def supportedCustomMetrics()
@@ -385,7 +377,7 @@ class XyzScan(path: String, chunks: Int, unitScale: Double,
     ParseMode.scanMetrics
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new XyzReaderFactory(path, unitScale, required, mode)
+    new XyzReaderFactory(paths.head, unitScale, required, mode)
 }
 
 class XyzReaderFactory(path: String, unitScale: Double,

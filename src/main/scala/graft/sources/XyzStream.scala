@@ -58,7 +58,7 @@ class XyzMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
     (s until math.min(e, shards.length)).flatMap { i =>
       val path = shards(i).getPath
       // per-file frame probe + chunked ranges, same as the batch scan
-      new XyzScan(path, chunks, unitScale, schema)
+      new XyzScan(Seq(path), chunks, unitScale, schema)
         .planInputPartitions()
         .map(p => XyzShardPartition(path,
           p.asInstanceOf[XyzFrameRange]): InputPartition)

@@ -101,4 +101,26 @@ object TrajLoad {
     val reader = spark.read.format(formatFor(path)).options(options)
     chunkSize.fold(reader)(c => reader.option("chunks", c)).load(path)
   }
+
+  /** Multi-file load — the reference inherits mdtraj's list-of-files
+    * `load` (core/dask_traj.py:61; mdtraj's first argument may be a
+    * LIST), the idiom a porting user reaches for first. Every path
+    * (file, directory, or trailing-segment glob) must dispatch to ONE
+    * format; frame ids are globally contiguous across paths in
+    * argument order (see [[graft.sources.MultiPath]]). */
+  def load(spark: SparkSession, paths: Seq[String],
+      chunkSize: Option[Int], options: Map[String, String]): DataFrame = {
+    if (paths.isEmpty) throw new IllegalArgumentException(
+      "trajectory load: empty path list")
+    val fmts = paths.map(formatFor).distinct
+    if (fmts.size != 1) throw new IllegalArgumentException(
+      s"trajectory load: paths span multiple formats " +
+        s"(${fmts.mkString(", ")}) — one load takes one format")
+    val reader = spark.read.format(fmts.head).options(options)
+    chunkSize.fold(reader)(c => reader.option("chunks", c))
+      .load(paths: _*)
+  }
+
+  def load(spark: SparkSession, paths: Seq[String]): DataFrame =
+    load(spark, paths, None, Map.empty)
 }
