@@ -1,0 +1,412 @@
+package graft.sources
+
+import java.io.{File, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Desmond frame-set ("dtr") layout: a trajectory is a DIRECTORY of
+  * fixed-layout binary files — a `metadata` header, a `timekeys` index
+  * (one record per frame), and numbered `frame%09d` payload files each
+  * holding `frames_per_file` consecutive frames — plus the `.stk`
+  * convention: a plain-text file listing frameset directories that
+  * concatenate into one trajectory. The reference registry lists both
+  * extensions (core/dask_traj.py:46-47, via mdtraj's dtr reader, which
+  * wraps VMD's public dtrplugin).
+  *
+  * This source implements the frame-set DESIGN — directory + per-frame
+  * index + fixed-size positioned payload files + stk concatenation —
+  * with the payload PROFILE documented here (little-endian; optional
+  * float64 a,b,c,alpha,beta,gamma box, then natoms×3 float32
+  * positions), written and read by this library ([[DtrWrite]]). The
+  * full molfile meta-frame payload encoding is not reproducible
+  * byte-for-byte in this offline environment, so foreign framesets
+  * with other payload sections are rejected by the metadata magic
+  * check rather than misread.
+  *
+  * Why this layout wins at scale (and why Desmond chose it): frames
+  * live in fixed-size records inside bounded-size files, so a frame
+  * range maps to (file, offset) by pure arithmetic — planning needs
+  * ONE small index read per frameset, readers do exact positioned
+  * I/O with no scanning, and a 100 TB trajectory is just more
+  * framesets in the stk list (each independently parallelizable).
+  *
+  * Usage: `spark.read.format("dtr").load(path)` where `path` is a
+  * `foo.dtr` frameset directory, a `.stk` list file, or a
+  * `load(paths: _*)` list of either; frame ids are globally
+  * contiguous across framesets in list order. `unit_scale` defaults
+  * to 0.1 (Å→nm, the reference's in_units_of convention, as dcd/pdb).
+  */
+object DtrFormat {
+  val MetaMagic = 0x47445452 // "GDTR": this library's payload profile
+  val KeysMagic = 0x4b455953 // "KEYS"
+
+  case class Meta(nAtoms: Int, hasBox: Boolean)
+
+  /** metadata file: magic, version, natoms, hasBox — 16 bytes LE. */
+  def readMeta(dir: File): Meta = {
+    val f = new File(dir, "metadata")
+    if (!f.isFile) throw new IllegalArgumentException(
+      s"dtr: ${dir.getPath} has no metadata file — not a frameset " +
+        "directory")
+    val raf = new RandomAccessFile(f, "r")
+    try {
+      val buf = new Array[Byte](16)
+      raf.readFully(buf)
+      val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = bb.getInt()
+      if (magic != MetaMagic) throw new IllegalArgumentException(
+        s"dtr: ${dir.getPath} metadata magic 0x${magic.toHexString} is " +
+          s"not 0x${MetaMagic.toHexString} — a foreign frameset payload " +
+          "profile this library does not decode")
+      val version = bb.getInt()
+      if (version != 1) throw new IllegalArgumentException(
+        s"dtr: ${dir.getPath} metadata version $version unsupported")
+      val nAtoms = bb.getInt()
+      if (nAtoms <= 0) throw new IllegalArgumentException(
+        s"dtr: ${dir.getPath} declares $nAtoms atoms")
+      Meta(nAtoms, bb.getInt() != 0)
+    } finally raf.close()
+  }
+
+  /** timekeys file: magic, framesPerFile, nFrames (long), then one
+    * float64 time per frame — the per-frame index. Offsets are NOT
+    * stored: the payload is fixed-size, so (file, offset) is
+    * arithmetic (the fixed-layout property that makes planning a
+    * single bounded read even for billion-frame sets). */
+  def readTimekeys(dir: File): (Int, Array[Double]) = {
+    val f = new File(dir, "timekeys")
+    if (!f.isFile) throw new IllegalArgumentException(
+      s"dtr: ${dir.getPath} has no timekeys file")
+    val raf = new RandomAccessFile(f, "r")
+    try {
+      val head = new Array[Byte](16)
+      raf.readFully(head)
+      val hb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = hb.getInt()
+      if (magic != KeysMagic) throw new IllegalArgumentException(
+        s"dtr: ${dir.getPath} timekeys magic mismatch")
+      val fpf = hb.getInt()
+      if (fpf <= 0) throw new IllegalArgumentException(
+        s"dtr: ${dir.getPath} frames_per_file $fpf must be > 0")
+      val n = hb.getLong()
+      if (n < 0 || n > Int.MaxValue) throw new IllegalArgumentException(
+        s"dtr: ${dir.getPath} frame count $n out of range")
+      val body = new Array[Byte](8 * n.toInt)
+      raf.readFully(body)
+      val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+      val times = new Array[Double](n.toInt)
+      var i = 0
+      while (i < times.length) { times(i) = bb.getDouble(); i += 1 }
+      (fpf, times)
+    } finally raf.close()
+  }
+
+  def frameFileName(idx: Long): String = f"frame$idx%09d"
+
+  def frameBytes(meta: Meta): Long =
+    (if (meta.hasBox) 48L else 0L) + 12L * meta.nAtoms
+
+  /** Resolve a raw path to its ordered frameset directories: a
+    * `.dtr` directory is one frameset; a `.stk` file lists framesets
+    * one per line (blank lines and `#` comments skipped), relative
+    * entries resolved against the stk file's parent. */
+  def framesets(raw: String): Seq[File] = {
+    val f = new File(raw)
+    if (f.isDirectory) Seq(f)
+    else if (f.isFile && raw.toLowerCase.endsWith(".stk")) {
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      val dirs = scala.jdk.CollectionConverters.ListHasAsScala(lines)
+        .asScala.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val d = new File(l)
+          if (d.isAbsolute) d else new File(f.getParentFile, l)
+        }.toSeq
+      if (dirs.isEmpty) throw new IllegalArgumentException(
+        s"dtr: stk file $raw lists no framesets")
+      dirs.foreach { d =>
+        if (!d.isDirectory) throw new IllegalArgumentException(
+          s"dtr: stk entry ${d.getPath} (from $raw) is not a directory")
+      }
+      dirs
+    } else throw new IllegalArgumentException(
+      s"dtr load: $raw is neither a frameset directory nor a .stk list")
+  }
+}
+
+class DtrDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "dtr"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DtrTable.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val paths = MultiPath.rawPaths("dtr", properties)
+    val chunks = Option(properties.get("chunks")).map { v =>
+      try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"dtr option 'chunks' must be an integer, got '$v'")
+      }
+    }.getOrElse(10)
+    if (chunks <= 0) throw new IllegalArgumentException(
+      s"dtr option 'chunks' must be > 0, got $chunks")
+    val unitScale = Option(properties.get("unit_scale")).map { v =>
+      try v.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"dtr option 'unit_scale' must be numeric, got '$v'")
+      }
+    }.getOrElse(0.1) // Å→nm, as dcd/pdb
+    if (schema != null) {
+      val want = DtrTable.Schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
+      if (got != want) throw new IllegalArgumentException(
+        "dtr source has a fixed schema " + DtrTable.Schema.simpleString +
+          "; the supplied read schema does not match")
+    }
+    new DtrTable(paths, chunks, unitScale)
+  }
+}
+
+object DtrTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("frame_id", LongType, nullable = false),
+    StructField("time", DoubleType, nullable = false),
+    StructField("atom_id", IntegerType, nullable = false),
+    StructField("x", FloatType, nullable = false),
+    StructField("y", FloatType, nullable = false),
+    StructField("z", FloatType, nullable = false),
+    StructField("box_a", FloatType, nullable = true),
+    StructField("box_b", FloatType, nullable = true),
+    StructField("box_c", FloatType, nullable = true),
+    StructField("box_alpha", FloatType, nullable = true),
+    StructField("box_beta", FloatType, nullable = true),
+    StructField("box_gamma", FloatType, nullable = true)))
+}
+
+class DtrTable(paths: Seq[String], chunks: Int, unitScale: Double)
+    extends Table with SupportsRead {
+  override def name(): String = s"dtr:${paths.mkString(",")}"
+  override def schema(): StructType = DtrTable.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new DtrScanBuilder(paths, chunks, unitScale)
+}
+
+class DtrScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
+  private var required: StructType = DtrTable.Schema
+  private var frameLo: Long = 0L
+  private var frameHi: Long = Long.MaxValue // exclusive
+  private var limit: Int = -1
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** frame_id predicates shrink the planned range (same contract as
+    * the other binary sources); all filters stay residual. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case EqualTo("frame_id", v: Long) =>
+        frameLo = math.max(frameLo, v); frameHi = math.min(frameHi, v + 1)
+      case GreaterThan("frame_id", v: Long) =>
+        frameLo = math.max(frameLo, v + 1)
+      case GreaterThanOrEqual("frame_id", v: Long) =>
+        frameLo = math.max(frameLo, v)
+      case LessThan("frame_id", v: Long) =>
+        frameHi = math.min(frameHi, v)
+      case LessThanOrEqual("frame_id", v: Long) =>
+        frameHi = math.min(frameHi, v + 1)
+      case _ => ()
+    }
+    pushed = filters.filter {
+      case EqualTo("frame_id", _) | GreaterThan("frame_id", _) |
+           GreaterThanOrEqual("frame_id", _) | LessThan("frame_id", _) |
+           LessThanOrEqual("frame_id", _) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+
+  override def build(): Scan =
+    new DtrScan(paths, chunks, unitScale, required, frameLo, frameHi,
+      limit)
+}
+
+/** One chunk of frames within ONE frameset. `times` carries the chunk's
+  * per-frame times from the driver index (bounded by `chunks`), so the
+  * reader never re-reads timekeys. */
+case class DtrFrameRange(dir: String, startFrame: Long, endFrame: Long,
+    nAtoms: Int, hasBox: Boolean, framesPerFile: Int,
+    times: Array[Double], frameOffset: Long) extends InputPartition
+
+class DtrScan(paths: Seq[String], chunks: Int, unitScale: Double,
+    required: StructType, frameLo: Long, frameHi: Long, limit: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  private def planSet(dir: File, fpf: Int, times: Array[Double],
+      meta: DtrFormat.Meta, off: Long, rowBudget: Long)
+      : (Seq[InputPartition], Long) = {
+    var lo = math.max(off, frameLo)
+    var hi = math.min(off + times.length, frameHi)
+    if (rowBudget != Long.MaxValue) {
+      val needed = (rowBudget + meta.nAtoms - 1) / meta.nAtoms
+      hi = math.min(hi, lo + math.max(needed, 1L))
+    }
+    if (lo >= hi) return (Nil, 0L)
+    val parts = (lo until hi by chunks.toLong).map { start =>
+      val end = math.min(start + chunks, hi)
+      DtrFrameRange(dir.getPath, start - off, end - off, meta.nAtoms,
+        meta.hasBox, fpf,
+        times.slice((start - off).toInt, (end - off).toInt), off)
+        : InputPartition
+    }
+    (parts, (hi - lo) * meta.nAtoms)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // one ~16-byte metadata read + one index read per frameset; the
+    // stk list / multi-path order assigns globally contiguous frame
+    // ids (same contract as the shard sources)
+    val sets = paths.flatMap(DtrFormat.framesets)
+    val budget0 = if (limit >= 0) limit.toLong else Long.MaxValue
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var off = 0L
+    var budget = budget0
+    sets.foreach { dir =>
+      if (budget > 0 && off < frameHi) {
+        val meta = DtrFormat.readMeta(dir)
+        val (fpf, times) = DtrFormat.readTimekeys(dir)
+        val (parts, rows) = planSet(dir, fpf, times, meta, off, budget)
+        out ++= parts
+        if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
+        off += times.length
+      }
+    }
+    out.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DtrReaderFactory(unitScale, required)
+}
+
+class DtrReaderFactory(unitScale: Double, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new DtrPartitionReader(unitScale, required,
+      partition.asInstanceOf[DtrFrameRange])
+}
+
+/** Pure-arithmetic positioned read: frame f lives in file
+  * `frame(f / framesPerFile)` at offset `(f % framesPerFile) ×
+  * frameBytes` — no scanning, no index on the executor. */
+class DtrPartitionReader(unitScale: Double, required: StructType,
+    range: DtrFrameRange) extends PartitionReader[InternalRow] {
+
+  private val meta = DtrFormat.Meta(range.nAtoms, range.hasBox)
+  private val frameBytes = DtrFormat.frameBytes(meta)
+  private val buf = new Array[Byte](frameBytes.toInt)
+
+  private var raf: RandomAccessFile = _
+  private var openFileIdx = -1L
+
+  private val xs = new Array[Float](range.nAtoms)
+  private val ys = new Array[Float](range.nAtoms)
+  private val zs = new Array[Float](range.nAtoms)
+  private val box = new Array[Float](6)
+  private var time = 0.0
+
+  private var frame = range.startFrame - 1 // advanced by loadFrame
+  private var emit = range.nAtoms
+  private var current: InternalRow = _
+
+  private val ordinals: Array[Int] = {
+    val canon = DtrTable.Schema.fieldNames.zipWithIndex.toMap
+    required.fieldNames.map(canon)
+  }
+
+  private def loadFrame(): Boolean = {
+    if (frame + 1 >= range.endFrame) return false
+    frame += 1
+    val fileIdx = frame / range.framesPerFile
+    if (fileIdx != openFileIdx) {
+      if (raf != null) raf.close()
+      val f = new File(range.dir, DtrFormat.frameFileName(fileIdx))
+      if (!f.isFile) throw new IllegalStateException(
+        s"dtr: ${range.dir} is missing ${f.getName} (frame " +
+          s"${frame + range.frameOffset}) — truncated frameset")
+      raf = new RandomAccessFile(f, "r")
+      openFileIdx = fileIdx
+    }
+    raf.seek((frame % range.framesPerFile) * frameBytes)
+    try raf.readFully(buf)
+    catch { case _: java.io.EOFException =>
+      throw new IllegalStateException(
+        s"dtr: short read in ${range.dir} frame " +
+          s"${frame + range.frameOffset} — truncated frame file")
+    }
+    val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+    if (range.hasBox) {
+      var i = 0
+      while (i < 6) {
+        val v = bb.getDouble()
+        // lengths scale with units, angles do not
+        box(i) = (if (i < 3) v * unitScale else v).toFloat
+        i += 1
+      }
+    }
+    var a = 0
+    while (a < range.nAtoms) {
+      xs(a) = (bb.getFloat() * unitScale).toFloat
+      ys(a) = (bb.getFloat() * unitScale).toFloat
+      zs(a) = (bb.getFloat() * unitScale).toFloat
+      a += 1
+    }
+    time = range.times((frame - range.startFrame).toInt)
+    emit = 0
+    true
+  }
+
+  override def next(): Boolean = {
+    if (emit >= range.nAtoms && !loadFrame()) return false
+    val a = emit
+    val row = new Array[Any](ordinals.length)
+    var i = 0
+    while (i < ordinals.length) {
+      row(i) = ordinals(i) match {
+        case 0 => frame + range.frameOffset
+        case 1 => time
+        case 2 => a
+        case 3 => xs(a)
+        case 4 => ys(a)
+        case 5 => zs(a)
+        case b => if (range.hasBox) box(b - 6) else null
+      }
+      i += 1
+    }
+    current = InternalRow.fromSeq(row.toIndexedSeq)
+    emit += 1
+    true
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = if (raf != null) raf.close()
+}

@@ -46,7 +46,11 @@ object TrajLoad {
     ".restrt" -> "inpcrd",
     ".binpos" -> "binpos",
     ".arc.gz" -> "arc",
-    ".arc" -> "arc")
+    ".arc" -> "arc",
+    // Desmond frame-set: a .dtr DIRECTORY, or a .stk text file listing
+    // frameset directories (reference registry core/dask_traj.py:46-47)
+    ".dtr" -> "dtr",
+    ".stk" -> "dtr")
 
   /** Reference-registry extensions (core/dask_traj.py:26-56) that this
     * library deliberately does not read, with the reason — surfaced in
@@ -56,9 +60,13 @@ object TrajLoad {
     ".xtc" -> "GPL-encumbered codec (scope-out, SURVEY §7.4)",
     ".hdf5" -> "needs an HDF5 codec not present in this environment",
     ".h5" -> "needs an HDF5 codec not present in this environment",
+    ".lh5" -> ("legacy MSMBuilder HDF5 — needs an HDF5 codec not " +
+      "present in this environment"),
     ".nc" -> "needs a NetCDF codec not present in this environment",
     ".ncdf" -> "needs a NetCDF codec not present in this environment",
     ".netcdf" -> "needs a NetCDF codec not present in this environment",
+    ".ncrst" -> ("AMBER NetCDF restart — needs a NetCDF codec not " +
+      "present in this environment"),
     ".tng" -> "needs the TNG codec not present in this environment")
 
   private def extensionOf(name: String): Option[(String, String)] = {
@@ -66,12 +74,15 @@ object TrajLoad {
     Registry.find { case (ext, _) => lower.endsWith(ext) }
   }
 
-  /** Resolves the format for a path: a file dispatches on its own name,
-    * a directory on the name of its first regular file. */
+  /** Resolves the format for a path: a file dispatches on its own name;
+    * a directory dispatches on ITS name when that name carries a
+    * registry extension (a `foo.dtr` frameset is one trajectory), else
+    * on the name of its first regular file (a shard directory). */
   def formatFor(path: String): String = {
     val f = new File(path)
     val probe =
-      if (f.isDirectory)
+      if (f.isDirectory && extensionOf(f.getName).isDefined) f.getName
+      else if (f.isDirectory)
         f.listFiles().filter(_.isFile).sortBy(_.getName).headOption
           .map(_.getName).getOrElse(
             throw new IllegalArgumentException(

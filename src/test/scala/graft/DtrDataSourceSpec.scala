@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.DtrWrite
+
+/** Desmond frame-set source: directory framesets (`metadata` +
+  * `timekeys` + fixed-size `frame%09d` payload files), `.stk`
+  * concatenation lists, positioned arithmetic reads, frame pruning. */
+class DtrDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** Spark may wrap plan/task failures; search the cause chain. */
+  private def chainContains(t: Throwable, needle: String): Boolean = {
+    var cur: Throwable = t
+    while (cur != null) {
+      if (cur.getMessage != null && cur.getMessage.contains(needle))
+        return true
+      cur = cur.getCause
+    }
+    false
+  }
+
+  /** n frames × 3 atoms; x = base + frame*10 + atom, box 20/30/40 Å. */
+  private def mkFrames(n: Int, base: Float): Seq[DtrWrite.Frame] =
+    (0 until n).map { fr =>
+      val xs = Array.tabulate(3)(a => base + fr * 10 + a)
+      DtrWrite.Frame(xs, xs.map(_ + 0.25f), xs.map(_ + 0.5f),
+        Some((20.0, 30.0, 40.0, 90.0, 90.0, 90.0)), time = fr * 0.004)
+    }
+
+  test("frameset round-trip: one row per (frame, atom), times from " +
+    "timekeys, box scaled by unit_scale, angles unscaled") {
+    val dir = Files.createTempDirectory("dtrset").resolve("t.dtr")
+    DtrWrite.write(dir.toString, mkFrames(5, 0f), framesPerFile = 2)
+    val df = spark.read.format("dtr").option("chunks", 2)
+      .load(dir.toString)
+    assert(df.count() == 15) // 5 frames × 3 atoms
+    val r = df.filter(col("frame_id") === 3 && col("atom_id") === 1)
+      .collect()(0)
+    // Å→nm default: (3*10 + 1) * 0.1
+    assert(math.abs(r.getAs[Float]("x") - 3.1f) < 1e-5)
+    assert(math.abs(r.getAs[Float]("y") - 3.125f) < 1e-5)
+    assert(r.getAs[Double]("time") == 3 * 0.004)
+    assert(math.abs(r.getAs[Float]("box_a") - 2.0f) < 1e-5)
+    assert(r.getAs[Float]("box_gamma") == 90.0f)
+  }
+
+  test("frames span multiple fixed-size frame files (framesPerFile " +
+    "arithmetic, no scanning)") {
+    val dir = Files.createTempDirectory("dtrmulti").resolve("t.dtr")
+    DtrWrite.write(dir.toString, mkFrames(7, 0f), framesPerFile = 3)
+    // 7 frames, 3 per file → frame000000000..2
+    assert(new java.io.File(dir.toFile, "frame000000002").isFile)
+    val df = spark.read.format("dtr").option("unit_scale", "1.0")
+      .load(dir.toString)
+    assert(df.count() == 21)
+    val r = df.filter(col("frame_id") === 6 && col("atom_id") === 2)
+      .collect()(0)
+    assert(r.getAs[Float]("x") == 62.0f)
+  }
+
+  test("stk list concatenates framesets with global frame ids; " +
+    "frame pruning skips whole chunks") {
+    val root = Files.createTempDirectory("dtrstk")
+    DtrWrite.write(root.resolve("a.dtr").toString, mkFrames(2, 0f))
+    DtrWrite.write(root.resolve("b.dtr").toString, mkFrames(3, 1000f))
+    // relative entries + comment + blank line
+    Files.writeString(root.resolve("all.stk"),
+      "# frameset list\na.dtr\n\nb.dtr\n")
+    val df = spark.read.format("dtr").option("chunks", 1)
+      .option("unit_scale", "1.0").load(root.resolve("all.stk").toString)
+    assert(df.count() == 15)
+    assert(df.select("frame_id").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == (0L until 5L))
+    // global frame 2 = b.dtr local frame 0 → x = 1000
+    val r = df.filter(col("frame_id") === 2 && col("atom_id") === 0)
+      .collect()(0)
+    assert(r.getAs[Float]("x") == 1000.0f)
+    // pruning: chunks=1 → 5 partitions; frame_id >= 2 keeps 3
+    assert(df.rdd.getNumPartitions == 5)
+    assert(df.filter(col("frame_id") >= 2).rdd.getNumPartitions == 3)
+    assert(df.limit(3).rdd.getNumPartitions == 1)
+  }
+
+  test("TrajLoad dispatches .dtr directories and .stk lists; lh5/ncrst " +
+    "give the explanatory unsupported error") {
+    val root = Files.createTempDirectory("dtrdisp")
+    val set = root.resolve("t.dtr")
+    DtrWrite.write(set.toString, mkFrames(2, 0f))
+    assert(graft.traj.TrajLoad.formatFor(set.toString) == "dtr")
+    val df = graft.traj.TrajLoad.load(spark, set.toString)
+    assert(df.count() == 6)
+    val e = intercept[IllegalArgumentException] {
+      graft.traj.TrajLoad.formatFor("/tmp/x.lh5")
+    }
+    assert(e.getMessage.contains("HDF5"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.traj.TrajLoad.formatFor("/tmp/x.ncrst")
+    }
+    assert(e2.getMessage.contains("NetCDF"))
+  }
+
+  test("foreign frameset (wrong metadata magic) is rejected, not " +
+    "misread; truncated frame file fails with context") {
+    val root = Files.createTempDirectory("dtrbad")
+    val set = root.resolve("t.dtr")
+    DtrWrite.write(set.toString, mkFrames(3, 0f), framesPerFile = 2)
+    // corrupt the metadata magic
+    val metaPath = set.resolve("metadata")
+    val bytes = Files.readAllBytes(metaPath)
+    bytes(0) = 0x00
+    Files.write(metaPath, bytes)
+    val e = intercept[Exception] {
+      spark.read.format("dtr").load(set.toString).count()
+    }
+    assert(chainContains(e, "foreign frameset"))
+    // restore magic, truncate the last frame file
+    val good = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(graft.sources.DtrFormat.MetaMagic).array()
+    System.arraycopy(good, 0, bytes, 0, 4)
+    Files.write(metaPath, bytes)
+    val last = set.resolve("frame000000001")
+    val fb = Files.readAllBytes(last)
+    Files.write(last, fb.dropRight(8))
+    val e2 = intercept[Exception] {
+      spark.read.format("dtr").option("unit_scale", "1.0")
+        .load(set.toString).count()
+    }
+    assert(chainContains(e2, "truncated"))
+  }
+}

@@ -54,8 +54,10 @@ class TrajLoadSpec extends AnyFunSuite {
   test("unknown extensions error with the supported list; reference-" +
     "registry scope-outs explain WHY they are unsupported") {
     val e1 = intercept[IllegalArgumentException](
-      TrajLoad.formatFor("/tmp/a.dtr"))
+      TrajLoad.formatFor("/tmp/a.unknownext"))
     assert(e1.getMessage.contains("Supported extensions"))
+    // .dtr/.stk are implemented as of round 6 (the frameset source)
+    assert(TrajLoad.formatFor("/tmp/a.stk") == "dtr")
     val e2 = intercept[IllegalArgumentException](
       TrajLoad.formatFor("/tmp/a.xtc"))
     assert(e2.getMessage.contains("GPL"))
