@@ -253,6 +253,29 @@ object RelQueries {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Batch twin of the STREAMING windowed top-k (EventStreams
+    * .windowTopK drives the same plan under readStream in
+    * EventStreamsSpec): top-k events by value per (hour, event_type)
+    * via the bounded-heap aggregate — O(windows × keys × k) state in
+    * both engines' execution modes. */
+  def eventsWindowTopk(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams
+      .windowTopK(Tables.events(s, d), streaming = false)
+      .orderBy("hour_epoch", "event_type", "rn")
+
+  private val eventsWindowTopkSql =
+    """SELECT hour_epoch, event_type, rn, v, event_id FROM (
+      |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+      |      AS hour_epoch,
+      |    event_type,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY date_trunc('hour', ts), event_type
+      |      ORDER BY value DESC, event_id) AS BIGINT) AS rn,
+      |    value AS v, event_id
+      |  FROM events) t
+      |WHERE rn <= 3
+      |ORDER BY hour_epoch, event_type, rn""".stripMargin
+
   /** Running-total analytic window with an explicit ROWS frame; the sum
     * runs over DECIMAL so the prefix sums are exact in both engines. */
   def windowRunningSum(s: SparkSession, d: String): DataFrame = {
@@ -681,6 +704,8 @@ object RelQueries {
     QueryDef("q_events_sliding", eventsSliding, Some(eventsSlidingSql)),
     QueryDef("q_string_date_json", stringDateJson, Some(stringDateJsonSql)),
     QueryDef("q_events_tumbling", eventsTumbling, Some(eventsTumblingSql)),
+    QueryDef("q_events_window_topk", eventsWindowTopk,
+      Some(eventsWindowTopkSql)),
     QueryDef("q_events_sessionize", eventsSessionize,
       Some(eventsSessionizeSql)),
     QueryDef("q_events_dedup", eventsDedup, Some(eventsDedupSql)),

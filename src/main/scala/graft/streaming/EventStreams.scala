@@ -83,6 +83,33 @@ object EventStreams {
           .as("gap_sec"))
   }
 
+  /** Windowed streaming per-key top-k (SURVEY §2.9 aggregate tier,
+    * streaming face): the bounded-heap TypedImperativeAggregate
+    * ([[graft.functions.TopKPairs]]) rides a streaming window
+    * aggregation UNCHANGED — partial heaps merge across micro-batches
+    * in the state store exactly as they merge across shuffle
+    * partitions in batch, so per-(window, key) streaming state stays
+    * O(k) instead of buffering every event until the window closes.
+    * That state bound is the whole point at scale: a top-3-per-hour
+    * over a firehose keeps 3 entries per key per window, not the
+    * firehose. Shared verbatim by the batch query
+    * (q_events_window_topk) and the streaming drive in
+    * EventStreamsSpec; ordering (value DESC, event_id ASC) is total,
+    * so batch, stream, and oracle agree exactly. */
+  def windowTopK(events: DataFrame, streaming: Boolean,
+      k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    val src = if (streaming) events.withWatermark("ts", "2 hours") else events
+    src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(expr(s"topk_pairs(value, event_id, $k)").as("top"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), posexplode(col("top")))
+      .select(col("hour_epoch"), col("event_type"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("col.v").as("v"), col("col.id").as("event_id"))
+  }
+
   final case class SessionInput(user_id: Long, e: Long)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Long,

@@ -63,6 +63,32 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k == batch windowed top-k (bounded " +
+    "O(k) heap state per window+key)") {
+    val src = java.nio.file.Paths.get(s"${SparkTestBase.sf}/events.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("events_topk")
+    java.nio.file.Files.copy(src, tmp.resolve("events.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.windowTopK(stream, streaming = true)
+      .writeStream.format("memory").queryName("topk_stream_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("topk_stream_out")
+        .orderBy("hour_epoch", "event_type", "rn")
+        .collect().map(_.toString).toSeq
+      val want = rel.RelQueries.eventsWindowTopk(spark, SparkTestBase.sf)
+        .collect().map(_.toString).toSeq
+      assert(got.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import spark.implicits._
     val ms = org.apache.spark.sql.execution.streaming.runtime
