@@ -803,12 +803,20 @@ object TextQueries {
     * run-independent); each group is an independent window, the
     * distributed form a real pipeline uses (one packing stream per
     * writer task). All arithmetic is exact integers. */
-  def seqPack(s: SparkSession, d: String): DataFrame = {
+  def seqPack(s: SparkSession, d: String): DataFrame =
+    seqPackGrouped(s, d, groups = 32)
+
+  /** `groups` sets the packing parallelism: one independent packing
+    * stream per group (at 100 TB, size it to the cluster's writer-task
+    * count — it was a literal 32 before round 6). The registered query
+    * pins 32 so the oracle SQL matches. */
+  def seqPackGrouped(s: SparkSession, d: String, groups: Int): DataFrame = {
+    require(groups > 0, s"seq_pack: groups must be > 0, got $groups")
     val cap = 2048L
     val g = Window.partitionBy("grp").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, d)
-      .select(col("doc_id"), (col("doc_id") % 32).as("grp"),
+      .select(col("doc_id"), (col("doc_id") % groups).as("grp"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       // capacity-aware cumulative: a doc overflowing the current
       // sequence "rounds up" the running total to the next boundary
@@ -830,6 +838,73 @@ object TextQueries {
           expr(s"(cum - 1) DIV $cap")).as("straddles"))
       .orderBy("doc_id")
   }
+
+  /** Greedy NON-straddling packing — the other packing convention
+    * (q_seq_pack documents the difference): a document whose tokens
+    * would overflow the current sequence starts a NEW sequence
+    * (first-fit sequential; documents never split across sequences;
+    * an over-capacity doc gets a sequence of its own). The per-group
+    * state recurrence (used-capacity resets at each boundary) has no
+    * closed window form, so it runs as `flatMapSortedGroups`: the
+    * shuffle sort delivers each group's docs in doc_id order and the
+    * packer streams them with O(1) state — no in-memory group buffer,
+    * no window sort on top. Parallelism = `groups` independent packing
+    * streams, same deterministic `doc_id % groups` keying as
+    * q_seq_pack. The DuckDB oracle expresses the same recurrence as a
+    * recursive CTE. */
+  def seqPackGreedy(s: SparkSession, d: String): DataFrame =
+    seqPackGreedyGrouped(s, d, groups = 32)
+
+  def seqPackGreedyGrouped(s: SparkSession, d: String,
+      groups: Int): DataFrame = {
+    require(groups > 0, s"seq_pack_greedy: groups must be > 0, got $groups")
+    import s.implicits._
+    val cap = 2048L
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        (col("doc_id") % groups).cast("long").as("grp"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[PackDoc]
+    docs.groupByKey(_.grp)
+      .flatMapSortedGroups(col("doc_id")) {
+        (grp: Long, it: Iterator[PackDoc]) =>
+          var seq = 0L
+          var used = 0L
+          it.map { doc =>
+            if (used > 0 && used + doc.n_tokens > cap) { seq += 1; used = 0 }
+            val out = PackOut(doc.doc_id, grp, doc.n_tokens, seq, used)
+            used += doc.n_tokens
+            out
+          }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val seqPackGreedySql =
+    """WITH RECURSIVE t AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    CAST(doc_id % 32 AS BIGINT) AS grp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id)
+      |      AS rn
+      |  FROM documents),
+      |pack AS (
+      |  SELECT grp, rn, doc_id, n_tokens,
+      |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+      |    n_tokens AS used
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.grp, t.rn, t.doc_id, t.n_tokens,
+      |    CASE WHEN p.used + t.n_tokens > 2048
+      |      THEN p.seq_id + 1 ELSE p.seq_id END,
+      |    CASE WHEN p.used + t.n_tokens > 2048
+      |      THEN CAST(0 AS BIGINT) ELSE p.used END,
+      |    CASE WHEN p.used + t.n_tokens > 2048
+      |      THEN t.n_tokens ELSE p.used + t.n_tokens END
+      |  FROM t JOIN pack p ON t.grp = p.grp AND t.rn = p.rn + 1)
+      |SELECT doc_id, grp, n_tokens, seq_id, seq_offset
+      |FROM pack ORDER BY doc_id""".stripMargin
 
   private val seqPackSql =
     """SELECT doc_id, grp, n_tokens,
@@ -864,5 +939,11 @@ object TextQueries {
     QueryDef("q_repetition_filter", repetitionFilter,
       Some(repetitionFilterSql)),
     QueryDef("q_pii_redact", piiRedact, Some(piiRedactSql)),
-    QueryDef("q_seq_pack", seqPack, Some(seqPackSql)))
+    QueryDef("q_seq_pack", seqPack, Some(seqPackSql)),
+    QueryDef("q_seq_pack_greedy", seqPackGreedy, Some(seqPackGreedySql)))
 }
+
+/** Row shapes for the greedy packer (top level for stable Encoders). */
+private[text] case class PackDoc(doc_id: Long, grp: Long, n_tokens: Long)
+private[text] case class PackOut(doc_id: Long, grp: Long, n_tokens: Long,
+    seq_id: Long, seq_offset: Long)
