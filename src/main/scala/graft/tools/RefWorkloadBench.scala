@@ -21,32 +21,46 @@ import org.apache.spark.sql.functions._
   * download), then reports load/compute seconds as one JSON line.
   */
 object RefWorkloadBench {
-  private val Frames = 1251
+  /** Frame count is overridable (SPARK_GRAFT_REF_FRAMES) for the
+    * scale-smoke runs: 12,510 frames = the published shape × 10
+    * (~3.4 GB DCD) checks that plan + compute cost stays linear in
+    * frames (a super-linear driver-side planning cost would surface
+    * here first). */
+  private val Frames =
+    sys.env.getOrElse("SPARK_GRAFT_REF_FRAMES", "1251").toInt
   private val Atoms = 22561
+
+  private def mkFrame(f: Int): graft.sources.DcdWrite.Frame = {
+    val xs = new Array[Float](Atoms)
+    val ys = new Array[Float](Atoms)
+    val zs = new Array[Float](Atoms)
+    var a = 0
+    while (a < Atoms) {
+      xs(a) = ((f * 7 + a * 3) % 1000) / 10.0f
+      ys(a) = ((f * 11 + a * 5) % 1000) / 10.0f
+      zs(a) = ((f * 13 + a * 17) % 1000) / 10.0f
+      a += 1
+    }
+    graft.sources.DcdWrite.Frame(xs, ys, zs,
+      Some((100.0, 100.0, 100.0, 90.0, 90.0, 90.0)))
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_refbench")
     new java.io.File(dir).mkdirs()
-    val file = s"$dir/ref.dcd"
+    val file = s"$dir/ref_$Frames.dcd"
 
     if (!new java.io.File(file).exists()) {
-      // deterministic synthetic trajectory, reference workload shape
+      // deterministic synthetic trajectory, reference workload shape;
+      // frames generate lazily so the 10x file never sits in memory
       System.err.println(s"[refbench] generating $file " +
         s"($Frames frames x $Atoms atoms)...")
-      val frames = (0 until Frames).map { f =>
-        val xs = new Array[Float](Atoms)
-        val ys = new Array[Float](Atoms)
-        val zs = new Array[Float](Atoms)
-        var a = 0
-        while (a < Atoms) {
-          xs(a) = ((f * 7 + a * 3) % 1000) / 10.0f
-          ys(a) = ((f * 11 + a * 5) % 1000) / 10.0f
-          zs(a) = ((f * 13 + a * 17) % 1000) / 10.0f
-          a += 1
+      val frames: IndexedSeq[graft.sources.DcdWrite.Frame] =
+        new scala.collection.immutable.IndexedSeq[
+            graft.sources.DcdWrite.Frame] {
+          def length: Int = Frames
+          def apply(f: Int): graft.sources.DcdWrite.Frame = mkFrame(f)
         }
-        graft.sources.DcdWrite.Frame(xs, ys, zs,
-          Some((100.0, 100.0, 100.0, 90.0, 90.0, 90.0)))
-      }
       graft.sources.DcdWrite.write(file, frames)
       System.err.println("[refbench] generated " +
         new java.io.File(file).length() / (1024 * 1024) + " MB")
