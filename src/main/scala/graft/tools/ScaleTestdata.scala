@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress data generator (VERDICT r5 stretch #7): replicates the
+  * sf0.1 tables `copies`× into a new directory with referentially
+  * CONSISTENT key offsets, so the 72-query bench can run at ~sf1 and
+  * per-query time ratios expose any hidden super-linear shape.
+  *
+  * Key domains share one offset each (orderkey offsets agree between
+  * orders and lineitem, etc.), dimension tables (region, nation) stay
+  * unscaled — the TPC-H shape: facts grow, dimensions don't.
+  * Document text is character-TRANSLATED per copy (every shingle
+  * changes), because verbatim replication would hand the near-dup
+  * queries quadratic cross-copy duplicate groups and fake a
+  * super-linear signal that is a data artifact, not a plan defect.
+  *
+  * Usage: `runMain graft.tools.ScaleTestdata [src] [dst] [copies]`
+  * (defaults /root/testdata/sf0.1 → /tmp/graft_sf1 × 10). Output is
+  * perf-only — no oracle claims at this scale.
+  */
+object ScaleTestdata {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rd(t: String): DataFrame =
+      spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // dimensions: unscaled
+    Seq("region", "nation").foreach(t => wr(rd(t), t))
+
+    // one offset per key DOMAIN, from the owning table, shared by all
+    // referencing tables so joins stay referentially intact
+    def domainMax(t: String, c: String): Long =
+      rd(t).agg(max(col(c).cast("long"))).collect()(0).getLong(0) + 1L
+    val off = Map(
+      "custkey" -> domainMax("customer", "c_custkey"),
+      "orderkey" -> domainMax("orders", "o_orderkey"),
+      "partkey" -> domainMax("part", "p_partkey"),
+      "suppkey" -> domainMax("supplier", "s_suppkey"),
+      "event_id" -> domainMax("events", "event_id"),
+      "user_id" -> domainMax("events", "user_id"),
+      "doc_id" -> domainMax("documents", "doc_id"),
+      "vec_id" -> domainMax("embeddings", "vec_id"))
+    val keyCols: Map[String, Map[String, String]] = Map(
+      "customer" -> Map("c_custkey" -> "custkey"),
+      "supplier" -> Map("s_suppkey" -> "suppkey"),
+      "part" -> Map("p_partkey" -> "partkey"),
+      "orders" -> Map("o_orderkey" -> "orderkey",
+        "o_custkey" -> "custkey"),
+      "lineitem" -> Map("l_orderkey" -> "orderkey",
+        "l_partkey" -> "partkey", "l_suppkey" -> "suppkey"),
+      "events" -> Map("event_id" -> "event_id", "user_id" -> "user_id"),
+      "documents" -> Map("doc_id" -> "doc_id"),
+      "embeddings" -> Map("vec_id" -> "vec_id"))
+
+    val copyDf = spark.range(copies).select(col("id").as("__copy"))
+    keyCols.foreach { case (t, cols) =>
+      val base = rd(t)
+      var out = base.crossJoin(copyDf)
+      cols.foreach { case (c, domain) =>
+        val dt = base.schema(c).dataType
+        out = out.withColumn(c,
+          (col(c).cast("long") + col("__copy") * off(domain)).cast(dt))
+      }
+      if (t == "documents") {
+        // per-copy character translation: every shingle changes, so
+        // copies are NOT near-duplicates of each other
+        val alpha = "etaoinshrdlu"
+        val shifted = (k: Int) =>
+          alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
+        out = out.withColumn("text",
+          (1 until copies).foldLeft(col("text")) { (acc, k) =>
+            when(col("__copy") === k,
+              translate(col("text"), alpha, shifted(k))).otherwise(acc)
+          })
+      }
+      if (t == "embeddings") {
+        // per-copy circular rotation of the vector: the LSH/PQ
+        // projections are index-dependent, so rotation decorrelates
+        // copies — verbatim replication would give every vector 10
+        // exact duplicates and the near-dup candidate sets a fake
+        // quadratic term
+        out = out.withColumn("embedding", expr(
+          "concat(" +
+            "slice(embedding, (CAST(__copy AS INT) * 7) " +
+            "% size(embedding) + 1, size(embedding) - " +
+            "(CAST(__copy AS INT) * 7) % size(embedding)), " +
+            "slice(embedding, 1, (CAST(__copy AS INT) * 7) " +
+            "% size(embedding)))"))
+      }
+      // write the many-files layout real data has: a single output
+      // file serializes downstream scans into one task and fakes a
+      // super-linear signal for per-row queries (the round-6 sf1 run
+      // measured q_quality_score 25x on a one-file input)
+      wr(out.drop("__copy").repartition(32), t)
+      System.err.println(s"[scale] $t x$copies done")
+    }
+    System.err.println(s"[scale] wrote $dst")
+    spark.stop()
+  }
+}
