@@ -115,12 +115,27 @@ object DtrFormat {
     (if (meta.hasBox) 48L else 0L) + 12L * meta.nAtoms
 
   /** Resolve a raw path to its ordered frameset directories: a
-    * `.dtr` directory is one frameset; a `.stk` file lists framesets
-    * one per line (blank lines and `#` comments skipped), relative
-    * entries resolved against the stk file's parent. */
+    * directory with a `timekeys` file is one frameset; a `.stk` file
+    * lists framesets one per line (blank lines and `#` comments
+    * skipped, relative entries resolved against the stk file's
+    * parent); any other directory resolves through its `all.stk` (the
+    * write path's commit artifact) or its `*.dtr` subdirectories in
+    * name order — so a sharded write output reads back with one
+    * `load(outDir)`. */
   def framesets(raw: String): Seq[File] = {
     val f = new File(raw)
-    if (f.isDirectory) Seq(f)
+    if (f.isDirectory && new File(f, "timekeys").isFile) Seq(f)
+    else if (f.isDirectory && new File(f, "all.stk").isFile)
+      framesets(new File(f, "all.stk").getPath)
+    else if (f.isDirectory) {
+      val subs = f.listFiles()
+        .filter(d => d.isDirectory && d.getName.endsWith(".dtr"))
+        .sortBy(_.getName).toSeq
+      if (subs.isEmpty) throw new IllegalArgumentException(
+        s"dtr load: $raw has no timekeys, no all.stk and no .dtr " +
+          "subdirectories — not a frameset or frameset collection")
+      subs
+    }
     else if (f.isFile && raw.toLowerCase.endsWith(".stk")) {
       val lines = java.nio.file.Files.readAllLines(f.toPath)
       val dirs = scala.jdk.CollectionConverters.ListHasAsScala(lines)
@@ -193,13 +208,20 @@ object DtrTable {
 }
 
 class DtrTable(paths: Seq[String], chunks: Int, unitScale: Double)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"dtr:${paths.mkString(",")}"
   override def schema(): StructType = DtrTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new DtrScanBuilder(paths, chunks, unitScale)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new DtrWriteBuilder(MultiPath.single("dtr", paths, "write"),
+      unitScale, info)
 }
 
 class DtrScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double)

@@ -104,6 +104,41 @@ class DtrDataSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("NetCDF"))
   }
 
+  test("DSv2 write path: each task writes an independent frameset, " +
+    "commit writes all.stk, output reads back as one trajectory") {
+    val outDir = Files.createTempDirectory("dtrout").toString
+    val df = spark.range(0, 6).selectExpr("id AS frame_id")
+      .crossJoin(spark.range(0, 3).selectExpr(
+        "CAST(id AS INT) AS atom_id"))
+      .selectExpr("frame_id", "CAST(frame_id * 0.004 AS DOUBLE) AS time",
+        "atom_id",
+        "CAST(frame_id * 1.0 + atom_id * 0.1 AS FLOAT) AS x",
+        "CAST(0.5 AS FLOAT) AS y", "CAST(1.5 AS FLOAT) AS z",
+        "CAST(2.0 AS FLOAT) AS box_a", "CAST(3.0 AS FLOAT) AS box_b",
+        "CAST(4.0 AS FLOAT) AS box_c", "CAST(90.0 AS FLOAT) AS box_alpha",
+        "CAST(90.0 AS FLOAT) AS box_beta",
+        "CAST(90.0 AS FLOAT) AS box_gamma")
+      // two tasks → two shard framesets; frames 0-2 and 3-5
+      .repartitionByRange(2, col("frame_id"))
+      .sortWithinPartitions("frame_id", "atom_id")
+    df.write.format("dtr").mode("overwrite").save(outDir)
+    assert(new java.io.File(outDir, "all.stk").isFile)
+    assert(new java.io.File(outDir, "part-00000.dtr/timekeys").isFile)
+    // read back through the collection directory (all.stk route)
+    val back = spark.read.format("dtr").load(outDir)
+    assert(back.count() == 18)
+    assert(back.select("frame_id").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq == (0L until 6L))
+    // unit_scale round-trips: write divides by 0.1 (nm→Å), read
+    // multiplies by 0.1 (Å→nm)
+    val r = back.filter(col("frame_id") === 4 && col("atom_id") === 2)
+      .collect()(0)
+    assert(math.abs(r.getAs[Float]("x") - 4.2f) < 1e-4)
+    assert(math.abs(r.getAs[Float]("box_b") - 3.0f) < 1e-5)
+    assert(r.getAs[Double]("time") == 4 * 0.004)
+    assert(r.getAs[Float]("box_gamma") == 90.0f)
+  }
+
   test("foreign frameset (wrong metadata magic) is rejected, not " +
     "misread; truncated frame file fails with context") {
     val root = Files.createTempDirectory("dtrbad")
