@@ -263,6 +263,46 @@ case class Lsh16Code(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+/** `lsh_code(emb, bits)` — the width-parameterized sign-LSH code
+  * (HashKernels.lshCode scaladoc explains the scale knob; lsh16_code
+  * ≡ lsh_code(emb, 16)). `bits` must be a literal in [1, 63]: the
+  * code width is part of the PLAN (it decides bucket granularity),
+  * not per-row data. */
+case class LshCode(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 63,
+    s"lsh_code: bits must be in [1, 63], got $bits")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_code"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.lshCode(
+      input.asInstanceOf[ArrayData].toDoubleArray(), bits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.lshCode(" +
+        s"$c.toDoubleArray(), $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object LshCode {
+  /** Registration builder: bits must fold to an integer literal. */
+  def build(es: Seq[Expression]): LshCode = {
+    require(es.length == 2, "lsh_code(emb, bits) takes 2 arguments")
+    require(es(1).foldable, "lsh_code: bits must be a literal integer")
+    val bits = es(1).eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"lsh_code: bits must be an integer literal, got $other")
+    }
+    LshCode(es.head, bits)
+  }
+}
+
 /** Triclinic minimum-image distance: tri_mic(dx, dy, dz, ax, bx, by,
   * cx, cy, cz) — the codegen'd kernel form of
   * graft.traj.TrajOps.distMicTriclinic (geometry/distance.py:50-58
@@ -343,6 +383,8 @@ object GraftFunctions {
       es => DotScaled(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh16_code",
       es => Lsh16Code(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_code",
+      es => LshCode.build(es), "scala_udf")
     reg.createOrReplaceTempFunction("tri_mic",
       es => TriclinicMicDist(es), "scala_udf")
     reg.createOrReplaceTempFunction("rep_stats",

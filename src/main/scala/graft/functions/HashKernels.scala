@@ -275,10 +275,18 @@ object HashKernels {
   /** 16-bit sign-LSH code: bit p = [Σ_i round(v_i · sin(997p + 31i) ·
     * 1e12) > 0] with 1-based i — the kernel form of the HOF expression
     * in SimQueries (same Math.sin the expression form evaluates). */
-  def lsh16Code(v: Array[Double]): Long = {
+  def lsh16Code(v: Array[Double]): Long = lshCode(v, 16)
+
+  /** Sign-LSH code over the first `bits` hyperplanes of the same
+    * family (h_p[i] = sin(997p + 31i)). Because wider codes EXTEND the
+    * hyperplane prefix, Hamming-≤1 candidate sets shrink monotonically
+    * as bits grow — the scale knob for corpus growth: bucket occupancy
+    * ~ n/2^bits, so doubling the corpus and adding one bit keeps the
+    * candidate-join cost flat. */
+  def lshCode(v: Array[Double], bits: Int): Long = {
     var code = 0L
     var p = 0
-    while (p < 16) {
+    while (p < bits) {
       var s = 0L
       var i = 0
       while (i < v.length) {

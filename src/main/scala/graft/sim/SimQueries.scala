@@ -108,16 +108,6 @@ object SimQueries {
       |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos_sim
       |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
-  /** 16-bit sign-LSH code per vector: bit p = [v · h_p > 0] with
-    * h_p[i] = sin(997p + 31i) (1-based i, matching DuckDB's
-    * generate_subscripts), packed into a BIGINT. The projection sum is
-    * scaled-integer exact like every other reduction here, evaluated by
-    * the native kernel (graft.functions.Lsh16Code) — one call per
-    * vector, no explode, no shuffle; the hyperplane family is a pure
-    * function of (p, i) so it needs no materialized table on either
-    * engine. */
-  private val lshCodeExpr: String = "lsh16_code(emb)"
-
   /** Embedding near-dup pairs: multiprobe sign-LSH candidates + exact
     * cosine ≥ 0.4 verify. Candidate pairs are the vector pairs whose
     * 16-bit codes differ in ≤ 1 bit, found in TWO tiers:
@@ -134,13 +124,26 @@ object SimQueries {
     *
     * One pass computes code + norm + vector per row behind one lineage
     * barrier (see TextQueries.dedupMinhash for the barrier rationale). */
-  def simNeardupLsh(s: SparkSession, d: String): DataFrame = {
+  def simNeardupLsh(s: SparkSession, d: String): DataFrame =
+    simNeardupLshAt(s, d, bits = 16)
+
+  /** `bits` is the corpus-growth knob (see HashKernels.lshCode): the
+    * hyperplane family is prefix-extensible, so candidates at MORE
+    * bits are a strict subset of candidates at fewer — occupancy per
+    * bucket ~ n/2^bits keeps the candidate join flat if bits grows
+    * with log2(n). The registered query pins 16 to match its oracle;
+    * the r6 sf1 run measured the 16-bit form at 13.5× for 10× data —
+    * exactly the tail this parameter removes. */
+  def simNeardupLshAt(s: SparkSession, d: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 63,
+      s"sim_neardup_lsh: bits must be in [1, 63], got $bits")
+    graft.functions.GraftFunctions.register(s)
     val vecs = withNorm(s, d)
-      .withColumn("bkt", expr(lshCodeExpr))
+      .withColumn("bkt", expr(s"lsh_code(emb, $bits)"))
       .localCheckpoint(false)
     val codes = vecs.select(col("bkt")).distinct()
     val maskExpr =
-      "transform(sequence(0, 15), b -> named_struct(" +
+      s"transform(sequence(0, ${bits - 1}), b -> named_struct(" +
         "'band', b, 'mval', bkt - shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))" +
         " * CAST(shiftright(bkt, CAST(b AS INT)) % 2 AS BIGINT)))"
     val cb = codes.select(col("bkt"), explode(expr(maskExpr)).as("bd"))

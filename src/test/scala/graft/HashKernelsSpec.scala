@@ -204,4 +204,38 @@ class HashKernelsSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(k == sql)
   }
+
+  test("lsh_code(emb, 16) == lsh16_code(emb); wider codes refine the " +
+    "same hyperplane prefix (monotone bit agreement)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val vecs = (0 until 20).map { k =>
+      (k.toLong, (1 to 8).map(i => math.sin(k * 13 + i) * 2).toArray)
+    }.toDF("id", "emb")
+    val both = vecs.selectExpr("lsh16_code(emb) AS a",
+      "lsh_code(emb, 16) AS b", "lsh_code(emb, 24) AS c").collect()
+    both.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      // prefix property: the low 16 bits of the 24-bit code ARE the
+      // 16-bit code - wider codes only add hyperplanes
+      assert((r.getLong(2) & ((1L << 16) - 1)) == r.getLong(0))
+    }
+    // plan-time validation: bits must be a literal in range
+    val e = intercept[Exception] {
+      vecs.selectExpr("lsh_code(emb, 99)").collect()
+    }
+    assert(e.getMessage.contains("[1, 63]") ||
+      e.getMessage.contains("bits"))
+  }
+
+  test("near-dup output at wider codes is a subset of the 16-bit " +
+    "output (prefix-extensible candidates)") {
+    val base = sim.SimQueries.simNeardupLsh(spark, SparkTestBase.sf)
+      .collect().map(_.toString).toSet
+    val wide = sim.SimQueries
+      .simNeardupLshAt(spark, SparkTestBase.sf, bits = 24)
+      .collect().map(_.toString).toSet
+    assert(wide.subsetOf(base),
+      s"${(wide -- base).size} pairs at 24 bits missing from 16-bit set")
+  }
 }
