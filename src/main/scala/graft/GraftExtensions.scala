@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("lsh16_code",
       "lsh16_code(v) - 16-bit sign-LSH hyperplane code",
       es => Lsh16Code(es.head)))
+    ext.injectFunction(fn("lsh_code",
+      "lsh_code(v, bits) - width-parameterized sign-LSH hyperplane code",
+      es => LshCode.build(es)))
     ext.injectFunction(fn("sorted_intersect_count",
       "sorted_intersect_count(a, b) - |A intersect B| of two sorted long arrays",
       es => SortedIntersectCount(es(0), es(1))))

@@ -170,7 +170,13 @@ final class TopKBuffer(k: Int) {
       if (c != 0) c else java.lang.Long.compare(b._2, a._2) // larger id first
     })
 
-  def offer(v: Double, id: Long): Unit = {
+  def offer(v0: Double, id: Long): Unit = {
+    // canonicalize -0.0 → +0.0 on entry: Double.compare orders
+    // -0.0 < 0.0 but Spark's ORDER BY treats them as EQUAL
+    // (nanSafeCompareDoubles), so without this the aggregate and the
+    // window form could disagree on inputs containing negative zero
+    // (NaN + 0.0 = NaN, so the NaN-greatest order is unaffected)
+    val v = v0 + 0.0
     if (heap.size < k) { heap.offer((v, id)); return }
     val weakest = heap.peek()
     // stronger = larger value, or equal value with smaller id — via

@@ -72,6 +72,12 @@ object DtrFormat {
       val nAtoms = bb.getInt()
       if (nAtoms <= 0) throw new IllegalArgumentException(
         s"dtr: ${dir.getPath} declares $nAtoms atoms")
+      // bound so frameBytes (12*nAtoms + 48) stays a valid array size
+      // everywhere — a corrupt header fails HERE at plan time, not as
+      // a NegativeArraySizeException in an executor
+      if (nAtoms > 100_000_000) throw new IllegalArgumentException(
+        s"dtr: ${dir.getPath} declares $nAtoms atoms (> 1e8 — corrupt " +
+          "metadata, or a payload too large for one frame record)")
       Meta(nAtoms, bb.getInt() != 0)
     } finally raf.close()
   }
@@ -97,9 +103,13 @@ object DtrFormat {
       if (fpf <= 0) throw new IllegalArgumentException(
         s"dtr: ${dir.getPath} frames_per_file $fpf must be > 0")
       val n = hb.getLong()
-      if (n < 0 || n > Int.MaxValue) throw new IllegalArgumentException(
-        s"dtr: ${dir.getPath} frame count $n out of range")
-      val body = new Array[Byte](8 * n.toInt)
+      // 8*n must fit an array (the per-frameset index is one bounded
+      // read; a billion-frame TRAJECTORY is many framesets via stk)
+      if (n < 0 || n > 200_000_000L) throw new IllegalArgumentException(
+        s"dtr: ${dir.getPath} frame count $n out of range (one " +
+          "frameset indexes at most 2e8 frames; split larger " +
+          "trajectories across framesets in an stk list)")
+      val body = new Array[Byte]((8L * n).toInt)
       raf.readFully(body)
       val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
       val times = new Array[Double](n.toInt)
@@ -145,8 +155,9 @@ object DtrFormat {
           val d = new File(l)
           if (d.isAbsolute) d else new File(f.getParentFile, l)
         }.toSeq
-      if (dirs.isEmpty) throw new IllegalArgumentException(
-        s"dtr: stk file $raw lists no framesets")
+      // an entry-less stk is a VALID empty trajectory — the write
+      // path commits one for an empty DataFrame, and the round-trip
+      // must read back as 0 rows (matching every other source)
       dirs.foreach { d =>
         if (!d.isDirectory) throw new IllegalArgumentException(
           s"dtr: stk entry ${d.getPath} (from $raw) is not a directory")

@@ -20,6 +20,8 @@ object DtrWrite {
     require(frames.nonEmpty, "dtr write: no frames")
     require(framesPerFile > 0, "dtr write: framesPerFile must be > 0")
     val nAtoms = frames.head.xs.length
+    require(nAtoms <= 100_000_000,
+      s"dtr write: $nAtoms atoms exceeds the 1e8 frame-record bound")
     val hasBox = frames.head.box.isDefined
     frames.foreach { f =>
       require(f.xs.length == nAtoms && f.ys.length == nAtoms &&

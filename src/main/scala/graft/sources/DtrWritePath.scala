@@ -53,19 +53,32 @@ class DtrBatchWrite(path: String, unitScale: Double, schema: StructType,
         } else if (f.getName == "all.stk") f.delete()
       }
     }
+    // append is NOT supported: a second write would reuse part-NNNNN
+    // shard names (overwriting committed framesets) and commit() would
+    // rewrite all.stk with only the new shards, silently dropping the
+    // prior data from reads. Failing beats silent loss.
+    if (!truncate && dir.exists() &&
+      (new File(dir, "all.stk").isFile ||
+        dir.listFiles().exists(f =>
+          f.isDirectory && f.getName.endsWith(".dtr"))))
+      throw new IllegalArgumentException(
+        s"dtr write: $path already contains a frameset collection and " +
+          "append mode is not supported (shard names and all.stk would " +
+          "silently overwrite it) — use mode(\"overwrite\")")
     dir.mkdirs()
     new DtrWriterFactory(path, unitScale, schema)
   }
 
   /** Driver-side: one stk line per non-empty shard, partition order —
-    * the same global frame order the readers assign. */
+    * the same global frame order the readers assign. An empty write
+    * commits a header-only stk, which reads back as 0 rows. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val names = messages.collect {
       case DtrCommit(pid, name, frames) if frames > 0 => (pid, name)
     }.sortBy(_._1).map(_._2)
     java.nio.file.Files.writeString(
       new File(path, "all.stk").toPath,
-      names.mkString("", "\n", "\n"))
+      ("# graft dtr frameset list" +: names).mkString("", "\n", "\n"))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -74,14 +87,14 @@ class DtrWriterFactory(path: String, unitScale: Double,
     schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new DtrDataWriter(path, unitScale, schema, partitionId)
+    new DtrDataWriter(path, unitScale, schema, partitionId, taskId)
 }
 
 private case class DtrCommit(partitionId: Int, name: String,
     frames: Long) extends WriterCommitMessage
 
 class DtrDataWriter(path: String, unitScale: Double, schema: StructType,
-    partitionId: Int, framesPerFile: Int = 256)
+    partitionId: Int, taskId: Long, framesPerFile: Int = 256)
     extends DataWriter[InternalRow] {
 
   private def idx(name: String): Int = schema.fieldNames.indexOf(name)
@@ -97,7 +110,12 @@ class DtrDataWriter(path: String, unitScale: Double, schema: StructType,
       schema.fieldNames.mkString(", "))
 
   private val setName = f"part-$partitionId%05d.dtr"
-  private val setDir = new File(path, setName)
+  // task-attempt isolation: stream into an attempt-private directory,
+  // atomically rename to the final shard name at task commit. Without
+  // this, a speculative or zombie attempt of the same partition would
+  // interleave writes into one directory and its abort() would delete
+  // the committed attempt's files.
+  private val setDir = new File(path, s"$setName.attempt-$taskId")
 
   // one frame's buffers; flushed to the payload stream when frame_id
   // advances (contract: frame rows are consecutive)
@@ -199,6 +217,13 @@ class DtrDataWriter(path: String, unitScale: Double, schema: StructType,
       times.foreach(keys.putDouble)
       java.nio.file.Files.write(
         new File(setDir, "timekeys").toPath, keys.array())
+      // publish: attempt dir → final shard name. Spark's commit
+      // coordinator admits ONE attempt per partition to commit(), so
+      // the target never exists (append into existing output is
+      // rejected at build time).
+      java.nio.file.Files.move(setDir.toPath,
+        new File(path, setName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     DtrCommit(partitionId, setName, times.length.toLong)
   }

@@ -52,7 +52,11 @@ object RefWorkloadBench {
 
     if (!new java.io.File(file).exists()) {
       // deterministic synthetic trajectory, reference workload shape;
-      // frames generate lazily so the 10x file never sits in memory
+      // frames generate lazily so the 10x file never sits in memory.
+      // DcdWrite traverses the Seq ~3x (head + validation foralls +
+      // the write pass), re-deriving frames each time — accepted: this
+      // generation is UNTIMED (like the reference's dataset download)
+      // and trading it for O(frames) memory would defeat the point
       System.err.println(s"[refbench] generating $file " +
         s"($Frames frames x $Atoms atoms)...")
       val frames: IndexedSeq[graft.sources.DcdWrite.Frame] =

@@ -26,6 +26,12 @@ object ScaleTestdata {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // the text translation cycles with the alphabet length: copy 12
+    // would translate identically to copy 0 and silently reintroduce
+    // the exact-duplicate artifact the translation exists to prevent
+    require(copies >= 1 && copies <= 12,
+      s"ScaleTestdata: copies must be in [1, 12] (the per-copy text " +
+        s"translation has period 12), got $copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

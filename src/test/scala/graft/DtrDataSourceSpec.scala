@@ -139,6 +139,34 @@ class DtrDataSourceSpec extends AnyFunSuite {
     assert(r.getAs[Float]("box_gamma") == 90.0f)
   }
 
+  test("empty write commits a header-only stk that reads back as 0 " +
+    "rows; append into an existing collection is rejected") {
+    val outDir = Files.createTempDirectory("dtrempty").toString
+    val schema = "frame_id BIGINT, time DOUBLE, atom_id INT, x FLOAT, " +
+      "y FLOAT, z FLOAT, box_a FLOAT, box_b FLOAT, box_c FLOAT, " +
+      "box_alpha FLOAT, box_beta FLOAT, box_gamma FLOAT"
+    val empty = spark.read.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .json(spark.createDataset(Seq.empty[String])(
+        org.apache.spark.sql.Encoders.STRING))
+    empty.write.format("dtr").mode("overwrite").save(outDir)
+    assert(new java.io.File(outDir, "all.stk").isFile)
+    assert(spark.read.format("dtr").load(outDir).count() == 0)
+    // append into the (now existing) collection is rejected, not
+    // silently overwritten
+    val one = spark.sql(
+      "SELECT CAST(0 AS BIGINT) frame_id, CAST(0.0 AS DOUBLE) time, " +
+        "CAST(0 AS INT) atom_id, CAST(1.0 AS FLOAT) x, " +
+        "CAST(2.0 AS FLOAT) y, CAST(3.0 AS FLOAT) z, " +
+        "CAST(NULL AS FLOAT) box_a, CAST(NULL AS FLOAT) box_b, " +
+        "CAST(NULL AS FLOAT) box_c, CAST(NULL AS FLOAT) box_alpha, " +
+        "CAST(NULL AS FLOAT) box_beta, CAST(NULL AS FLOAT) box_gamma")
+    val e = intercept[Exception] {
+      one.write.format("dtr").mode("append").save(outDir)
+    }
+    assert(chainContains(e, "append"))
+  }
+
   test("foreign frameset (wrong metadata magic) is rejected, not " +
     "misread; truncated frame file fails with context") {
     val root = Files.createTempDirectory("dtrbad")

@@ -64,6 +64,20 @@ class TopKAggSpec extends AnyFunSuite {
     assert(got == Seq(999L, 50L, 49L))
   }
 
+  test("-0.0 and 0.0 tie (Spark ORDER BY semantics): smaller id wins " +
+    "regardless of zero sign or arrival order") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((0L, -0.0, 1L), (0L, 0.0, 5L), (0L, -1.0, 9L))
+      .toDF("key", "v", "id").repartition(1)
+    val got = df.groupBy("key")
+      .agg(expr("topk_pairs(v, id, 1)").as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.id")).collect().map(_.getLong(0)).toSeq
+    // window form: -0.0 == 0.0, tie broken by id asc → id 1
+    assert(got == Seq(1L))
+  }
+
   test("non-integral id types are rejected at build time (no silent " +
     "double->bigint truncation)") {
     graft.functions.GraftFunctions.register(spark)
