@@ -582,6 +582,9 @@ object SimQueries {
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
 
+  private val pqListenerInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
   /** Cached state pins localCheckpoint blocks for the session lifetime
     * and serves the codebooks trained from the files as they were at
     * first touch — the offline-training contract (retraining per query
@@ -597,13 +600,16 @@ object SimQueries {
     else {
       val built = pqTrain(s, d)
       val prev = pqCache.putIfAbsent(k, built)
-      if (prev == null) {
+      // one eviction listener per SESSION (not per (session, dir))
+      if (prev == null && pqListenerInstalled.add(s)) {
         s.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
             override def onApplicationEnd(
                 end: org.apache.spark.scheduler
-                  .SparkListenerApplicationEnd): Unit =
+                  .SparkListenerApplicationEnd): Unit = {
               pqCache.keySet.removeIf(_._1 eq s)
+              pqListenerInstalled.remove(s)
+            }
           })
       }
       if (prev != null) prev else built
