@@ -134,7 +134,27 @@ object DtrFormat {
     * `load(outDir)`. */
   def framesets(raw: String): Seq[File] = {
     val f = new File(raw)
-    if (f.isDirectory && new File(f, "timekeys").isFile) Seq(f)
+    if (raw.exists(c => c == '*' || c == '?' || c == '[' || c == '{')) {
+      // framesets are DIRECTORIES, so dtr globs match subdirectories
+      // (MultiPath's file-glob cannot); trailing segment only, name
+      // order, each match recursing through this resolver
+      val slash = raw.lastIndexOf('/')
+      val (dirPart, namePat) =
+        if (slash < 0) (".", raw)
+        else (raw.substring(0, slash), raw.substring(slash + 1))
+      val dir = new File(dirPart)
+      if (!dir.isDirectory) throw new IllegalArgumentException(
+        s"dtr load: glob parent '$dirPart' is not a directory")
+      val matcher = java.nio.file.FileSystems.getDefault
+        .getPathMatcher("glob:" + namePat)
+      val hits = dir.listFiles()
+        .filter(d => matcher.matches(d.toPath.getFileName))
+        .sortBy(_.getName).toSeq
+      if (hits.isEmpty) throw new IllegalArgumentException(
+        s"dtr load: glob '$raw' matched no framesets")
+      hits.flatMap(h => framesets(h.getPath))
+    }
+    else if (f.isDirectory && new File(f, "timekeys").isFile) Seq(f)
     else if (f.isDirectory && new File(f, "all.stk").isFile)
       framesets(new File(f, "all.stk").getPath)
     else if (f.isDirectory) {

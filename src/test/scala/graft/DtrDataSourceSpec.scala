@@ -104,6 +104,19 @@ class DtrDataSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("NetCDF"))
   }
 
+  test("glob over frameset directories (trailing segment, name order)") {
+    val root = Files.createTempDirectory("dtrglob")
+    DtrWrite.write(root.resolve("a.dtr").toString, mkFrames(2, 0f))
+    DtrWrite.write(root.resolve("b.dtr").toString, mkFrames(1, 500f))
+    DtrWrite.write(root.resolve("skip.other").toString, mkFrames(1, 900f))
+    val df = spark.read.format("dtr").option("unit_scale", "1.0")
+      .load(root.toString + "/*.dtr")
+    assert(df.count() == 9) // (2 + 1 frames) × 3 atoms
+    val r = df.filter(col("frame_id") === 2 && col("atom_id") === 0)
+      .collect()(0)
+    assert(r.getAs[Float]("x") == 500.0f)
+  }
+
   test("DSv2 write path: each task writes an independent frameset, " +
     "commit writes all.stk, output reads back as one trajectory") {
     val outDir = Files.createTempDirectory("dtrout").toString
