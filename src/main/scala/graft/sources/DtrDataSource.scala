@@ -245,7 +245,8 @@ class DtrTable(paths: Seq[String], chunks: Int, unitScale: Double)
   override def schema(): StructType = DtrTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new DtrScanBuilder(paths, chunks, unitScale)
   override def newWriteBuilder(
@@ -312,6 +313,14 @@ class DtrScan(paths: Seq[String], chunks: Int, unitScale: Double,
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming twin: the (single) path is a COLLECTION directory that
+    * completed framesets appear in (see DtrMicroBatchStream). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DtrMicroBatchStream(
+      MultiPath.single("dtr", paths, "streaming read"),
+      chunks, unitScale, required)
 
   private def planSet(dir: File, fpf: Int, times: Array[Double],
       meta: DtrFormat.Meta, off: Long, rowBudget: Long)

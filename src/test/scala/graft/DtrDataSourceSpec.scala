@@ -104,6 +104,37 @@ class DtrDataSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("NetCDF"))
   }
 
+  test("streaming read over a collection directory picks up new " +
+    "COMPLETED framesets with continuing global frame ids") {
+    val dir = Files.createTempDirectory("dtrstream").toString
+    graft.sources.DtrWrite.write(s"$dir/part-00000.dtr", mkFrames(2, 0f))
+    graft.sources.DtrWrite.write(s"$dir/part-00001.dtr", mkFrames(1, 100f))
+    val stream = spark.readStream.format("dtr")
+      .option("unit_scale", "1.0").load(dir)
+    val q = stream.writeStream.format("memory").queryName("dtr_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dtr_stream").count() == 9) // 3 frames × 3
+      // an INCOMPLETE frameset (no timekeys yet) is not consumed...
+      val half = new java.io.File(s"$dir/part-00002.dtr")
+      half.mkdirs()
+      Files.write(half.toPath.resolve("frame000000000"),
+        new Array[Byte](48 + 36))
+      q.processAllAvailable()
+      assert(spark.table("dtr_stream").count() == 9)
+      // ...and lands in the next micro-batch once published
+      graft.sources.DtrWrite.write(half.getPath, mkFrames(2, 200f))
+      q.processAllAvailable()
+      assert(spark.table("dtr_stream").count() == 15)
+      // global frame ids continue across framesets and micro-batches
+      val r = spark.table("dtr_stream")
+        .filter(col("frame_id") === 3 && col("atom_id") === 0)
+        .collect()(0)
+      assert(r.getAs[Float]("x") == 200.0f)
+    } finally q.stop()
+  }
+
   test("glob over frameset directories (trailing segment, name order)") {
     val root = Files.createTempDirectory("dtrglob")
     DtrWrite.write(root.resolve("a.dtr").toString, mkFrames(2, 0f))
