@@ -212,7 +212,8 @@ class DcdTable(paths: Seq[String], chunks: Int, unitScale: Double,
   override def name(): String = s"dcd:${paths.mkString(",")}"
   override def schema(): StructType = DcdTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new DcdScanBuilder(paths, chunks, unitScale, mode)
 }
@@ -277,6 +278,14 @@ class DcdScan(paths: Seq[String], chunks: Int, unitScale: Double,
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming twin: the (single) path is a directory that `*.dcd`
+    * shard files appear in (see DcdMicroBatchStream). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DcdMicroBatchStream(
+      MultiPath.single("dcd", paths, "streaming read"),
+      chunks, unitScale, required, mode)
 
   private def planFile(p: String, nAtoms: Int, nFrames: Long, off: Long,
       rowBudget: Long): (Seq[InputPartition], Long) = {

@@ -243,7 +243,8 @@ class TrrTable(paths: Seq[String], chunks: Int, unitScale: Double,
   override def name(): String = s"trr:${paths.mkString(",")}"
   override def schema(): StructType = TrrTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new TrrScanBuilder(paths, chunks, unitScale, mode)
 }
@@ -307,6 +308,14 @@ class TrrScan(paths: Seq[String], chunks: Int, unitScale: Double,
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming twin: the (single) path is a directory that `*.trr`
+    * shard files appear in (see TrrMicroBatchStream). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TrrMicroBatchStream(
+      MultiPath.single("trr", paths, "streaming read"),
+      chunks, unitScale, required, mode)
 
   /** Plans one file from its frame index: clamp to the pushed frame
     * range, honor a pushed limit via the index's cumulative row counts,

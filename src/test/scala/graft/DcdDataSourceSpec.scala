@@ -194,4 +194,32 @@ class DcdDataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a DCD file") ||
       Option(e.getCause).exists(_.getMessage.contains("not a DCD file")))
   }
+
+  test("streaming read over a shard directory picks up new dcd shards " +
+    "with continuing global frame ids") {
+    val dir = Files.createTempDirectory("dcdstream").toString
+    def mkFrames(n: Int, base: Float): Seq[DcdWrite.Frame] =
+      (0 until n).map { f =>
+        val xs = Array.tabulate(2)(a => base + f * 10 + a)
+        DcdWrite.Frame(xs, xs.map(_ + 10f), xs.map(_ + 20f),
+          Some((6.0, 7.0, 8.0, 90.0, 90.0, 90.0)))
+      }
+    DcdWrite.write(s"$dir/part-00000.dcd", mkFrames(2, 0f))
+    val stream = spark.readStream.format("dcd")
+      .option("unit_scale", "1.0").load(dir)
+    val q = stream.writeStream.format("memory").queryName("dcd_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dcd_stream").count() == 4) // 2 frames x 2
+      DcdWrite.write(s"$dir/part-00001.dcd", mkFrames(1, 100f))
+      q.processAllAvailable()
+      assert(spark.table("dcd_stream").count() == 6)
+      // global frame 2 = shard 1 local frame 0
+      val r = spark.table("dcd_stream")
+        .filter(col("frame_id") === 2 && col("atom_id") === 0)
+        .collect()(0)
+      assert(r.getAs[Float]("x") == 100.0f)
+    } finally q.stop()
+  }
 }

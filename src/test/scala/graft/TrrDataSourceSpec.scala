@@ -205,4 +205,27 @@ class TrrDataSourceSpec extends AnyFunSuite {
     assert(r.getAs[Float]("vx") == 110.0f) // velocities untouched
     assert(r.getAs[Double]("time") == 0.002f.toDouble)
   }
+
+  test("streaming read over a shard directory picks up new trr shards " +
+    "with continuing global frame ids") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("trrstream").toString
+    TrrWrite.write(s"$dir/part-00000.trr", mkFrames(2))
+    val stream = spark.readStream.format("trr").load(dir)
+    val q = stream.writeStream.format("memory").queryName("trr_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("trr_stream").count() == 6) // 2 frames x 3
+      TrrWrite.write(s"$dir/part-00001.trr", mkFrames(1).map(fr =>
+        fr.copy(xyz = fr.xyz.map(_ + 1000f))))
+      q.processAllAvailable()
+      assert(spark.table("trr_stream").count() == 9)
+      // global frame 2 = shard 1 local frame 0 (atom ids 1-based)
+      val r = spark.table("trr_stream")
+        .filter(col("frame_id") === 2 && col("atom_id") === 1)
+        .collect()(0)
+      assert(r.getAs[Float]("x") == 1000.0f)
+    } finally q.stop()
+  }
 }
