@@ -104,7 +104,8 @@ class InpcrdTable(paths: Seq[String], chunks: Int, unitScale: Double,
   override def name(): String = s"inpcrd:${paths.mkString(",")}"
   override def schema(): StructType = InpcrdTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new InpcrdScanBuilder(paths, chunks, unitScale, vel)
 }
@@ -162,6 +163,14 @@ class InpcrdScan(paths: Seq[String], chunks: Int, unitScale: Double,
     limit: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming twin: the (single) path is a directory that restart
+    * files appear in (see InpcrdMicroBatchStream). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new InpcrdMicroBatchStream(
+      MultiPath.single("inpcrd", paths, "streaming read"),
+      chunks, unitScale, required, vel)
 
   /** One frame per file: planning needs NO file probe at all — the
     * frame axis IS the shard list, so frame_id pushdown prunes files

@@ -100,4 +100,26 @@ class InpcrdDataSourceSpec extends AnyFunSuite {
     assert(graft.traj.TrajLoad.formatFor(f.toString) == "inpcrd")
     assert(graft.traj.TrajLoad.load(spark, f.toString).count() == 3)
   }
+
+  test("streaming read: each new restart file is one frame, ids " +
+    "continue across micro-batches") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("inpstream")
+    Files.writeString(dir.resolve("r000.rst7"), restart(1.0, 0.0))
+    Files.writeString(dir.resolve("r001.rst7"), restart(2.0, 10.0))
+    val stream = spark.readStream.format("inpcrd").load(dir.toString)
+    val q = stream.writeStream.format("memory").queryName("inp_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("inp_stream").count() == 6) // 2 files x 3
+      Files.writeString(dir.resolve("r002.rst7"), restart(3.0, 20.0))
+      q.processAllAvailable()
+      assert(spark.table("inp_stream").count() == 9)
+      val r = spark.table("inp_stream")
+        .filter(col("frame_id") === 2 && col("atom_id") === 0)
+        .collect()(0)
+      assert(r.getAs[Double]("time") == 3.0)
+    } finally q.stop()
+  }
 }
