@@ -99,7 +99,7 @@ class ArcTable(paths: Seq[String], chunks: Int, unitScale: Double,
   override def schema(): StructType = ArcTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ArcScanBuilder(paths, chunks, unitScale, mode)
   override def newWriteBuilder(
@@ -161,6 +161,16 @@ class ArcScan(paths: Seq[String], chunks: Int, unitScale: Double,
     mode: String) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming twin (see ArcMicroBatchStream). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ArcMicroBatchStream(
+      MultiPath.single("arc", paths, "streaming read"),
+      chunks, unitScale, required, mode)
+
+  /** Frame count of one file (streaming offset bookkeeping). */
+  private[sources] def planFrameCount(p: String): Long = probe(p)._3
 
   /** Driver-side probe: natoms from the header, box presence from the
     * structure of the second line, frames from the line count. */

@@ -107,7 +107,7 @@ class BinposTable(paths: Seq[String], chunks: Int, unitScale: Double)
   override def schema(): StructType = BinposTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new BinposScanBuilder(paths, chunks, unitScale)
   override def newWriteBuilder(
@@ -168,6 +168,13 @@ class BinposScan(paths: Seq[String], chunks: Int, unitScale: Double,
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming twin (see BinposMicroBatchStream). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new BinposMicroBatchStream(
+      MultiPath.single("binpos", paths, "streaming read"),
+      chunks, unitScale, required)
 
   private def planFile(p: String, nAtoms: Int, nFrames: Long, off: Long,
       rowBudget: Long): (Seq[InputPartition], Long) = {

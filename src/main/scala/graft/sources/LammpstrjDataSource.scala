@@ -139,7 +139,7 @@ class LammpstrjTable(paths: Seq[String], chunks: Int, unitScale: Double,
   override def schema(): StructType = LammpstrjTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new LammpstrjScanBuilder(paths, chunks, unitScale, mode)
@@ -203,6 +203,16 @@ class LammpstrjScan(paths: Seq[String], chunks: Int, unitScale: Double,
     mode: String) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming twin (see LammpstrjMicroBatchStream). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LammpstrjMicroBatchStream(
+      MultiPath.single("lammpstrj", paths, "streaming read"),
+      chunks, unitScale, required, mode)
+
+  /** Frame count of one file (streaming offset bookkeeping). */
+  private[sources] def planFrameCount(p: String): Long = probe(p)._2
 
   /** Driver-side probe: first-frame header gives natoms + the ATOMS
     * column layout; a line count gives the frame count (9 header lines

@@ -114,7 +114,7 @@ class MdcrdTable(paths: Seq[String], natoms: Int, box: Boolean,
   override def schema(): StructType = MdcrdTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     if (natoms <= 0) throw new IllegalArgumentException(
@@ -182,6 +182,16 @@ class MdcrdScan(paths: Seq[String], natoms: Int, box: Boolean, chunks: Int,
     frameHi: Long, limit: Int, mode: String) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming twin (see MdcrdMicroBatchStream). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MdcrdMicroBatchStream(
+      MultiPath.single("mdcrd", paths, "streaming read"),
+      natoms, box, chunks, unitScale, required, mode)
+
+  /** Frame count of one file (streaming offset bookkeeping). */
+  private[sources] def planFrameCount(p: String): Long = probe(p)
 
   /** Driver-side probe: a line count (shape comes from the natoms
     * option, not the file). */

@@ -108,7 +108,7 @@ class PdbTable(paths: Seq[String], chunks: Int, unitScale: Double,
   override def schema(): StructType = PdbTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new PdbScanBuilder(paths, chunks, unitScale, mode)
   override def newWriteBuilder(
@@ -182,6 +182,19 @@ class PdbScan(paths: Seq[String], chunks: Int, unitScale: Double,
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming twin (see PdbMicroBatchStream). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PdbMicroBatchStream(
+      MultiPath.single("pdb", paths, "streaming read"),
+      chunks, unitScale, required, mode)
+
+  /** Frame count of one file (streaming offset bookkeeping). */
+  private[sources] def planFrameCount(p: String): Long = {
+    val (starts, _, sawAtom) = probe(p)
+    if (sawAtom) starts.length.toLong else 0L
+  }
 
   /** Driver-side probe: one pass records the CRYST1 box and the line
     * index of every MODEL record — PDB frames are delimited, not

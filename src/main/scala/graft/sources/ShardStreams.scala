@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.connector.read.InputPartition
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+
+/** Shared skeleton for the micro-batch shard-directory streams
+  * (SURVEY §2.8): offsets are file counts over the name-sorted listing
+  * of a directory of immutable shard files; each micro-batch plans the
+  * new shards with the format's own batch planner, re-based so global
+  * frame ids continue across shards and micro-batches. Per-shard frame
+  * counts are cached per path (files are immutable), so consumed
+  * shards are never re-probed. Formats supply the extension filter,
+  * the frame-count probe, and the per-shard partition planner. */
+case class ShardFileOffset(fileCount: Int) extends Offset {
+  override def json(): String = fileCount.toString
+}
+
+private[sources] abstract class ShardDirMicroBatchStream(
+    dir: String, exts: Seq[String]) extends MicroBatchStream {
+
+  /** Frames in one shard (driver-side probe; cached). */
+  protected def probeFrames(path: String): Long
+
+  /** Batch partitions for one shard whose frame 0 has global id
+    * `base`. */
+  protected def planShard(path: String, base: Long): Array[InputPartition]
+
+  private def listShards(): Array[File] = {
+    val d = new File(dir)
+    if (!d.isDirectory) Array.empty
+    else d.listFiles()
+      .filter(f => f.isFile && exts.exists(f.getName.endsWith))
+      .sortBy(_.getName)
+  }
+
+  private val frameCache =
+    scala.collection.mutable.HashMap.empty[String, Long]
+  private def frames(p: String): Long =
+    frameCache.getOrElseUpdate(p, probeFrames(p))
+
+  override def initialOffset(): Offset = ShardFileOffset(0)
+  override def latestOffset(): Offset =
+    ShardFileOffset(listShards().length)
+  override def deserializeOffset(json: String): Offset =
+    ShardFileOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ShardFileOffset].fileCount
+    val e = end.asInstanceOf[ShardFileOffset].fileCount
+    val shards = listShards()
+    var base = (0 until math.min(s, shards.length))
+      .map(i => frames(shards(i).getPath)).sum
+    (s until math.min(e, shards.length)).flatMap { i =>
+      val p = shards(i).getPath
+      val parts = planShard(p, base)
+      base += frames(p)
+      parts
+    }.toArray
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** pdb: delimited MODEL/ENDMDL frames — the probe is the batch scan's
+  * per-file pass (line offsets of every MODEL record). */
+class PdbMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
+    schema: org.apache.spark.sql.types.StructType, mode: String)
+    extends ShardDirMicroBatchStream(dir, Seq(".pdb", ".pdb.gz")) {
+
+  private def scanFor(path: String) =
+    new PdbScan(Seq(path), chunks, unitScale, schema, mode)
+
+  override protected def probeFrames(path: String): Long =
+    scanFor(path).planFrameCount(path)
+
+  override protected def planShard(path: String, base: Long)
+      : Array[InputPartition] =
+    scanFor(path).planInputPartitions().map { p =>
+      val r = p.asInstanceOf[PdbFrameRange]
+      r.copy(frameOffset = base + r.frameOffset): InputPartition
+    }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new PdbReaderFactory(dir, unitScale, schema, mode)
+}
+
+/** lammpstrj: self-describing dump — probe reads the first-frame
+  * header and line-counts. */
+class LammpstrjMicroBatchStream(dir: String, chunks: Int,
+    unitScale: Double, schema: org.apache.spark.sql.types.StructType,
+    mode: String)
+    extends ShardDirMicroBatchStream(dir,
+      Seq(".lammpstrj", ".lammpstrj.gz")) {
+
+  private def scanFor(path: String) =
+    new LammpstrjScan(Seq(path), chunks, unitScale, schema, 0L,
+      Long.MaxValue, -1, mode)
+
+  override protected def probeFrames(path: String): Long =
+    scanFor(path).planFrameCount(path)
+
+  override protected def planShard(path: String, base: Long)
+      : Array[InputPartition] =
+    scanFor(path).planInputPartitions().map { p =>
+      val r = p.asInstanceOf[LammpstrjFrameRange]
+      r.copy(frameOffset = base + r.frameOffset): InputPartition
+    }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new LammpstrjReaderFactory(dir, unitScale, schema, mode)
+}
+
+/** arc: Tinker archive — probe is the batch header+line-count pass. */
+class ArcMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
+    schema: org.apache.spark.sql.types.StructType, mode: String)
+    extends ShardDirMicroBatchStream(dir, Seq(".arc", ".arc.gz")) {
+
+  private def scanFor(path: String) =
+    new ArcScan(Seq(path), chunks, unitScale, schema, 0L,
+      Long.MaxValue, -1, mode)
+
+  override protected def probeFrames(path: String): Long =
+    scanFor(path).planFrameCount(path)
+
+  override protected def planShard(path: String, base: Long)
+      : Array[InputPartition] =
+    scanFor(path).planInputPartitions().map { p =>
+      val r = p.asInstanceOf[ArcFrameRange]
+      r.copy(frameOffset = base + r.frameOffset): InputPartition
+    }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new ArcReaderFactory(unitScale, schema, mode)
+}
+
+/** mdcrd: AMBER fixed-width text — the natoms/box shape options ride
+  * the stream exactly as they ride the batch scan. */
+class MdcrdMicroBatchStream(dir: String, natoms: Int, box: Boolean,
+    chunks: Int, unitScale: Double,
+    schema: org.apache.spark.sql.types.StructType, mode: String)
+    extends ShardDirMicroBatchStream(dir,
+      Seq(".crd", ".mdcrd", ".crd.gz", ".mdcrd.gz")) {
+
+  private def scanFor(path: String) =
+    new MdcrdScan(Seq(path), natoms, box, chunks, unitScale, schema,
+      0L, Long.MaxValue, -1, mode)
+
+  override protected def probeFrames(path: String): Long =
+    scanFor(path).planFrameCount(path)
+
+  override protected def planShard(path: String, base: Long)
+      : Array[InputPartition] =
+    scanFor(path).planInputPartitions().map { p =>
+      val r = p.asInstanceOf[MdcrdFrameRange]
+      r.copy(frameOffset = base + r.frameOffset): InputPartition
+    }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new MdcrdReaderFactory(dir, natoms, box, unitScale, schema, mode)
+}
+
+/** binpos: fixed-stride binary — the probe is a header read + length
+  * arithmetic. */
+class BinposMicroBatchStream(dir: String, chunks: Int,
+    unitScale: Double, schema: org.apache.spark.sql.types.StructType)
+    extends ShardDirMicroBatchStream(dir, Seq(".binpos")) {
+
+  override protected def probeFrames(path: String): Long =
+    BinposTable.probe(path)._2
+
+  override protected def planShard(path: String, base: Long)
+      : Array[InputPartition] =
+    new BinposScan(Seq(path), chunks, unitScale, schema, 0L,
+      Long.MaxValue, -1)
+      .planInputPartitions().map { p =>
+        val r = p.asInstanceOf[BinposFrameRange]
+        r.copy(frameOffset = base + r.frameOffset): InputPartition
+      }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new BinposReaderFactory(unitScale, schema)
+}
