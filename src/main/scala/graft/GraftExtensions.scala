@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("simhash64",
       "simhash64(text) - 64-bit frequency-weighted SimHash as (sim_lo, sim_hi)",
       es => SimHash64(es.head)))
+    ext.injectFunction(fn("minhash_doc_banded",
+      "minhash_doc_banded(text, seeds, rows_per_band) - banded minhash signature",
+      es => MinHashDocBanded.build(es)))
     ext.injectFunction(fn("minhash_doc",
       "minhash_doc(text) - word-3-gram shingles + 8-hash MinHash signature + 4 LSH band keys",
       es => MinHashDoc(es.head)))

@@ -57,6 +57,56 @@ case class MinHashDoc(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+/** `minhash_doc_banded(text, seeds, rows_per_band)` — the banded
+  * generalization of `minhash_doc` (≡ (8, 2); kernel scaladoc explains
+  * the S-curve knob and the aligned-band subset property). Both
+  * parameters must be literals: the band layout is part of the PLAN. */
+case class MinHashDocBanded(child: Expression, seeds: Int,
+    rowsPerBand: Int) extends UnaryExpression {
+  require(seeds >= 1 && seeds <= 64,
+    s"minhash_doc_banded: seeds must be in [1, 64], got $seeds")
+  require(rowsPerBand >= 1 && seeds % rowsPerBand == 0,
+    s"minhash_doc_banded: rows_per_band ($rowsPerBand) must divide " +
+      s"seeds ($seeds)")
+  override def dataType: DataType = StructType(Seq(
+    StructField("sh", ArrayType(StringType, containsNull = false)),
+    StructField("bkeys", ArrayType(StringType, containsNull = false))))
+  override def prettyName: String = "minhash_doc_banded"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashDocBandedRow(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      seeds, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.minhashDocBandedRow(" +
+        s"$c, $seeds, $rowsPerBand);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object MinHashDocBanded {
+  def build(es: Seq[Expression]): MinHashDocBanded = {
+    require(es.length == 3,
+      "minhash_doc_banded(text, seeds, rows_per_band) takes 3 arguments")
+    def lit(e: Expression, what: String): Int = {
+      require(e.foldable, s"minhash_doc_banded: $what must be a literal")
+      e.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"minhash_doc_banded: $what must be an integer literal, " +
+            s"got $other")
+      }
+    }
+    MinHashDocBanded(es.head, lit(es(1), "seeds"),
+      lit(es(2), "rows_per_band"))
+  }
+}
+
 case class MinFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "min_fingerprint"
@@ -369,6 +419,8 @@ object GraftFunctions {
       es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_doc",
       es => MinHashDoc(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_doc_banded",
+      es => MinHashDocBanded.build(es), "scala_udf")
     reg.createOrReplaceTempFunction("min_fingerprint",
       es => MinFingerprint(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("ngram5_count",

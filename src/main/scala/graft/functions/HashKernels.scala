@@ -89,7 +89,20 @@ object HashKernels {
   /** Distinct word-3-gram shingles + 8-seed MinHash signature + 4
     * banded LSH bucket keys → (sh: array<string>, bkeys: array<string>).
     * Fewer than 3 words → empty arrays (caller filters). */
-  def minhashDoc(text: String): (Array[String], Array[String]) = {
+  def minhashDoc(text: String): (Array[String], Array[String]) =
+    minhashDocBanded(text, 8, 2)
+
+  /** Banded minhash signature over `seeds` hash functions grouped into
+    * `seeds / rowsPerBand` bands — the LSH S-curve knob for the text
+    * near-dup tier: a pair is a candidate iff ALL rows of some band
+    * agree, so more rows per band suppresses sub-threshold candidates
+    * (cost) and more bands raises recall. Bands are ALIGNED prefixes
+    * of the seed sequence, so with the same seeds, candidates at a
+    * larger rowsPerBand are a strict subset of those at a divisor —
+    * widening the knob can only shrink the verified output. The
+    * default (8, 2) is byte-identical to the original fixed layout. */
+  def minhashDocBanded(text: String, seeds: Int, rowsPerBand: Int)
+      : (Array[String], Array[String]) = {
     val ws = tokens(text)
     if (ws.length < 3) return (Array.empty, Array.empty)
     val seen = new java.util.LinkedHashSet[String]()
@@ -99,9 +112,9 @@ object HashKernels {
       i += 1
     }
     val sh = seen.toArray(new Array[String](seen.size))
-    val mhs = new Array[String](8)
+    val mhs = new Array[String](seeds)
     var k = 0
-    while (k < 8) {
+    while (k < seeds) {
       var min: String = null
       var j = 0
       while (j < sh.length) {
@@ -112,11 +125,17 @@ object HashKernels {
       mhs(k) = min
       k += 1
     }
-    val bkeys = new Array[String](4)
+    val nBands = seeds / rowsPerBand
+    val bkeys = new Array[String](nBands)
     var band = 0
-    while (band < 4) {
-      bkeys(band) =
-        md5hex(band.toString + "|" + mhs(2 * band) + "|" + mhs(2 * band + 1))
+    while (band < nBands) {
+      val sb = new java.lang.StringBuilder(band.toString)
+      var r = 0
+      while (r < rowsPerBand) {
+        sb.append('|').append(mhs(band * rowsPerBand + r))
+        r += 1
+      }
+      bkeys(band) = md5hex(sb.toString)
       band += 1
     }
     (sh, bkeys)
@@ -124,6 +143,14 @@ object HashKernels {
 
   def minhashDocRow(text: UTF8String): InternalRow = {
     val (sh, bkeys) = minhashDoc(text.toString)
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(sh.map(UTF8String.fromString(_: String))),
+      new GenericArrayData(bkeys.map(UTF8String.fromString(_: String)))))
+  }
+
+  def minhashDocBandedRow(text: UTF8String, seeds: Int,
+      rowsPerBand: Int): InternalRow = {
+    val (sh, bkeys) = minhashDocBanded(text.toString, seeds, rowsPerBand)
     new GenericInternalRow(Array[Any](
       new GenericArrayData(sh.map(UTF8String.fromString(_: String))),
       new GenericArrayData(bkeys.map(UTF8String.fromString(_: String)))))

@@ -46,14 +46,19 @@ object TextQueries {
     * O(shingles × 8) md5+concat expression-tree evals per doc).
     * min(md5(seed:shingle)) is a string-min minhash — same total order
     * in both engines. */
-  private def docShingles(s: SparkSession, d: String): DataFrame = {
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    docShinglesAt(s, d, seeds = 8, rowsPerBand = 2)
+
+  private def docShinglesAt(s: SparkSession, d: String, seeds: Int,
+      rowsPerBand: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       // documents is a single parquet split; spread it so the kernel
       // runs at full core parallelism — the analog of the reference's
       // frame-chunk fan-out
       .repartition(col("doc_id"))
-      .select(col("doc_id"), expr("minhash_doc(text)").as("m"))
+      .select(col("doc_id"),
+        expr(s"minhash_doc_banded(text, $seeds, $rowsPerBand)").as("m"))
       .select(col("doc_id"), col("m.sh").as("sh"),
         col("m.bkeys").as("bkeys"))
       .filter(size(col("sh")) > 0)
@@ -65,14 +70,25 @@ object TextQueries {
     * (band, bucket) — never an all-pairs cross join — and the shingle
     * work happens once: both join sides project the same plan, so
     * Catalyst reuses the subtree instead of recomputing it. */
-  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    dedupMinhashAt(s, d, seeds = 8, rowsPerBand = 2)
+
+  /** (seeds, rowsPerBand) is the LSH S-curve knob for this tier (the
+    * text analog of simNeardupLshAt's bits): more rows per band
+    * suppresses sub-threshold candidates, more bands raises recall.
+    * Aligned bands ⇒ candidates at a larger rowsPerBand are a strict
+    * subset of those at a divisor (spec-pinned). The registered query
+    * pins (8, 2) to match its oracle. */
+  def dedupMinhashAt(s: SparkSession, d: String, seeds: Int,
+      rowsPerBand: Int): DataFrame = {
     // lineage barrier: without it PushPredicateThroughJoin folds the
     // Jaccard filter into the self-join condition and the optimizer
     // re-derives the shingle/signature arrays per candidate PAIR
     // (interpreted HOFs, O(pairs × doc_len)). The barrier pins one
     // evaluation per doc. At cluster scale this would be a persisted
     // signature table instead of RDD-local blocks.
-    val ds = docShingles(s, d).localCheckpoint(false)
+    val ds = docShinglesAt(s, d, seeds, rowsPerBand)
+      .localCheckpoint(false)
     val bands = ds.select(col("doc_id"),
       posexplode(col("bkeys")).as(Seq("band", "bkey")))
     val b1 = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))

@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Measures the minhash band knob on a large corpus (not a registered
+  * query): wall time + verified pairs of dedupMinhashAt per
+  * (seeds, rows_per_band). `SPARK_GRAFT_SF_DIR=... runMain
+  * graft.tools.MinhashBandsProbe`. */
+object MinhashBandsProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val configs = Seq((8, 2), (8, 4), (16, 4))
+    val results = configs.map { case (seeds, rpb) =>
+      val t0 = System.nanoTime()
+      val n = graft.text.TextQueries
+        .dedupMinhashAt(spark, sfDir, seeds, rpb).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      s""""s${seeds}_r$rpb":{"sec":$sec,"pairs":$n}"""
+    }
+    println(s"""{"metric":"minhash_bands","sf":"$sfDir",${results.mkString(",")}}""")
+    spark.stop()
+  }
+}

@@ -238,4 +238,27 @@ class HashKernelsSpec extends AnyFunSuite {
     assert(wide.subsetOf(base),
       s"${(wide -- base).size} pairs at 24 bits missing from 16-bit set")
   }
+
+  test("minhash_doc_banded(8, 2) == minhash_doc; wider bands give a " +
+    "subset of verified near-dup pairs (aligned-band property)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = samples.toDF("t")
+    val both = df.selectExpr("minhash_doc(t) AS a",
+      "minhash_doc_banded(t, 8, 2) AS b").collect()
+    both.foreach(r => assert(r.get(0) == r.get(1)))
+    // query-level: (8, 4) verified output is a subset of (8, 2)
+    val base = text.TextQueries.dedupMinhash(spark, SparkTestBase.sf)
+      .collect().map(_.toString).toSet
+    val wide = text.TextQueries
+      .dedupMinhashAt(spark, SparkTestBase.sf, seeds = 8, rowsPerBand = 4)
+      .collect().map(_.toString).toSet
+    assert(wide.subsetOf(base),
+      s"${(wide -- base).size} pairs at rows_per_band=4 missing from 2")
+    // plan-time validation
+    val e = intercept[Exception] {
+      df.selectExpr("minhash_doc_banded(t, 8, 3)").collect()
+    }
+    assert(e.getMessage.contains("divide"))
+  }
 }
