@@ -187,6 +187,64 @@ object TextQueries {
     else
       shiftright(col("sim_hi"), 7 * b - 32).bitwiseAND(lit(127L))
 
+  /** General banded extraction: band b of k covers signature bits
+    * [b·64/k, (b+1)·64/k) across the (sim_lo, sim_hi) 32-bit halves —
+    * any disjoint k-band cover is pigeonhole-exhaustive for
+    * Hamming ≤ k−1 (uncovered bits only help), so the threshold is a
+    * free parameter. */
+  private def bandValAt(b: Int, k: Int): org.apache.spark.sql.Column = {
+    val start = b * 64 / k
+    val end = (b + 1) * 64 / k
+    def mask(w: Int) = lit((1L << w) - 1)
+    if (end <= 32)
+      shiftright(col("sim_lo"), start).bitwiseAND(mask(end - start))
+    else if (start >= 32)
+      shiftright(col("sim_hi"), start - 32).bitwiseAND(mask(end - start))
+    else {
+      val loBits = 32 - start
+      shiftright(col("sim_lo"), start).bitwiseAND(mask(loBits)) +
+        col("sim_hi").bitwiseAND(mask(end - 32)) * lit(1L << loBits)
+    }
+  }
+
+  /** Threshold-parameterized simhash near-dup (the third member of
+    * the scale-knob family next to lsh_code bits and minhash bands):
+    * `maxHamming + 1` bands make the band-join exhaustive for the
+    * given threshold — tighter thresholds mean MORE, narrower bands,
+    * so candidate cost falls as the near-dup definition sharpens.
+    * Output at the default threshold 8 is row-identical to the
+    * registered q_dedup_simhash (different band boundaries, same
+    * exhaustive candidates, same exact verify — spec-pinned); the
+    * registered query keeps its own layout to match its oracle. */
+  def dedupSimhashAt(s: SparkSession, d: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"dedup_simhash: maxHamming must be in [0, 31], got $maxHamming")
+    val k = maxHamming + 1
+    val sig = simhashSig(s, d).localCheckpoint(false)
+    val banded = sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+      explode(array((0 until k).map(b =>
+        struct(lit(b).as("band"), bandValAt(b, k).as("bval"))): _*))
+        .as("bd"))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        col("bd.band").as("band"), col("bd.bval").as("bval"))
+    val g1 = banded.select(col("doc_id").as("d1"),
+      col("sim_lo").as("lo1"), col("sim_hi").as("hi1"),
+      col("band"), col("bval"))
+    val g2 = banded.select(col("doc_id").as("d2"),
+      col("sim_lo").as("lo2"), col("sim_hi").as("hi2"),
+      col("band").as("band2"), col("bval").as("bval2"))
+    g1.join(g2, col("band") === col("band2") &&
+        col("bval") === col("bval2") && col("d1") < col("d2"))
+      .withColumn("hamming",
+        (bit_count(col("lo1").bitwiseXOR(col("lo2"))) +
+          bit_count(col("hi1").bitwiseXOR(col("hi2")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+      .distinct()
+      .orderBy("d1", "d2")
+  }
+
   /** SimHash near-dup pairs: hamming(sig1, sig2) ≤ 8, found via 9-band
     * bit-sampling LSH + exact verify. Pigeonhole: ≤ 8 differing bits
     * cannot corrupt all 9 bands, so every qualifying pair shares at

@@ -26,7 +26,14 @@ object MinhashBandsProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       s""""s${seeds}_r$rpb":{"sec":$sec,"pairs":$n}"""
     }
-    println(s"""{"metric":"minhash_bands","sf":"$sfDir",${results.mkString(",")}}""")
+    val sims = Seq(8, 4).map { h =>
+      val t0 = System.nanoTime()
+      val n = graft.text.TextQueries.dedupSimhashAt(spark, sfDir, h)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      s""""simhash_h$h":{"sec":$sec,"pairs":$n}"""
+    }
+    println(s"""{"metric":"minhash_bands","sf":"$sfDir",${(results ++ sims).mkString(",")}}""")
     spark.stop()
   }
 }

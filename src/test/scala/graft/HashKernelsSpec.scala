@@ -261,4 +261,19 @@ class HashKernelsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("divide"))
   }
+
+  test("dedupSimhashAt(8) is row-identical to the registered query " +
+    "(both pigeonhole-exhaustive); tighter thresholds give subsets") {
+    val base = text.TextQueries.dedupSimhash(spark, SparkTestBase.sf)
+      .collect().map(_.toString).toSet
+    val at8 = text.TextQueries
+      .dedupSimhashAt(spark, SparkTestBase.sf, maxHamming = 8)
+      .collect().map(_.toString).toSet
+    assert(at8 == base,
+      s"${(at8 -- base).size} extra / ${(base -- at8).size} missing")
+    val at4 = text.TextQueries
+      .dedupSimhashAt(spark, SparkTestBase.sf, maxHamming = 4)
+      .collect().map(_.toString).toSet
+    assert(at4.subsetOf(base))
+  }
 }
