@@ -92,18 +92,30 @@ object MinHashDocBanded {
   def build(es: Seq[Expression]): MinHashDocBanded = {
     require(es.length == 3,
       "minhash_doc_banded(text, seeds, rows_per_band) takes 3 arguments")
-    def lit(e: Expression, what: String): Int = {
-      require(e.foldable, s"minhash_doc_banded: $what must be a literal")
-      e.eval(null) match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"minhash_doc_banded: $what must be an integer literal, " +
-            s"got $other")
-      }
+    MinHashDocBanded(es.head,
+      LiteralArg.int("minhash_doc_banded", es(1), "seeds"),
+      LiteralArg.int("minhash_doc_banded", es(2), "rows_per_band"))
+  }
+}
+
+/** Shared plan-time literal extraction for the parameterized
+  * functions: a Long literal narrows via toIntExact, so an
+  * out-of-range value that would WRAP into the valid range fails
+  * loudly instead of silently running with a different parameter. */
+private[functions] object LiteralArg {
+  def int(fn: String, e: Expression, what: String): Int = {
+    require(e.foldable, s"$fn: $what must be a literal integer")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long =>
+        try Math.toIntExact(l) catch {
+          case _: ArithmeticException =>
+            throw new IllegalArgumentException(
+              s"$fn: $what literal $l does not fit an Int")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
     }
-    MinHashDocBanded(es.head, lit(es(1), "seeds"),
-      lit(es(2), "rows_per_band"))
   }
 }
 
@@ -342,14 +354,7 @@ object LshCode {
   /** Registration builder: bits must fold to an integer literal. */
   def build(es: Seq[Expression]): LshCode = {
     require(es.length == 2, "lsh_code(emb, bits) takes 2 arguments")
-    require(es(1).foldable, "lsh_code: bits must be a literal integer")
-    val bits = es(1).eval(null) match {
-      case i: Int => i
-      case l: Long => l.toInt
-      case other => throw new IllegalArgumentException(
-        s"lsh_code: bits must be an integer literal, got $other")
-    }
-    LshCode(es.head, bits)
+    LshCode(es.head, LiteralArg.int("lsh_code", es(1), "bits"))
   }
 }
 

@@ -145,14 +145,7 @@ object TopKPairs {
   def literalK(es: Seq[Expression]): Int = {
     require(es.length == 3,
       "topk_pairs(value, id, k) takes exactly 3 arguments")
-    require(es(2).foldable,
-      "topk_pairs: k must be a literal integer")
-    es(2).eval(null) match {
-      case i: Int => i
-      case l: Long => l.toInt
-      case other => throw new IllegalArgumentException(
-        s"topk_pairs: k must be an integer literal, got $other")
-    }
+    LiteralArg.int("topk_pairs", es(2), "k")
   }
 }
 

@@ -136,19 +136,27 @@ object DtrFormat {
     val f = new File(raw)
     if (raw.exists(c => c == '*' || c == '?' || c == '[' || c == '{')) {
       // framesets are DIRECTORIES, so dtr globs match subdirectories
-      // (MultiPath's file-glob cannot); trailing segment only, name
-      // order, each match recursing through this resolver
+      // ONLY (MultiPath's file-glob is the symmetric file case; without
+      // the isDirectory filter, a glob over a write-path output would
+      // match all.stk too and read every frameset twice); trailing
+      // segment only, name order, each match recursing through this
+      // resolver
       val slash = raw.lastIndexOf('/')
       val (dirPart, namePat) =
         if (slash < 0) (".", raw)
         else (raw.substring(0, slash), raw.substring(slash + 1))
+      if (dirPart.exists(c => c == '*' || c == '?' || c == '[' ||
+        c == '{')) throw new IllegalArgumentException(
+        s"dtr load: glob is only supported in the trailing segment, " +
+          s"got '$raw'")
       val dir = new File(dirPart)
       if (!dir.isDirectory) throw new IllegalArgumentException(
         s"dtr load: glob parent '$dirPart' is not a directory")
       val matcher = java.nio.file.FileSystems.getDefault
         .getPathMatcher("glob:" + namePat)
       val hits = dir.listFiles()
-        .filter(d => matcher.matches(d.toPath.getFileName))
+        .filter(d => d.isDirectory &&
+          matcher.matches(d.toPath.getFileName))
         .sortBy(_.getName).toSeq
       if (hits.isEmpty) throw new IllegalArgumentException(
         s"dtr load: glob '$raw' matched no framesets")

