@@ -60,10 +60,64 @@ object SimQueries {
       .withColumn("nrm", sqrt(col("n2s") / expr(S)))
   }
 
+  // ------------------------------------------------ shared session state
+
+  /** (session, dir, key) → checkpointed DataFrame state shared across
+    * the similarity queries (the TrajModel.shared / pqTrainShared
+    * idiom): the normalized vector table and the k-means fit are
+    * identical in every query that uses them, so each is computed once
+    * per session+dir. Same lifetime contract as pqCache: first-touch
+    * snapshot of the files, evicted on application end. get +
+    * putIfAbsent (not computeIfAbsent) because builders nest (kmeans →
+    * vecs). */
+  private val simCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), AnyRef]()
+
+  private val simListenerInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  private def shared[T <: AnyRef](s: SparkSession, d: String, key: String)
+      (build: => T): T = {
+    val k = (s, d, key)
+    val existing = simCache.get(k)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val built = build
+      val prev = simCache.putIfAbsent(k, built)
+      if (prev == null && simListenerInstalled.add(s)) {
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler
+                  .SparkListenerApplicationEnd): Unit = {
+              simCache.keySet.removeIf(_._1 eq s)
+              simListenerInstalled.remove(s)
+            }
+          })
+      }
+      if (prev != null) prev.asInstanceOf[T] else built
+    }
+  }
+
+  private def vecsShared(s: SparkSession, d: String): DataFrame =
+    shared(s, d, "vecs")(withNorm(s, d).localCheckpoint(false))
+
+  /** Shared deterministic k-means fit: (centroids, checkpointed
+    * assignment). Trained once per session+dir; the IVF index and the
+    * SemDeDup pass are two consumers of the same coarse quantizer —
+    * retraining per query was exactly the r4 PQ bug class. */
+  private def kmeansShared(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    shared(s, d, "kmeans") {
+      val vecs = vecsShared(s, d)
+      val (c2, asg) = kmeansFit(vecs)
+      (c2, asg.localCheckpoint(false))
+    }
+
   /** Brute-force cosine top-5 neighbours for the fixed query subset
     * (vec_id % 50 = 0, vec_id < 2500), excluding self. */
   def simTopk(s: SparkSession, d: String): DataFrame = {
-    val corpus = withNorm(s, d)
+    val corpus = vecsShared(s, d)
     val queries = corpus
       .filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
@@ -138,7 +192,7 @@ object SimQueries {
     require(bits >= 1 && bits <= 63,
       s"sim_neardup_lsh: bits must be in [1, 63], got $bits")
     graft.functions.GraftFunctions.register(s)
-    val vecs = withNorm(s, d)
+    val vecs = vecsShared(s, d)
       .withColumn("bkt", expr(s"lsh_code(emb, $bits)"))
       .localCheckpoint(false)
     val codes = vecs.select(col("bkt")).distinct()
@@ -244,9 +298,11 @@ object SimQueries {
     * At 100 TB: assignment is a narrow n×K broadcast pass (the
     * standard IVF cost), lists shuffle once on cluster id, and each
     * query touches nprobe/K of the corpus instead of all of it. */
-  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val vecs = withNorm(s, d).localCheckpoint(false)
-
+  /** The deterministic k-means-lite fit shared by the IVF index and
+    * the SemDeDup pass: K = 16 fixed-vec_id seeds, two exact Lloyd
+    * iterations. Returns (final centroids ("cluster","cemb","c_n2s"),
+    * final assignment ("vec_id","cluster")). */
+  private def kmeansFit(vecs: DataFrame): (DataFrame, DataFrame) = {
     // assignment of every vector to its nearest centroid, exact-integer
     def assign(cent: DataFrame): DataFrame = {
       // argmin via min(struct(d2s, cluster)) — the same (d2s, cluster)
@@ -280,7 +336,13 @@ object SimQueries {
         col("n2s").as("c_n2s"))
     val c1 = update(assign(seeds)).localCheckpoint(false)
     val c2 = update(assign(c1)).localCheckpoint(false)
-    val lists = vecs.join(assign(c2), "vec_id")
+    (c2, assign(c2))
+  }
+
+  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+    val vecs = vecsShared(s, d)
+    val (c2, asg) = kmeansShared(s, d)
+    val lists = vecs.join(asg, "vec_id")
       .select(col("vec_id"), col("cluster"), col("emb"), col("nrm"))
       .localCheckpoint(false)
 
@@ -309,8 +371,10 @@ object SimQueries {
       .orderBy("qid", "rk")
   }
 
-  private val simAnnIvfSql =
-    """WITH e AS (
+  /** DuckDB twin of [[kmeansFit]] — CTE chain ending in `a2`
+    * (vec_id → cluster), shared by the IVF and SemDeDup oracles. */
+  private val kmeansCtes =
+    """e AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
       |         CAST(unnest(embedding) AS DOUBLE) AS v
       |  FROM embeddings),
@@ -380,7 +444,10 @@ object SimQueries {
       |    FROM d2 d
       |    JOIN n2 ON n2.vec_id = d.vec_id
       |    JOIN cn2 cn ON cn.cluster = d.cluster) t
-      |  WHERE rn = 1),
+      |  WHERE rn = 1)""".stripMargin
+
+  private val simAnnIvfSql = s"WITH $kmeansCtes," +
+    """
       |qd AS (
       |  SELECT e.vec_id AS qid, c.cluster,
       |    sum(CAST(round(e.v * c.cv * 1e12, 0) AS BIGINT)) AS dot
@@ -418,6 +485,108 @@ object SimQueries {
       |    ORDER BY cos_sim DESC, nid) AS rk FROM sims)
       |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos_sim
       |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  // ------------------------------------------------------------ SemDeDup
+
+  /** Semantic dedup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): documents
+    * that say the same thing in different words share no n-grams, so
+    * the text tiers can't see them — but their EMBEDDINGS are close.
+    * The published recipe: k-means the corpus embeddings, compare
+    * pairs only WITHIN each cluster (the semantic analog of an LSH
+    * band), group vectors above a cosine threshold, keep one canonical
+    * member per group.
+    *
+    * This pass reuses [[kmeansFit]] (the IVF coarse quantizer — same
+    * deterministic seeds, same exact-integer Lloyd iterations) and
+    * [[graft.graph.GraphOps.connectedComponents]] (the same star
+    * algorithm the text cluster query uses) — the two kernels compose.
+    * Within-cluster pairs at cos ≥ 0.4 form the edge set; the keeper is
+    * the min vec_id of each component.
+    *
+    * Scale: the all-pairs step is confined to cells — K grows with the
+    * corpus (K ∝ √n keeps cells bounded), so per-cell pair counts stay
+    * fixed while cells parallelize across the cluster; the pair set
+    * entering CC is threshold-bounded. Cross-cluster near-dups are
+    * invisible by design — that's SemDeDup's published recall trade,
+    * the same one the IVF index makes with nprobe. */
+  private def semClustersShared(s: SparkSession, d: String): DataFrame =
+    shared(s, d, "semclusters") {
+      val vecs = vecsShared(s, d)
+      val (_, asg) = kmeansShared(s, d)
+      val av = vecs.join(asg, "vec_id")
+        .select(col("vec_id"), col("cluster"), col("emb"), col("nrm"))
+        .localCheckpoint(false)
+      val l = av.select(col("cluster"), col("vec_id").as("v1"),
+        col("emb").as("e1"), col("nrm").as("nrm1"))
+      val r = av.select(col("cluster").as("cluster2"),
+        col("vec_id").as("v2"), col("emb").as("e2"),
+        col("nrm").as("nrm2"))
+      val pairs = l.join(r, col("cluster") === col("cluster2") &&
+          col("v1") < col("v2"))
+        .withColumn("cos_sim", round(
+          (expr(dotScaled("e1", "e2")) / expr(S)) /
+            (col("nrm1") * col("nrm2")), 6))
+        .filter(col("cos_sim") >= 0.4)
+        .select("v1", "v2")
+      graft.graph.GraphOps.connectedComponents(pairs)
+        .localCheckpoint(false)
+    }
+
+  /** The registered SemDeDup query over [[semClustersShared]] — the
+    * cluster-assignment table is the pipeline's persisted artifact
+    * (build-once contract, like the pair set and the k-means fit). */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val (_, asg) = kmeansShared(s, d)
+    val cc = semClustersShared(s, d)
+    val sem = Tables.embeddings(s, d).select(col("vec_id"))
+      .join(cc, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("sem_rep"))
+    val sizes = sem.groupBy("sem_rep").agg(count(lit(1)).as("group_size"))
+    sem.join(sizes, "sem_rep")
+      .join(asg.withColumnRenamed("cluster", "kcluster"), "vec_id")
+      .select(col("vec_id"), col("kcluster").cast("long").as("kcluster"),
+        col("sem_rep"), col("group_size").cast("long").as("group_size"),
+        (col("vec_id") === col("sem_rep")).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  private val dedupSemanticSql = s"WITH RECURSIVE $kmeansCtes," +
+    """
+      |wpairs AS (
+      |  SELECT x.vec_id AS v1, y.vec_id AS v2
+      |  FROM a2 x JOIN a2 y
+      |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+      |wdots AS (
+      |  SELECT w.v1, w.v2,
+      |    sum(CAST(round(p.v * q.v * 1e12, 0) AS BIGINT)) AS dot
+      |  FROM wpairs w
+      |  JOIN e p ON p.vec_id = w.v1
+      |  JOIN e q ON q.vec_id = w.v2 AND q.idx = p.idx
+      |  GROUP BY 1, 2),
+      |sedges0 AS (
+      |  SELECT d.v1, d.v2
+      |  FROM wdots d
+      |  JOIN n2 x ON x.vec_id = d.v1
+      |  JOIN n2 y ON y.vec_id = d.v2
+      |  WHERE round((d.dot / 1e12) / (x.nrm * y.nrm), 6) >= 0.4),
+      |sedges AS (SELECT v1 AS a, v2 AS b FROM sedges0
+      |           UNION SELECT v2 AS a, v1 AS b FROM sedges0),
+      |sreach AS (
+      |  SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+      |  UNION
+      |  SELECT s.b AS node, r.lbl FROM sreach r
+      |  JOIN sedges s ON s.a = r.node),
+      |scomp AS (SELECT node AS vec_id, min(lbl) AS sem_rep
+      |          FROM sreach GROUP BY node),
+      |ssz AS (SELECT sem_rep, count(*) AS n FROM scomp GROUP BY 1)
+      |SELECT c.vec_id, CAST(a.cluster AS BIGINT) AS kcluster, c.sem_rep,
+      |  CAST(z.n AS BIGINT) AS group_size, c.vec_id = c.sem_rep AS keep
+      |FROM scomp c
+      |JOIN ssz z USING (sem_rep)
+      |JOIN a2 a ON a.vec_id = c.vec_id
+      |ORDER BY c.vec_id""".stripMargin
 
   // -------------------------------------------------- int8 quantization
 
@@ -523,7 +692,7 @@ object SimQueries {
     * codebooks the compression query emitted. */
   private def pqTrain(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val vecs = withNorm(s, d)
+    val vecs = vecsShared(s, d)
     // long layout: one row per (vector, subspace, position)
     val e = vecs
       .select(col("vec_id"), posexplode(col("emb")).as(Seq("idx0", "v")))
@@ -773,6 +942,7 @@ object SimQueries {
     QueryDef("q_sim_topk", simTopk, Some(simTopkSql)),
     QueryDef("q_sim_neardup_lsh", simNeardupLsh, Some(simNeardupLshSql)),
     QueryDef("q_sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)),
+    QueryDef("q_dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QueryDef("q_emb_quantize", embQuantize, Some(embQuantizeSql)),
     QueryDef("q_emb_pq", embPq, Some(embPqSql)),
     QueryDef("q_sim_ann_pq", simAnnPq, Some(simAnnPqSql)))

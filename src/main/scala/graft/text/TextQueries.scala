@@ -80,6 +80,67 @@ object TextQueries {
     * subset of those at a divisor (spec-pinned). The registered query
     * pins (8, 2) to match its oracle. */
   def dedupMinhashAt(s: SparkSession, d: String, seeds: Int,
+      rowsPerBand: Int): DataFrame =
+    (if (seeds == 8 && rowsPerBand == 2) minhashPairsShared(s, d)
+     else minhashPairsAt(s, d, seeds, rowsPerBand)).orderBy("d1", "d2")
+
+  /** Probe access to the pair set (tools/CcProbe only). */
+  private[graft] def minhashPairsProbe(s: SparkSession, d: String): DataFrame =
+    minhashPairsShared(s, d)
+
+  /** (session, dir, key) → checkpointed shared state for the dedup
+    * pipeline (the SimQueries/pqTrainShared idiom; same first-touch
+    * snapshot + application-end eviction contract): the verified
+    * (8, 2) pair set — shared by q_dedup_minhash and q_dedup_cluster —
+    * and the cluster-assignment table built from it. Builders nest
+    * (clusters → pairs), hence get + putIfAbsent. */
+  private val textCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  private val textListenerInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  private def textShared(s: SparkSession, d: String, key: String)
+      (build: => DataFrame): DataFrame = {
+    val k = (s, d, key)
+    val existing = textCache.get(k)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = textCache.putIfAbsent(k, built)
+      if (prev == null && textListenerInstalled.add(s)) {
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler
+                  .SparkListenerApplicationEnd): Unit = {
+              textCache.keySet.removeIf(_._1 eq s)
+              textListenerInstalled.remove(s)
+            }
+          })
+      }
+      if (prev != null) prev else built
+    }
+  }
+
+  private def minhashPairsShared(s: SparkSession, d: String): DataFrame =
+    textShared(s, d, "pairs")(
+      minhashPairsAt(s, d, 8, 2).localCheckpoint(false))
+
+  /** The cluster-assignment table ("node", "cluster") over the verified
+    * pair graph — at cluster scale this is the dedup pipeline's
+    * persisted artifact (a doc_id → canonical_id map materialized once
+    * and joined by every downstream consumer), so it carries the same
+    * build-once contract as the pair set it derives from. */
+  private def clustersShared(s: SparkSession, d: String): DataFrame =
+    textShared(s, d, "clusters")(
+      graft.graph.GraphOps.connectedComponents(
+        minhashPairsShared(s, d).select("d1", "d2"))
+        .localCheckpoint(false))
+
+  /** The verified near-dup PAIR SET (unordered) — shared by the
+    * registered pair query above and the cluster query below. */
+  private def minhashPairsAt(s: SparkSession, d: String, seeds: Int,
       rowsPerBand: Int): DataFrame = {
     // lineage barrier: without it PushPredicateThroughJoin folds the
     // Jaccard filter into the self-join condition and the optimizer
@@ -108,11 +169,13 @@ object TextQueries {
         size(col("sh1")) + size(col("sh2")) - col("ni")))
       .filter(col("jaccard") >= 0.8)
       .select("d1", "d2", "jaccard")
-      .orderBy("d1", "d2")
   }
 
-  private val dedupMinhashSql =
-    """WITH tok AS (
+  /** DuckDB CTE chain ending in `pairs`(d1, d2, jaccard) — the oracle
+    * twin of [[minhashPairsAt]] at (8, 2), shared by the pair and
+    * cluster oracles. */
+  private val minhashPairsCtes =
+    """tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
       |         generate_subscripts(string_split(text, ' '), 1) AS pos
       |  FROM documents),
@@ -145,18 +208,174 @@ object TextQueries {
       |  FROM cand c
       |  JOIN shd s1 ON s1.doc_id = c.d1
       |  JOIN shd s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
-      |  GROUP BY c.d1, c.d2)
-      |SELECT i.d1, i.d2,
-      |  """.stripMargin +
+      |  GROUP BY c.d1, c.d2),
+      |pairs AS (
+      |  SELECT i.d1, i.d2,
+      |    """.stripMargin +
       ratio6Sql("n_inter", "z1.n_sh + z2.n_sh - n_inter") +
       """ AS jaccard
-      |FROM inter i
-      |JOIN sizes z1 ON z1.doc_id = i.d1
-      |JOIN sizes z2 ON z2.doc_id = i.d2
-      |WHERE """.stripMargin +
+      |  FROM inter i
+      |  JOIN sizes z1 ON z1.doc_id = i.d1
+      |  JOIN sizes z2 ON z2.doc_id = i.d2
+      |  WHERE """.stripMargin +
       ratio6Sql("n_inter", "z1.n_sh + z2.n_sh - n_inter") +
-      """ >= 0.8
-      |ORDER BY d1, d2""".stripMargin
+      """ >= 0.8)""".stripMargin
+
+  private val dedupMinhashSql =
+    s"WITH $minhashPairsCtes\nSELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2"
+
+  // ---------------------------------------------------- dedup clusters
+
+  /** Near-dup CLUSTERS: the end-game of the dedup story. The pair
+    * tiers answer "which docs are near-duplicates of each other"; a
+    * dedup pass needs "which ONE of each group survives". Connected
+    * components over the verified minhash pair graph
+    * ([[graft.graph.GraphOps.connectedComponents]], alternating
+    * large-star/small-star) assigns every document a canonical
+    * representative — the min doc_id reachable through near-dup links,
+    * so transitive chains (A~B, B~C, A≁C) still collapse to one keeper,
+    * which pairwise filtering alone cannot express.
+    *
+    * Output: one row per document — its cluster representative, the
+    * cluster size, and `keep` (true iff this doc IS the
+    * representative). `SELECT ... WHERE keep` is the deduplicated
+    * corpus.
+    *
+    * Scale: the CC input is the verified pair set (≪ corpus); rounds
+    * are O(log² n) keyed shuffles of that small set. The label join
+    * back to `documents` is keyed by doc_id and AQE sizes the
+    * (checkpointed, runtime-known) label side — in practice a
+    * broadcast, since only near-dup members carry labels. */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val cc = clustersShared(s, d)
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val labeled = docs.join(cc, docs("doc_id") === cc("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster_rep"))
+    val sizes = labeled.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_rep")
+      .select(col("doc_id"), col("cluster_rep"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        (col("doc_id") === col("cluster_rep")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: same pair CTEs, then min-label transitive closure as a
+    * recursive CTE (tractable at oracle scale; the Spark side uses the
+    * O(log² n) star algorithm instead — flooding is O(diameter)). */
+  private val dedupClusterSql =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION SELECT d2 AS a, d1 AS b FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.b AS node, r.lbl FROM reach r JOIN edges e ON e.a = r.node),
+       |comp AS (SELECT node AS doc_id, min(lbl) AS cluster_rep
+       |         FROM reach GROUP BY node),
+       |csz AS (SELECT cluster_rep, count(*) AS n FROM comp GROUP BY 1)
+       |SELECT c.doc_id, c.cluster_rep, CAST(z.n AS BIGINT) AS cluster_size,
+       |  c.doc_id = c.cluster_rep AS keep
+       |FROM comp c JOIN csz z USING (cluster_rep)
+       |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- span dedup
+
+  /** C4-style cross-document SPAN dedup (Raffel et al. 2020 §2.2 —
+    * "discard all but one of any three-sentence span occurring more
+    * than once"; over these single-line word-stream docs the analog
+    * unit is the word 5-gram, the granularity of Lee et al. 2021's
+    * exact-substring dedup). Doc-level dedup misses boilerplate shared
+    * across otherwise-distinct pages; this removes the shared SPANS
+    * while keeping exactly one canonical occurrence — the (doc_id, pos)
+    * minimum — so no text is lost from the corpus entirely.
+    *
+    * Pipeline: positioned 5-grams straight off the split array (array
+    * slice — no window shuffle), gram stats via one map-side-combinable
+    * groupBy(gram) {count, min(struct(doc_id, pos))}, duplicate
+    * occurrences expand to covered token positions, kept tokens
+    * reassemble per doc. Output per doc: token counts before/after and
+    * the md5 of the cleaned text.
+    *
+    * Scale: shuffles are keyed by gram (combiner-friendly counts;
+    * AQE-skew-splittable hot grams) and doc_id (bounded per-doc state).
+    * Nothing is ever all-pairs, and the gram table is the same O(corpus
+    * tokens) a tokenizing pass already produces. */
+  def spanDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .repartition(col("doc_id"))
+    val tok = docs.select(col("doc_id"),
+      posexplode(col("arr")).as(Seq("pos", "w")))
+    val grams = docs.filter(size(col("arr")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(arr) - 5)," +
+          " i -> array_join(slice(arr, i + 1, 5), ' '))"))
+        .as(Seq("pos", "g")))
+    val stats = grams.groupBy("g").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+    val removed = grams.join(stats, "g")
+      .filter(col("cnt") > 1 &&
+        !(col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    val cover = removed
+      .select(col("doc_id").as("c_doc"),
+        explode(expr("sequence(pos, pos + 4)")).as("cpos"))
+      .distinct()
+    val kept = tok.join(cover,
+      col("doc_id") === col("c_doc") && col("pos") === col("cpos"),
+      "left_anti")
+    val perDoc = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(expr("array_join(transform(sort_array(collect_list(" +
+        "struct(pos, w))), x -> x.w), ' ')")).as("clean_hash"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val spanDedupSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, pos,
+      |    w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win || ' ' ||
+      |    lead(w,3) OVER win || ' ' || lead(w,4) OVER win AS g
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |occ AS (SELECT doc_id, pos, g FROM g0 WHERE g IS NOT NULL),
+      |ranked AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+      |    count(*) OVER (PARTITION BY g) AS cnt
+      |  FROM occ),
+      |removed AS (SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1),
+      |cover AS (SELECT DISTINCT doc_id, pos + o AS cpos
+      |          FROM removed, (SELECT unnest(range(5)) AS o) os),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos, t.w
+      |  FROM tok t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+      |  WHERE c.doc_id IS NULL),
+      |perdoc AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         md5(string_agg(w, ' ' ORDER BY pos)) AS clean_hash
+      |  FROM kept GROUP BY doc_id),
+      |base AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      |         FROM documents)
+      |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_kept,
+      |  coalesce(p.clean_hash, md5('')) AS clean_hash
+      |FROM base b LEFT JOIN perdoc p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------- simhash
 
@@ -1005,6 +1224,8 @@ object TextQueries {
     QueryDef("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QueryDef("q_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
+    QueryDef("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    QueryDef("q_span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("q_text_stats", textStats, Some(textStatsSql)),
     QueryDef("q_token_count", tokenCount, Some(tokenCountSql)),
     QueryDef("q_quality_score", qualityScore, Some(qualityScoreSql)),

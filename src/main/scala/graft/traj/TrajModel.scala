@@ -233,6 +233,19 @@ object TrajModel {
     triplets.toDF("ai", "aj", "ak")
   }
 
+  /** Fixed dihedral quadruplets — the 4-atom torsion stencil (the
+    * mdtraj compute_dihedrals surface; the reference wraps only the
+    * 3-atom angle at geometry/angle.py:58 — same gather, one more
+    * role). */
+  val quadruplets: Seq[(Long, Long, Long, Long)] = Seq(
+    (1L, 2L, 3L, 4L), (2L, 4L, 8L, 16L), (5L, 10L, 15L, 20L),
+    (7L, 11L, 13L, 17L), (20L, 30L, 40L, 50L))
+
+  def quadrupletsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    quadruplets.toDF("ai", "aj", "ak", "al")
+  }
+
   /** The posq/post CTEs pre-filter positions to the atom ids the
     * pair/triplet list references. Semantically redundant (the joins
     * restrict to those atoms anyway) but it bounds EVERY join order the
@@ -254,4 +267,13 @@ object TrajModel {
       ",\npost AS (SELECT * FROM positions WHERE atom_id IN (" +
       triplets.flatMap { case (a, b, c) => Seq(a, b, c) }.distinct.sorted
         .mkString(", ") + "))"
+
+  val quadrupletsSql: String =
+    quadruplets.map { case (a, b, c, e) => s"($a, $b, $c, $e)" }.mkString(
+      "quads AS (SELECT CAST(ai AS BIGINT) AS ai, CAST(aj AS BIGINT) AS aj," +
+        " CAST(ak AS BIGINT) AS ak, CAST(al AS BIGINT) AS al" +
+        " FROM (VALUES ", ", ", ") v(ai, aj, ak, al))") +
+      ",\nposd AS (SELECT * FROM positions WHERE atom_id IN (" +
+      quadruplets.flatMap { case (a, b, c, e) => Seq(a, b, c, e) }
+        .distinct.sorted.mkString(", ") + "))"
 }

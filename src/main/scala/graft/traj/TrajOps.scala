@@ -59,6 +59,28 @@ object TrajOps {
     acos(least(greatest(cosv, lit(-1.0)), lit(1.0)))
   }
 
+  /** Signed torsion (dihedral) angle of the 4-atom stencil with bond
+    * vectors b1=(ux,uy,uz), b2=(vx,vy,vz), b3=(wx,wy,wz):
+    * atan2(|b2|·(b1·(b2×b3)), (b1×b2)·(b2×b3)) ∈ (−π, π] — the
+    * standard mdtraj/Praxeolitic form (the 3-atom angle above is the
+    * reference's surface, geometry/angle.py:142-176; the 4-atom form
+    * is its natural extension and shares the gather). Every product
+    * below is written with the same shape as the oracle SQL so IEEE
+    * evaluation is bit-identical before the final round. */
+  def dihedralRad(ux: Column, uy: Column, uz: Column,
+                  vx: Column, vy: Column, vz: Column,
+                  wx: Column, wy: Column, wz: Column): Column = {
+    val c1x = uy * vz - uz * vy
+    val c1y = uz * vx - ux * vz
+    val c1z = ux * vy - uy * vx
+    val c2x = vy * wz - vz * wy
+    val c2y = vz * wx - vx * wz
+    val c2z = vx * wy - vy * wx
+    val yv = sqrt(norm2(vx, vy, vz)) * (ux * c2x + uy * c2y + uz * c2z)
+    val xv = c1x * c2x + c1y * c2y + c1z * c2z
+    atan2(yv, xv)
+  }
+
   /** Near-zero snap used when constructing box vectors
     * (validation.py:224-227: |v| < 1e-6 → 0). */
   def snap(v: Column): Column = when(abs(v) < 1e-6, 0.0).otherwise(v)

@@ -421,6 +421,69 @@ object TrajQueries {
        |        + (pc.z-pb.z)*(pc.z-pb.z) > 0
        |ORDER BY frame_id, ai, aj, ak""".stripMargin
 
+  /** F3-ext: per-(frame, quadruplet) SIGNED torsion angle in (−π, π]
+    * (TrajOps.dihedralRad — the 4-atom extension of the reference's
+    * 3-atom stencil, geometry/angle.py:58-107). Same plan shape as
+    * trajAngles: the 5-row quadruplet list is the only forced
+    * broadcast; the four positions roles meet in (atom_id, frame_id)
+    * co-partitioned equi-joins. Degenerate (zero-length bond) rows are
+    * filtered in both engines; `+ 0.0` canonicalizes −0.0 (atan2 of a
+    * negative exact zero) so both engines hash identically. */
+  def trajDihedrals(s: SparkSession, d: String): DataFrame = {
+    val atomIds = TrajModel.quadruplets
+      .flatMap { case (a, b, c, e) => Seq(a, b, c, e) }.distinct.sorted
+    val p = TrajModel.positionsShared(s, d)
+      .filter(col("atom_id").isin(atomIds: _*)) // posd CTE twin
+    val ux = col("bx") - col("ax"); val uy = col("by") - col("ay")
+    val uz = col("bz") - col("az")
+    val vx = col("cx") - col("bx"); val vy = col("cy") - col("by")
+    val vz = col("cz") - col("bz")
+    val wx = col("dx") - col("cx"); val wy = col("dy") - col("cy")
+    val wz = col("dz") - col("cz")
+    role(p, "a")
+      .join(broadcast(TrajModel.quadrupletsDf(s)), col("a_atom") === col("ai"))
+      .join(role(p, "b"), col("b_atom") === col("aj") &&
+        col("a_frame") === col("b_frame"))
+      .join(role(p, "c"), col("c_atom") === col("ak") &&
+        col("a_frame") === col("c_frame"))
+      .join(role(p, "d"), col("d_atom") === col("al") &&
+        col("a_frame") === col("d_frame"))
+      .filter(norm2(ux, uy, uz) > 0 && norm2(vx, vy, vz) > 0 &&
+        norm2(wx, wy, wz) > 0)
+      .select(col("a_frame").as("frame_id"), col("ai"), col("aj"),
+        col("ak"), col("al"),
+        (round(dihedralRad(ux, uy, uz, vx, vy, vz, wx, wy, wz), 6) +
+          lit(0.0)).as("dihedral_rad"))
+      .orderBy("frame_id", "ai", "aj", "ak", "al")
+  }
+
+  private val trajDihedralsSql =
+    s"""$P, ${TrajModel.quadrupletsSql},
+       |g AS (
+       |  SELECT pa.frame_id AS frame_id, ai, aj, ak, al,
+       |    pb.x-pa.x AS ux, pb.y-pa.y AS uy, pb.z-pa.z AS uz,
+       |    pc.x-pb.x AS vx, pc.y-pb.y AS vy, pc.z-pb.z AS vz,
+       |    pd.x-pc.x AS wx, pd.y-pc.y AS wy, pd.z-pc.z AS wz
+       |  FROM quads
+       |  JOIN posd pa ON pa.atom_id = ai
+       |  JOIN posd pb ON pb.atom_id = aj AND pb.frame_id = pa.frame_id
+       |  JOIN posd pc ON pc.atom_id = ak AND pc.frame_id = pa.frame_id
+       |  JOIN posd pd ON pd.atom_id = al AND pd.frame_id = pa.frame_id
+       |  WHERE (pb.x-pa.x)*(pb.x-pa.x) + (pb.y-pa.y)*(pb.y-pa.y)
+       |          + (pb.z-pa.z)*(pb.z-pa.z) > 0
+       |    AND (pc.x-pb.x)*(pc.x-pb.x) + (pc.y-pb.y)*(pc.y-pb.y)
+       |          + (pc.z-pb.z)*(pc.z-pb.z) > 0
+       |    AND (pd.x-pc.x)*(pd.x-pc.x) + (pd.y-pc.y)*(pd.y-pc.y)
+       |          + (pd.z-pc.z)*(pd.z-pc.z) > 0)
+       |SELECT frame_id, ai, aj, ak, al,
+       |  round(atan2(
+       |    sqrt(vx*vx + vy*vy + vz*vz)
+       |      * (ux*(vy*wz - vz*wy) + uy*(vz*wx - vx*wz) + uz*(vx*wy - vy*wx)),
+       |    (uy*vz - uz*vy)*(vy*wz - vz*wy) + (uz*vx - ux*vz)*(vz*wx - vx*wz)
+       |      + (ux*vy - uy*vx)*(vx*wy - vy*wx)), 6) + 0.0 AS dihedral_rad
+       |FROM g
+       |ORDER BY frame_id, ai, aj, ak, al""".stripMargin
+
   /** A1: per-frame weighted mean = center of mass with table-sourced
     * masses from the topology dimension (distance.py:282-337; masses
     * read from topology at :319-320). The reference normalizes masses
@@ -933,6 +996,7 @@ object TrajQueries {
     QueryDef("q_traj_displacements_periodic", trajDisplacementsPeriodic,
       Some(trajDisplacementsPeriodicSql)),
     QueryDef("q_traj_angles", trajAngles, Some(trajAnglesSql)),
+    QueryDef("q_traj_dihedrals", trajDihedrals, Some(trajDihedralsSql)),
     QueryDef("q_traj_angles_wide", trajAnglesWide, Some(trajAnglesSql)),
     QueryDef("q_traj_com", trajCom, Some(trajComSql)),
     QueryDef("q_traj_com_wide", trajComWide, Some(trajComSql)),
