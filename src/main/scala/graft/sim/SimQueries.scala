@@ -511,34 +511,49 @@ object SimQueries {
     * invisible by design — that's SemDeDup's published recall trade,
     * the same one the IVF index makes with nprobe. */
   private def semClustersShared(s: SparkSession, d: String): DataFrame =
-    shared(s, d, "semclusters") {
-      val vecs = vecsShared(s, d)
-      val (_, asg) = kmeansShared(s, d)
-      val av = vecs.join(asg, "vec_id")
-        .select(col("vec_id"), col("cluster"), col("emb"), col("nrm"))
-        .localCheckpoint(false)
-      val l = av.select(col("cluster"), col("vec_id").as("v1"),
-        col("emb").as("e1"), col("nrm").as("nrm1"))
-      val r = av.select(col("cluster").as("cluster2"),
-        col("vec_id").as("v2"), col("emb").as("e2"),
-        col("nrm").as("nrm2"))
-      val pairs = l.join(r, col("cluster") === col("cluster2") &&
-          col("v1") < col("v2"))
-        .withColumn("cos_sim", round(
-          (expr(dotScaled("e1", "e2")) / expr(S)) /
-            (col("nrm1") * col("nrm2")), 6))
-        .filter(col("cos_sim") >= 0.4)
-        .select("v1", "v2")
-      graft.graph.GraphOps.connectedComponents(pairs)
-        .localCheckpoint(false)
-    }
+    shared(s, d, "semclusters")(semClustersAt(s, d, 0.4))
+
+  private def semClustersAt(s: SparkSession, d: String,
+      tau: Double): DataFrame = {
+    val vecs = vecsShared(s, d)
+    val (_, asg) = kmeansShared(s, d)
+    val av = vecs.join(asg, "vec_id")
+      .select(col("vec_id"), col("cluster"), col("emb"), col("nrm"))
+      .localCheckpoint(false)
+    val l = av.select(col("cluster"), col("vec_id").as("v1"),
+      col("emb").as("e1"), col("nrm").as("nrm1"))
+    val r = av.select(col("cluster").as("cluster2"),
+      col("vec_id").as("v2"), col("emb").as("e2"),
+      col("nrm").as("nrm2"))
+    val pairs = l.join(r, col("cluster") === col("cluster2") &&
+        col("v1") < col("v2"))
+      .withColumn("cos_sim", round(
+        (expr(dotScaled("e1", "e2")) / expr(S)) /
+          (col("nrm1") * col("nrm2")), 6))
+      .filter(col("cos_sim") >= tau)
+      .select("v1", "v2")
+    graft.graph.GraphOps.connectedComponents(pairs)
+      .localCheckpoint(false)
+  }
 
   /** The registered SemDeDup query over [[semClustersShared]] — the
     * cluster-assignment table is the pipeline's persisted artifact
     * (build-once contract, like the pair set and the k-means fit). */
-  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+  def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    dedupSemanticAt(s, d, tau = 0.4)
+
+  /** `tau` is this tier's dedup-aggressiveness knob (the family of
+    * dedupMinhashAt / dedupSimhashAt / spanDedupAt): a HIGHER threshold
+    * keeps a strict subset of the pair edges, so every tau' ≥ tau group
+    * is contained in some tau group (spec-pinned refinement). The
+    * registered query pins 0.4 to match its oracle; SemDeDup's paper
+    * sweeps this against downstream loss. */
+  def dedupSemanticAt(s: SparkSession, d: String, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0,
+      s"dedup_semantic: tau must be in (0, 1], got $tau")
     val (_, asg) = kmeansShared(s, d)
-    val cc = semClustersShared(s, d)
+    val cc = if (tau == 0.4) semClustersShared(s, d)
+             else semClustersAt(s, d, tau)
     val sem = Tables.embeddings(s, d).select(col("vec_id"))
       .join(cc, col("vec_id") === col("node"), "left")
       .select(col("vec_id"),

@@ -302,16 +302,29 @@ object TextQueries {
     * AQE-skew-splittable hot grams) and doc_id (bounded per-doc state).
     * Nothing is ever all-pairs, and the gram table is the same O(corpus
     * tokens) a tokenizing pass already produces. */
-  def spanDedup(s: SparkSession, d: String): DataFrame = {
+  def spanDedup(s: SparkSession, d: String): DataFrame =
+    spanDedupAt(s, d, span = 5)
+
+  /** `span` is this tier's corpus-density knob (the dedupMinhashAt /
+    * dedupSimhashAt / lsh_code family): longer spans remove strictly
+    * LESS text — a duplicated n-span's sub-spans are duplicated too and
+    * first-occur no later, so every token removed at span n is removed
+    * at any divisor-free m < n as well (spec-pinned monotonicity;
+    * PackingSpec-style exactness at the (5) default, which the
+    * registered query pins to match its oracle). C4 itself uses
+    * three-sentence spans; Lee et al. 2021 use 50-token substrings —
+    * the right n grows with how much boilerplate the corpus shares. */
+  def spanDedupAt(s: SparkSession, d: String, span: Int): DataFrame = {
+    require(span >= 2, s"span_dedup: span must be >= 2, got $span")
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
       .repartition(col("doc_id"))
     val tok = docs.select(col("doc_id"),
       posexplode(col("arr")).as(Seq("pos", "w")))
-    val grams = docs.filter(size(col("arr")) >= 5)
+    val grams = docs.filter(size(col("arr")) >= span)
       .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(arr) - 5)," +
-          " i -> array_join(slice(arr, i + 1, 5), ' '))"))
+        s"transform(sequence(0, size(arr) - $span)," +
+          s" i -> array_join(slice(arr, i + 1, $span), ' '))"))
         .as(Seq("pos", "g")))
     val stats = grams.groupBy("g").agg(
       count(lit(1)).as("cnt"),
@@ -323,7 +336,7 @@ object TextQueries {
       .select(col("doc_id"), col("pos"))
     val cover = removed
       .select(col("doc_id").as("c_doc"),
-        explode(expr("sequence(pos, pos + 4)")).as("cpos"))
+        explode(expr(s"sequence(pos, pos + ${span - 1})")).as("cpos"))
       .distinct()
     val kept = tok.join(cover,
       col("doc_id") === col("c_doc") && col("pos") === col("cpos"),

@@ -283,4 +283,42 @@ class HashKernelsSpec extends AnyFunSuite {
       .collect().map(_.toString).toSet
     assert(at0.subsetOf(at4))
   }
+
+  test("spanDedupAt(5) == registered query; longer spans remove " +
+    "strictly less text per document (monotonicity)") {
+    val base = text.TextQueries.spanDedup(spark, SparkTestBase.sf)
+      .collect().map(_.toString).toSet
+    val at5 = text.TextQueries.spanDedupAt(spark, SparkTestBase.sf, 5)
+      .collect().map(_.toString).toSet
+    assert(at5 == base)
+    val kept5 = text.TextQueries.spanDedup(spark, SparkTestBase.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val kept8 = text.TextQueries.spanDedupAt(spark, SparkTestBase.sf, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kept5.keySet == kept8.keySet)
+    kept5.foreach { case (doc, k5) =>
+      assert(k5 <= kept8(doc),
+        s"doc $doc kept $k5 tokens at span=5 but ${kept8(doc)} at span=8")
+    }
+  }
+
+  test("dedupSemanticAt(0.4) == registered query; a higher threshold " +
+    "refines the groups (every tau=0.7 group sits inside a tau=0.4 group)") {
+    val base = sim.SimQueries.dedupSemantic(spark, SparkTestBase.sf)
+      .collect().map(_.toString).toSet
+    val at04 = sim.SimQueries.dedupSemanticAt(spark, SparkTestBase.sf, 0.4)
+      .collect().map(_.toString).toSet
+    assert(at04 == base)
+    val rep04 = sim.SimQueries.dedupSemantic(spark, SparkTestBase.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rep07 = sim.SimQueries.dedupSemanticAt(spark, SparkTestBase.sf, 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // refinement: two vectors grouped at 0.7 must be grouped at 0.4
+    rep07.keys.foreach { v =>
+      val peers07 = rep07.filter(_._2 == rep07(v)).keySet
+      val peers04 = rep04.filter(_._2 == rep04(v)).keySet
+      assert(peers07.subsetOf(peers04),
+        s"vec $v: tau=0.7 group not contained in its tau=0.4 group")
+    }
+  }
 }
