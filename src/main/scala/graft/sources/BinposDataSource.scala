@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.RandomAccessFile
+
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util
 
@@ -79,7 +79,7 @@ object BinposTable {
   /** (natoms, nFrames) from the driver-side probe: magic + first
     * frame's natoms field + size arithmetic. */
   def probe(p: String): (Int, Long) = {
-    val raf = new RandomAccessFile(p, "r")
+    val raf = FsIO.openRandom(p)
     try {
       if (raf.length() < 8) return (0, 0L)
       val m = new Array[Byte](4)
@@ -231,7 +231,7 @@ class BinposPartitionReader(unitScale: Double, required: StructType,
     range: BinposFrameRange) extends PartitionReader[InternalRow] {
 
   private val stride = 4L + 12L * range.nAtoms
-  private val raf = new RandomAccessFile(range.filePath, "r")
+  private val raf = FsIO.openRandom(range.filePath)
   raf.seek(4L + range.startFrame * stride)
 
   private var frame = range.startFrame

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, File, FileOutputStream}
+import java.io.OutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -29,11 +29,10 @@ class BinposBatchWrite(path: String, unitScale: Double,
     schema: StructType, truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
-    val dir = new File(path)
-    if (truncate && dir.exists())
-      dir.listFiles().filter(_.getName.endsWith(".binpos"))
-        .foreach(_.delete())
-    dir.mkdirs()
+    if (truncate && FsIO.exists(path))
+      FsIO.list(path).filter(_.name.endsWith(".binpos"))
+        .foreach(e => FsIO.delete(e.path))
+    FsIO.mkdirs(path)
     new BinposWriterFactory(path, unitScale, schema)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -62,8 +61,8 @@ class BinposDataWriter(path: String, unitScale: Double,
     s"binpos write needs columns frame_id, x, y, z; got " +
       schema.fieldNames.mkString(", "))
 
-  private val file = new File(path, f"part-$partitionId%05d.binpos")
-  private val out = new BufferedOutputStream(new FileOutputStream(file))
+  private val file = FsIO.child(path, f"part-$partitionId%05d.binpos")
+  private val out: OutputStream = FsIO.createStream(file)
   out.write(BinposTable.Magic)
 
   private var curFrame = Long.MinValue
@@ -97,7 +96,7 @@ class BinposDataWriter(path: String, unitScale: Double,
 
   override def abort(): Unit = {
     out.close()
-    file.delete()
+    FsIO.delete(file)
   }
 
   override def close(): Unit = ()

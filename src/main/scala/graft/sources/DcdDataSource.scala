@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.RandomAccessFile
+
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util
 
@@ -67,7 +67,7 @@ private[sources] object DcdHeader {
     * a running simulation routinely carry a stale NSET, and a truncated
     * tail frame must not produce a torn read. */
   def parse(path: String): DcdHeader = {
-    val raf = new RandomAccessFile(path, "r")
+    val raf = FsIO.openRandom(path)
     try {
       val fileLen = raf.length()
       if (fileLen < 116) fail(path, s"file too short ($fileLen bytes)")
@@ -362,7 +362,7 @@ class DcdPartitionReader(path: String, unitScale: Double,
   // header re-parse per task is one 200-byte read; it keeps the
   // InputPartition serializable-small and the reader self-contained
   private val header = DcdHeader.parse(file)
-  private val raf = new RandomAccessFile(file, "r")
+  private val raf = FsIO.openRandom(file)
   raf.seek(header.dataStart + range.startFrame * header.frameBytes)
 
   private val frameBuf = new Array[Byte](header.frameBytes.toInt)

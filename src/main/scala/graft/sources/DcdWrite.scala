@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{DataOutputStream, FileOutputStream}
+import java.io.DataOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** DCD file writer — the write half of the binary round-trip
@@ -39,8 +39,7 @@ object DcdWrite {
       "unitcell presence must be uniform across frames (the record " +
         "layout is fixed per file)")
 
-    val out = new DataOutputStream(new java.io.BufferedOutputStream(
-      new FileOutputStream(path)))
+    val out = new DataOutputStream(FsIO.createStream(path))
     try {
       def record(body: ByteBuffer => Unit, size: Int): Unit = {
         val bb = ByteBuffer.allocate(size + 8).order(endian)

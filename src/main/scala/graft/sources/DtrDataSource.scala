@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.{File, RandomAccessFile}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util
 
@@ -51,32 +50,32 @@ object DtrFormat {
   case class Meta(nAtoms: Int, hasBox: Boolean)
 
   /** metadata file: magic, version, natoms, hasBox — 16 bytes LE. */
-  def readMeta(dir: File): Meta = {
-    val f = new File(dir, "metadata")
-    if (!f.isFile) throw new IllegalArgumentException(
-      s"dtr: ${dir.getPath} has no metadata file — not a frameset " +
+  def readMeta(dir: String): Meta = {
+    val f = FsIO.child(dir, "metadata")
+    if (!FsIO.isFile(f)) throw new IllegalArgumentException(
+      s"dtr: $dir has no metadata file — not a frameset " +
         "directory")
-    val raf = new RandomAccessFile(f, "r")
+    val raf = FsIO.openRandom(f)
     try {
       val buf = new Array[Byte](16)
       raf.readFully(buf)
       val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
       val magic = bb.getInt()
       if (magic != MetaMagic) throw new IllegalArgumentException(
-        s"dtr: ${dir.getPath} metadata magic 0x${magic.toHexString} is " +
+        s"dtr: $dir metadata magic 0x${magic.toHexString} is " +
           s"not 0x${MetaMagic.toHexString} — a foreign frameset payload " +
           "profile this library does not decode")
       val version = bb.getInt()
       if (version != 1) throw new IllegalArgumentException(
-        s"dtr: ${dir.getPath} metadata version $version unsupported")
+        s"dtr: $dir metadata version $version unsupported")
       val nAtoms = bb.getInt()
       if (nAtoms <= 0) throw new IllegalArgumentException(
-        s"dtr: ${dir.getPath} declares $nAtoms atoms")
+        s"dtr: $dir declares $nAtoms atoms")
       // bound so frameBytes (12*nAtoms + 48) stays a valid array size
       // everywhere — a corrupt header fails HERE at plan time, not as
       // a NegativeArraySizeException in an executor
       if (nAtoms > 100_000_000) throw new IllegalArgumentException(
-        s"dtr: ${dir.getPath} declares $nAtoms atoms (> 1e8 — corrupt " +
+        s"dtr: $dir declares $nAtoms atoms (> 1e8 — corrupt " +
           "metadata, or a payload too large for one frame record)")
       Meta(nAtoms, bb.getInt() != 0)
     } finally raf.close()
@@ -87,26 +86,26 @@ object DtrFormat {
     * stored: the payload is fixed-size, so (file, offset) is
     * arithmetic (the fixed-layout property that makes planning a
     * single bounded read even for billion-frame sets). */
-  def readTimekeys(dir: File): (Int, Array[Double]) = {
-    val f = new File(dir, "timekeys")
-    if (!f.isFile) throw new IllegalArgumentException(
-      s"dtr: ${dir.getPath} has no timekeys file")
-    val raf = new RandomAccessFile(f, "r")
+  def readTimekeys(dir: String): (Int, Array[Double]) = {
+    val f = FsIO.child(dir, "timekeys")
+    if (!FsIO.isFile(f)) throw new IllegalArgumentException(
+      s"dtr: $dir has no timekeys file")
+    val raf = FsIO.openRandom(f)
     try {
       val head = new Array[Byte](16)
       raf.readFully(head)
       val hb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
       val magic = hb.getInt()
       if (magic != KeysMagic) throw new IllegalArgumentException(
-        s"dtr: ${dir.getPath} timekeys magic mismatch")
+        s"dtr: $dir timekeys magic mismatch")
       val fpf = hb.getInt()
       if (fpf <= 0) throw new IllegalArgumentException(
-        s"dtr: ${dir.getPath} frames_per_file $fpf must be > 0")
+        s"dtr: $dir frames_per_file $fpf must be > 0")
       val n = hb.getLong()
       // 8*n must fit an array (the per-frameset index is one bounded
       // read; a billion-frame TRAJECTORY is many framesets via stk)
       if (n < 0 || n > 200_000_000L) throw new IllegalArgumentException(
-        s"dtr: ${dir.getPath} frame count $n out of range (one " +
+        s"dtr: $dir frame count $n out of range (one " +
           "frameset indexes at most 2e8 frames; split larger " +
           "trajectories across framesets in an stk list)")
       val body = new Array[Byte]((8L * n).toInt)
@@ -132,8 +131,7 @@ object DtrFormat {
     * write path's commit artifact) or its `*.dtr` subdirectories in
     * name order — so a sharded write output reads back with one
     * `load(outDir)`. */
-  def framesets(raw: String): Seq[File] = {
-    val f = new File(raw)
+  def framesets(raw: String): Seq[String] = {
     if (raw.exists(c => c == '*' || c == '?' || c == '[' || c == '{')) {
       // framesets are DIRECTORIES, so dtr globs match subdirectories
       // ONLY (MultiPath's file-glob is the symmetric file case; without
@@ -149,46 +147,44 @@ object DtrFormat {
         c == '{')) throw new IllegalArgumentException(
         s"dtr load: glob is only supported in the trailing segment, " +
           s"got '$raw'")
-      val dir = new File(dirPart)
-      if (!dir.isDirectory) throw new IllegalArgumentException(
+      if (!FsIO.isDirectory(dirPart)) throw new IllegalArgumentException(
         s"dtr load: glob parent '$dirPart' is not a directory")
       val matcher = java.nio.file.FileSystems.getDefault
         .getPathMatcher("glob:" + namePat)
-      val hits = dir.listFiles()
-        .filter(d => d.isDirectory &&
-          matcher.matches(d.toPath.getFileName))
-        .sortBy(_.getName).toSeq
+      val hits = FsIO.list(dirPart)
+        .filter(e => !e.isFile &&
+          matcher.matches(java.nio.file.Paths.get(e.name)))
+        .map(_.path)
       if (hits.isEmpty) throw new IllegalArgumentException(
         s"dtr load: glob '$raw' matched no framesets")
-      hits.flatMap(h => framesets(h.getPath))
+      hits.flatMap(framesets)
     }
-    else if (f.isDirectory && new File(f, "timekeys").isFile) Seq(f)
-    else if (f.isDirectory && new File(f, "all.stk").isFile)
-      framesets(new File(f, "all.stk").getPath)
-    else if (f.isDirectory) {
-      val subs = f.listFiles()
-        .filter(d => d.isDirectory && d.getName.endsWith(".dtr"))
-        .sortBy(_.getName).toSeq
+    else if (FsIO.isDirectory(raw)
+      && FsIO.isFile(FsIO.child(raw, "timekeys"))) Seq(raw)
+    else if (FsIO.isDirectory(raw)
+      && FsIO.isFile(FsIO.child(raw, "all.stk")))
+      framesets(FsIO.child(raw, "all.stk"))
+    else if (FsIO.isDirectory(raw)) {
+      val subs = FsIO.list(raw)
+        .filter(e => !e.isFile && e.name.endsWith(".dtr"))
+        .map(_.path)
       if (subs.isEmpty) throw new IllegalArgumentException(
         s"dtr load: $raw has no timekeys, no all.stk and no .dtr " +
           "subdirectories — not a frameset or frameset collection")
       subs
     }
-    else if (f.isFile && raw.toLowerCase.endsWith(".stk")) {
-      val lines = java.nio.file.Files.readAllLines(f.toPath)
-      val dirs = scala.jdk.CollectionConverters.ListHasAsScala(lines)
-        .asScala.map(_.trim)
+    else if (FsIO.isFile(raw) && raw.toLowerCase.endsWith(".stk")) {
+      val dirs = FsIO.readLines(raw).map(_.trim)
         .filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { l =>
-          val d = new File(l)
-          if (d.isAbsolute) d else new File(f.getParentFile, l)
-        }.toSeq
+          if (FsIO.isAbsolute(l)) l else FsIO.child(FsIO.parent(raw), l)
+        }
       // an entry-less stk is a VALID empty trajectory — the write
       // path commits one for an empty DataFrame, and the round-trip
       // must read back as 0 rows (matching every other source)
       dirs.foreach { d =>
-        if (!d.isDirectory) throw new IllegalArgumentException(
-          s"dtr: stk entry ${d.getPath} (from $raw) is not a directory")
+        if (!FsIO.isDirectory(d)) throw new IllegalArgumentException(
+          s"dtr: stk entry $d (from $raw) is not a directory")
       }
       dirs
     } else throw new IllegalArgumentException(
@@ -330,7 +326,7 @@ class DtrScan(paths: Seq[String], chunks: Int, unitScale: Double,
       MultiPath.single("dtr", paths, "streaming read"),
       chunks, unitScale, required)
 
-  private def planSet(dir: File, fpf: Int, times: Array[Double],
+  private def planSet(dir: String, fpf: Int, times: Array[Double],
       meta: DtrFormat.Meta, off: Long, rowBudget: Long)
       : (Seq[InputPartition], Long) = {
     var lo = math.max(off, frameLo)
@@ -342,7 +338,7 @@ class DtrScan(paths: Seq[String], chunks: Int, unitScale: Double,
     if (lo >= hi) return (Nil, 0L)
     val parts = (lo until hi by chunks.toLong).map { start =>
       val end = math.min(start + chunks, hi)
-      DtrFrameRange(dir.getPath, start - off, end - off, meta.nAtoms,
+      DtrFrameRange(dir, start - off, end - off, meta.nAtoms,
         meta.hasBox, fpf,
         times.slice((start - off).toInt, (end - off).toInt), off)
         : InputPartition
@@ -394,7 +390,7 @@ class DtrPartitionReader(unitScale: Double, required: StructType,
   private val frameBytes = DtrFormat.frameBytes(meta)
   private val buf = new Array[Byte](frameBytes.toInt)
 
-  private var raf: RandomAccessFile = _
+  private var raf: FsRandom = _
   private var openFileIdx = -1L
 
   private val xs = new Array[Float](range.nAtoms)
@@ -418,11 +414,11 @@ class DtrPartitionReader(unitScale: Double, required: StructType,
     val fileIdx = frame / range.framesPerFile
     if (fileIdx != openFileIdx) {
       if (raf != null) raf.close()
-      val f = new File(range.dir, DtrFormat.frameFileName(fileIdx))
-      if (!f.isFile) throw new IllegalStateException(
-        s"dtr: ${range.dir} is missing ${f.getName} (frame " +
+      val f = FsIO.child(range.dir, DtrFormat.frameFileName(fileIdx))
+      if (!FsIO.isFile(f)) throw new IllegalStateException(
+        s"dtr: ${range.dir} is missing ${FsIO.fileName(f)} (frame " +
           s"${frame + range.frameOffset}) — truncated frameset")
-      raf = new RandomAccessFile(f, "r")
+      raf = FsIO.openRandom(f)
       openFileIdx = fileIdx
     }
     raf.seek((frame % range.framesPerFile) * frameBytes)

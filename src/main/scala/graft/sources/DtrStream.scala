@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.{File, RandomAccessFile}
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
@@ -33,18 +32,17 @@ case class DtrSetOffset(setCount: Int) extends Offset {
 class DtrMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
     schema: StructType) extends MicroBatchStream {
 
-  private def listSets(): Array[File] = {
-    val d = new File(dir)
-    if (!d.isDirectory) Array.empty
-    else d.listFiles()
-      .filter(s => s.isDirectory && s.getName.endsWith(".dtr") &&
-        new File(s, "timekeys").isFile)
-      .sortBy(_.getName)
+  private def listSets(): Seq[String] = {
+    if (!FsIO.isDirectory(dir)) Nil
+    else FsIO.list(dir)
+      .filter(e => !e.isFile && e.name.endsWith(".dtr") &&
+        FsIO.isFile(FsIO.child(e.path, "timekeys")))
+      .map(_.path)
   }
 
   /** Frame count from the timekeys HEADER only (16 bytes). */
-  private def frameCount(set: File): Long = {
-    val raf = new RandomAccessFile(new File(set, "timekeys"), "r")
+  private def frameCount(set: String): Long = {
+    val raf = FsIO.openRandom(FsIO.child(set, "timekeys"))
     try {
       val head = new Array[Byte](16)
       raf.readFully(head)
@@ -69,7 +67,7 @@ class DtrMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
     var base = (0 until math.min(s, sets.length))
       .map(i => frameCount(sets(i))).sum
     (s until math.min(e, sets.length)).flatMap { i =>
-      val parts = new DtrScan(Seq(sets(i).getPath), chunks, unitScale,
+      val parts = new DtrScan(Seq(sets(i)), chunks, unitScale,
         schema, 0L, Long.MaxValue, -1)
         .planInputPartitions()
         .map { p =>

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, File, FileOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Frameset writer for the dtr payload profile [[DtrDataSource]]
@@ -29,26 +28,26 @@ object DtrWrite {
       require(f.box.isDefined == hasBox,
         "dtr write: all frames must agree on box presence")
     }
-    val d = new File(dir)
-    if (!d.isDirectory && !d.mkdirs()) throw new java.io.IOException(
+    FsIO.mkdirs(dir)
+    if (!FsIO.isDirectory(dir)) throw new java.io.IOException(
       s"dtr write: cannot create frameset directory $dir")
 
     val meta = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
     meta.putInt(DtrFormat.MetaMagic).putInt(1).putInt(nAtoms)
       .putInt(if (hasBox) 1 else 0)
-    java.nio.file.Files.write(new File(d, "metadata").toPath, meta.array())
+    FsIO.writeBytes(FsIO.child(dir, "metadata"), meta.array())
 
     val keys = ByteBuffer.allocate(16 + 8 * frames.length)
       .order(ByteOrder.LITTLE_ENDIAN)
     keys.putInt(DtrFormat.KeysMagic).putInt(framesPerFile)
       .putLong(frames.length.toLong)
     frames.foreach(f => keys.putDouble(f.time))
-    java.nio.file.Files.write(new File(d, "timekeys").toPath, keys.array())
+    FsIO.writeBytes(FsIO.child(dir, "timekeys"), keys.array())
 
     frames.grouped(framesPerFile).zipWithIndex.foreach {
       case (group, fileIdx) =>
-        val out = new BufferedOutputStream(new FileOutputStream(
-          new File(d, DtrFormat.frameFileName(fileIdx.toLong))))
+        val out = FsIO.createStream(
+          FsIO.child(dir, DtrFormat.frameFileName(fileIdx.toLong)))
         try group.foreach { f =>
           val bb = ByteBuffer.allocate(
             DtrFormat.frameBytes(DtrFormat.Meta(nAtoms, hasBox)).toInt)

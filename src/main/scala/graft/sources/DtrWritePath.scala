@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, File, FileOutputStream}
+import java.io.OutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -45,27 +45,26 @@ class DtrBatchWrite(path: String, unitScale: Double, schema: StructType,
     truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
-    val dir = new File(path)
-    if (truncate && dir.exists()) {
-      dir.listFiles().foreach { f =>
-        if (f.isDirectory && f.getName.endsWith(".dtr")) {
-          f.listFiles().foreach(_.delete()); f.delete()
-        } else if (f.getName == "all.stk") f.delete()
+    if (truncate && FsIO.exists(path)) {
+      FsIO.list(path).foreach { e =>
+        if (!e.isFile && e.name.endsWith(".dtr")) FsIO.delete(e.path,
+          recursive = true)
+        else if (e.name == "all.stk") FsIO.delete(e.path)
       }
     }
     // append is NOT supported: a second write would reuse part-NNNNN
     // shard names (overwriting committed framesets) and commit() would
     // rewrite all.stk with only the new shards, silently dropping the
     // prior data from reads. Failing beats silent loss.
-    if (!truncate && dir.exists() &&
-      (new File(dir, "all.stk").isFile ||
-        dir.listFiles().exists(f =>
-          f.isDirectory && f.getName.endsWith(".dtr"))))
+    if (!truncate && FsIO.exists(path) &&
+      (FsIO.isFile(FsIO.child(path, "all.stk")) ||
+        FsIO.list(path).exists(e =>
+          !e.isFile && e.name.endsWith(".dtr"))))
       throw new IllegalArgumentException(
         s"dtr write: $path already contains a frameset collection and " +
           "append mode is not supported (shard names and all.stk would " +
           "silently overwrite it) — use mode(\"overwrite\")")
-    dir.mkdirs()
+    FsIO.mkdirs(path)
     new DtrWriterFactory(path, unitScale, schema)
   }
 
@@ -76,8 +75,7 @@ class DtrBatchWrite(path: String, unitScale: Double, schema: StructType,
     val names = messages.collect {
       case DtrCommit(pid, name, frames) if frames > 0 => (pid, name)
     }.sortBy(_._1).map(_._2)
-    java.nio.file.Files.writeString(
-      new File(path, "all.stk").toPath,
+    FsIO.writeString(FsIO.child(path, "all.stk"),
       ("# graft dtr frameset list" +: names).mkString("", "\n", "\n"))
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -115,7 +113,7 @@ class DtrDataWriter(path: String, unitScale: Double, schema: StructType,
   // this, a speculative or zombie attempt of the same partition would
   // interleave writes into one directory and its abort() would delete
   // the committed attempt's files.
-  private val setDir = new File(path, s"$setName.attempt-$taskId")
+  private val setDir = FsIO.child(path, s"$setName.attempt-$taskId")
 
   // one frame's buffers; flushed to the payload stream when frame_id
   // advances (contract: frame rows are consecutive)
@@ -130,14 +128,14 @@ class DtrDataWriter(path: String, unitScale: Double, schema: StructType,
   private val times = scala.collection.mutable.ArrayBuffer.empty[Double]
   private var nAtoms = -1
   private var hasBox = false
-  private var out: BufferedOutputStream = _
+  private var out: OutputStream = _
   private var framesInFile = 0
 
   private def openNextFile(): Unit = {
     if (out != null) out.close()
     val fileIdx = times.length.toLong / framesPerFile
-    out = new BufferedOutputStream(new FileOutputStream(
-      new File(setDir, DtrFormat.frameFileName(fileIdx))))
+    out = FsIO.createStream(
+      FsIO.child(setDir, DtrFormat.frameFileName(fileIdx)))
     framesInFile = 0
   }
 
@@ -147,7 +145,7 @@ class DtrDataWriter(path: String, unitScale: Double, schema: StructType,
       // first frame fixes the frameset shape
       nAtoms = xs.length
       hasBox = curBox.isDefined
-      setDir.mkdirs()
+      FsIO.mkdirs(setDir)
       openNextFile()
     }
     require(xs.length == nAtoms,
@@ -208,32 +206,26 @@ class DtrDataWriter(path: String, unitScale: Double, schema: StructType,
       val meta = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
       meta.putInt(DtrFormat.MetaMagic).putInt(1).putInt(nAtoms)
         .putInt(if (hasBox) 1 else 0)
-      java.nio.file.Files.write(
-        new File(setDir, "metadata").toPath, meta.array())
+      FsIO.writeBytes(FsIO.child(setDir, "metadata"), meta.array())
       val keys = ByteBuffer.allocate(16 + 8 * times.length)
         .order(ByteOrder.LITTLE_ENDIAN)
       keys.putInt(DtrFormat.KeysMagic).putInt(framesPerFile)
         .putLong(times.length.toLong)
       times.foreach(keys.putDouble)
-      java.nio.file.Files.write(
-        new File(setDir, "timekeys").toPath, keys.array())
+      FsIO.writeBytes(FsIO.child(setDir, "timekeys"), keys.array())
       // publish: attempt dir → final shard name. Spark's commit
       // coordinator admits ONE attempt per partition to commit(), so
       // the target never exists (append into existing output is
-      // rejected at build time).
-      java.nio.file.Files.move(setDir.toPath,
-        new File(path, setName).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // rejected at build time). Atomic on HDFS/local; copy+delete on
+      // object stores (the standard committer tradeoff).
+      FsIO.rename(setDir, FsIO.child(path, setName))
     }
     DtrCommit(partitionId, setName, times.length.toLong)
   }
 
   override def abort(): Unit = {
     if (out != null) out.close()
-    if (setDir.isDirectory) {
-      setDir.listFiles().foreach(_.delete())
-      setDir.delete()
-    }
+    if (FsIO.isDirectory(setDir)) FsIO.delete(setDir, recursive = true)
   }
 
   override def close(): Unit = ()

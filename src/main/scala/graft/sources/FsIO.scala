@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, BufferedReader,
+  BufferedWriter, InputStream, InputStreamReader, OutputStream,
+  OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Cluster-filesystem I/O layer shared by every trajectory source.
+  *
+  * The reference inherits mdtraj's local-file readers (its `load`
+  * ultimately hands a LOCAL filename to each parser —
+  * core/dask_traj.py:59-84), which caps it at single-machine storage.
+  * At the 100 TB design point the trajectory shards live on a cluster
+  * filesystem (HDFS, S3, GCS, ...), so every open / list / glob /
+  * positioned-read / write in `sources/` goes through this one
+  * abstraction over `org.apache.hadoop.fs.FileSystem` instead of
+  * `java.io.File` / `RandomAccessFile`:
+  *
+  *  - `load("hdfs://nn/traj/part-&#42;.dcd")`, `load("s3a://bucket/run42/")`
+  *    resolve through the scheme's registered FileSystem;
+  *  - plain local paths (`/tmp/foo.xyz`) keep working — they resolve to
+  *    the default (local) filesystem exactly as before;
+  *  - positioned binary reads keep their exact contract:
+  *    `FSDataInputStream` is seekable, so the byte-offset partition
+  *    planning (DCD frame strides, TRR header index, dtr arithmetic
+  *    offsets) is unchanged;
+  *  - `FileSystem.globStatus` serves the trailing-segment globs that
+  *    `MultiPath` exposes, on ANY scheme.
+  *
+  * Configuration: on the driver (and in local mode) the active
+  * SparkSession's Hadoop configuration is used, so `spark.hadoop.*`
+  * settings (S3 credentials, custom schemes) apply. On a cluster
+  * executor with no session in the JVM, a plain `new Configuration()`
+  * picks up core-site.xml from the executor classpath — the standard
+  * way executors learn their filesystems.
+  *
+  * Rename (used by the dtr frameset committer) maps to
+  * `FileSystem.rename`: atomic on HDFS and local disk; on object
+  * stores it degrades to copy+delete, the same tradeoff every
+  * Hadoop output committer makes.
+  */
+object FsIO {
+
+  /** Fallback conf for session-less JVMs (cluster executors): built
+    * once, reads core-site.xml/hdfs-site.xml from the classpath. */
+  private lazy val standalone = new Configuration()
+
+  def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(standalone)
+
+  /** FileSystem for a path's scheme (FileSystem.get caches per
+    * scheme+authority, so this is cheap per call). */
+  def fs(p: String): FileSystem = new Path(p).getFileSystem(conf)
+
+  /** Scheme-preserving path join (the `new File(dir, name)` analog):
+    * child("hdfs://nn/a", "b") == "hdfs://nn/a/b". */
+  def child(dir: String, name: String): String =
+    new Path(dir, name).toString
+
+  /** Parent directory of a path, scheme preserved; "" for a bare
+    * file name with no parent. */
+  def parent(p: String): String =
+    Option(new Path(p).getParent).map(_.toString).getOrElse("")
+
+  def fileName(p: String): String = new Path(p).getName
+
+  /** True when the path is absolute WITHIN its filesystem (a leading
+    * slash or an explicit scheme) — the `File.isAbsolute` analog used
+    * to resolve relative entries in dtr .stk files. */
+  def isAbsolute(p: String): Boolean = {
+    val hp = new Path(p)
+    hp.isAbsolute || hp.toUri.getScheme != null
+  }
+
+  // ---- metadata / listing ------------------------------------------------
+
+  def exists(p: String): Boolean = fs(p).exists(new Path(p))
+
+  def isFile(p: String): Boolean = {
+    val f = fs(p); val hp = new Path(p)
+    f.exists(hp) && f.getFileStatus(hp).isFile
+  }
+
+  def isDirectory(p: String): Boolean = {
+    val f = fs(p); val hp = new Path(p)
+    f.exists(hp) && f.getFileStatus(hp).isDirectory
+  }
+
+  def length(p: String): Long = fs(p).getFileStatus(new Path(p)).getLen
+
+  /** One listed entry; `path` keeps the scheme of the listed dir. */
+  final case class Entry(name: String, path: String, isFile: Boolean,
+      len: Long)
+
+  /** Non-recursive listing, name order (the order that assigns
+    * globally contiguous frame ids across shards). */
+  def list(dir: String): Seq[Entry] =
+    fs(dir).listStatus(new Path(dir)).toSeq.map { st =>
+      Entry(st.getPath.getName, st.getPath.toString, st.isFile, st.getLen)
+    }.sortBy(_.name)
+
+  /** Files in `dir` whose NAME matches the glob `namePat`, name order.
+    * Hadoop glob semantics (`* ? [] {}`) — a superset of the Java NIO
+    * matcher the local implementation used, identical on the patterns
+    * the sources document (trailing-segment `part-*.xyz` style). */
+  def globFiles(dir: String, namePat: String): Seq[String] =
+    fs(dir).globStatus(new Path(dir, namePat)) match {
+      case null => Nil
+      case sts => sts.toSeq.filter(_.isFile)
+        .map(_.getPath).sortBy(_.getName).map(_.toString)
+    }
+
+  // ---- reads -------------------------------------------------------------
+
+  /** Buffered sequential read stream. */
+  def openStream(p: String): InputStream =
+    new BufferedInputStream(fs(p).open(new Path(p)), 1 << 16)
+
+  /** Seekable positioned reader — the RandomAccessFile("r") analog. */
+  def openRandom(p: String): FsRandom = new FsRandom(p)
+
+  def readAllBytes(p: String): Array[Byte] = {
+    val st = fs(p).getFileStatus(new Path(p))
+    val buf = new Array[Byte](st.getLen.toInt)
+    val in = fs(p).open(new Path(p))
+    try in.readFully(0L, buf) finally in.close()
+    buf
+  }
+
+  def readLines(p: String): Seq[String] = {
+    val r = new BufferedReader(
+      new InputStreamReader(openStream(p), StandardCharsets.UTF_8))
+    try Iterator.continually(r.readLine()).takeWhile(_ != null).toVector
+    finally r.close()
+  }
+
+  // ---- writes ------------------------------------------------------------
+
+  def mkdirs(p: String): Unit = fs(p).mkdirs(new Path(p))
+
+  def delete(p: String, recursive: Boolean = false): Boolean =
+    fs(p).delete(new Path(p), recursive)
+
+  /** Buffered byte sink, overwrites. */
+  def createStream(p: String): OutputStream =
+    new BufferedOutputStream(fs(p).create(new Path(p), true), 1 << 16)
+
+  /** Buffered text sink, overwrites (the BufferedWriter(FileWriter)
+    * analog; UTF-8, which all the text formats are). */
+  def createWriter(p: String): BufferedWriter =
+    new BufferedWriter(
+      new OutputStreamWriter(fs(p).create(new Path(p), true),
+        StandardCharsets.UTF_8))
+
+  def writeBytes(p: String, bytes: Array[Byte]): Unit = {
+    val out = fs(p).create(new Path(p), true)
+    try out.write(bytes) finally out.close()
+  }
+
+  def writeString(p: String, s: String): Unit =
+    writeBytes(p, s.getBytes(StandardCharsets.UTF_8))
+
+  /** Directory/file move for the commit step (atomic on HDFS/local;
+    * copy+delete on object stores — the standard committer tradeoff).
+    * Fails loudly instead of returning Hadoop's false. */
+  def rename(src: String, dst: String): Unit = {
+    val f = fs(src)
+    if (!f.rename(new Path(src), new Path(dst)))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+  }
+}
+
+/** Positioned binary reader with the exact RandomAccessFile("r")
+  * surface the binary sources use (seek / readFully / length /
+  * getFilePointer / close), backed by a seekable
+  * `FSDataInputStream` so byte-offset partition plans work on any
+  * Hadoop filesystem. */
+final class FsRandom(p: String) extends AutoCloseable {
+  private val fileSystem = FsIO.fs(p)
+  private val hp = new Path(p)
+  private val len = fileSystem.getFileStatus(hp).getLen
+  private val in = fileSystem.open(hp)
+
+  def length(): Long = len
+  def seek(pos: Long): Unit = in.seek(pos)
+  def getFilePointer: Long = in.getPos
+  def readFully(b: Array[Byte]): Unit = in.readFully(b, 0, b.length)
+  def readFully(b: Array[Byte], off: Int, lenN: Int): Unit =
+    in.readFully(b, off, lenN)
+  override def close(): Unit = in.close()
+}

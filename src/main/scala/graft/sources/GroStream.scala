@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.io.File
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -20,13 +18,12 @@ import org.apache.spark.sql.types.StructType
 class GroMicroBatchStream(dir: String, chunks: Int, schema: StructType)
     extends MicroBatchStream {
 
-  private def listShards(): Array[File] = {
-    val d = new File(dir)
-    if (!d.isDirectory) Array.empty
-    else d.listFiles()
-      .filter(f => f.isFile &&
-        (f.getName.endsWith(".gro") || f.getName.endsWith(".gro.gz")))
-      .sortBy(_.getName)
+  private def listShards(): Seq[String] = {
+    if (!FsIO.isDirectory(dir)) Nil
+    else FsIO.list(dir)
+      .filter(e => e.isFile &&
+        (e.name.endsWith(".gro") || e.name.endsWith(".gro.gz")))
+      .map(_.path)
   }
 
   override def initialOffset(): Offset = XyzFileOffset(0)
@@ -42,7 +39,7 @@ class GroMicroBatchStream(dir: String, chunks: Int, schema: StructType)
     val e = end.asInstanceOf[XyzFileOffset].fileCount
     val shards = listShards()
     (s until math.min(e, shards.length)).flatMap { i =>
-      val path = shards(i).getPath
+      val path = shards(i)
       new GroScan(Seq(path), chunks, schema)
         .planInputPartitions()
         .map(p => GroShardPartition(path,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.BufferedWriter
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
@@ -28,12 +28,11 @@ class GroBatchWrite(path: String, schema: StructType, truncate: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
-    val dir = new File(path)
-    if (truncate && dir.exists())
-      dir.listFiles().filter { f => // all extensions the scan accepts
-        f.getName.endsWith(".gro") || f.getName.endsWith(".gro.gz")
-      }.foreach(_.delete())
-    dir.mkdirs()
+    if (truncate && FsIO.exists(path))
+      FsIO.list(path).filter { e => // all extensions the scan accepts
+        e.name.endsWith(".gro") || e.name.endsWith(".gro.gz")
+      }.foreach(e => FsIO.delete(e.path))
+    FsIO.mkdirs(path)
     new GroWriterFactory(path, schema)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -74,8 +73,8 @@ class GroDataWriter(path: String, schema: StructType, partitionId: Int)
     String.format(java.util.Locale.ROOT, pattern,
       args.map(_.asInstanceOf[AnyRef]): _*)
 
-  private val file = new File(path, f"part-$partitionId%05d.gro")
-  private val out = new BufferedWriter(new FileWriter(file))
+  private val file = FsIO.child(path, f"part-$partitionId%05d.gro")
+  private val out: BufferedWriter = FsIO.createWriter(file)
   private var curFrame = Long.MinValue
   private var curTime = 0.0
   private val box = new Array[Float](9)
@@ -136,7 +135,7 @@ class GroDataWriter(path: String, schema: StructType, partitionId: Int)
 
   override def abort(): Unit = {
     out.close()
-    file.delete()
+    FsIO.delete(file)
   }
 
   override def close(): Unit = ()

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.io.File
-
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.StructType
@@ -21,13 +19,12 @@ case class InpcrdFileOffset(fileCount: Int) extends Offset {
 class InpcrdMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
     schema: StructType, vel: String) extends MicroBatchStream {
 
-  private def listShards(): Array[File] = {
-    val d = new File(dir)
-    if (!d.isDirectory) Array.empty
-    else d.listFiles()
-      .filter(s => s.isFile &&
-        InpcrdTable.Extensions.exists(s.getName.endsWith))
-      .sortBy(_.getName)
+  private def listShards(): Seq[String] = {
+    if (!FsIO.isDirectory(dir)) Nil
+    else FsIO.list(dir)
+      .filter(e => e.isFile &&
+        InpcrdTable.Extensions.exists(e.name.endsWith))
+      .map(_.path)
   }
 
   override def initialOffset(): Offset = InpcrdFileOffset(0)
@@ -44,7 +41,7 @@ class InpcrdMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
     val e = end.asInstanceOf[InpcrdFileOffset].fileCount
     val shards = listShards()
     val batch = (s until math.min(e, shards.length))
-      .map(i => shards(i).getPath)
+      .map(i => shards(i))
     batch.grouped(chunks).zipWithIndex.map { case (group, gi) =>
       // global frame id = position in the full listing (file i IS
       // frame i), continuing across micro-batches by construction

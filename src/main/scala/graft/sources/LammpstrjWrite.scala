@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.BufferedWriter
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
@@ -45,15 +45,14 @@ class LammpstrjBatchWrite(path: String, unitScale: Double,
     schema: StructType, truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
-    val dir = new File(path)
     // truncate must delete every extension the SCAN accepts (plain and
     // .gz) or stale shards survive an overwrite and merge into reads
-    if (truncate && dir.exists())
-      dir.listFiles().filter { f =>
-        val n = f.getName
+    if (truncate && FsIO.exists(path))
+      FsIO.list(path).filter { e =>
+        val n = e.name
         n.endsWith(".lammpstrj") || n.endsWith(".lammpstrj.gz")
-      }.foreach(_.delete())
-    dir.mkdirs()
+      }.foreach(e => FsIO.delete(e.path))
+    FsIO.mkdirs(path)
     new LammpstrjWriterFactory(path, unitScale, schema)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -86,8 +85,8 @@ class LammpstrjDataWriter(path: String, unitScale: Double,
     s"lammpstrj write needs columns frame_id, atom_id, x, y, z; got " +
       schema.fieldNames.mkString(", "))
 
-  private val file = new File(path, f"part-$partitionId%05d.lammpstrj")
-  private val out = new BufferedWriter(new FileWriter(file))
+  private val file = FsIO.child(path, f"part-$partitionId%05d.lammpstrj")
+  private val out: BufferedWriter = FsIO.createWriter(file)
   private var curFrame = Long.MinValue
   private var curTime = 0.0
   private var curBox: Option[(Float, Float, Float)] = None
@@ -149,7 +148,7 @@ class LammpstrjDataWriter(path: String, unitScale: Double,
 
   override def abort(): Unit = {
     out.close()
-    file.delete()
+    FsIO.delete(file)
   }
 
   override def close(): Unit = ()

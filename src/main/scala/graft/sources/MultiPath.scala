@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.io.File
-import java.nio.file.FileSystems
 
 /** Multi-path / glob resolution shared by the trajectory sources — the
   * Spark-native form of the reference's list-of-files `load` idiom
@@ -64,29 +62,23 @@ object MultiPath {
       if (hasGlob(dirPart)) throw new IllegalArgumentException(
         s"$fmt load: glob is only supported in the trailing file-name " +
           s"segment, got '$raw'")
-      val dir = new File(dirPart)
-      if (!dir.isDirectory) throw new IllegalArgumentException(
+      if (!FsIO.isDirectory(dirPart)) throw new IllegalArgumentException(
         s"$fmt load: glob parent '$dirPart' is not a directory")
-      val matcher =
-        FileSystems.getDefault.getPathMatcher("glob:" + namePat)
-      val hits = dir.listFiles()
-        .filter(f => f.isFile && matcher.matches(f.toPath.getFileName))
-        .sortBy(_.getName).map(_.getPath).toSeq
+      val hits = FsIO.globFiles(dirPart, namePat)
       if (hits.isEmpty) throw new IllegalArgumentException(
         s"$fmt load: glob '$raw' matched no files")
       hits
     } else {
-      val f = new File(raw)
-      if (f.isDirectory) {
-        val shards = f.listFiles()
-          .filter(s => s.isFile &&
-            exts.exists(s.getName.toLowerCase.endsWith))
-          .sortBy(_.getName).map(_.getPath).toSeq
+      if (FsIO.isDirectory(raw)) {
+        val shards = FsIO.list(raw)
+          .filter(e => e.isFile &&
+            exts.exists(e.name.toLowerCase.endsWith))
+          .map(_.path)
         if (shards.isEmpty) throw new IllegalArgumentException(
           s"$fmt load: directory $raw contains no " +
             s"${exts.mkString("/")} shards")
         shards
-      } else if (f.isFile) Seq(raw)
+      } else if (FsIO.isFile(raw)) Seq(raw)
       else throw new IllegalArgumentException(
         s"$fmt load: path not found: $raw")
     }

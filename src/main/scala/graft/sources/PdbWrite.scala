@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.BufferedWriter
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
@@ -39,12 +39,11 @@ class PdbBatchWrite(path: String, schema: StructType, truncate: Boolean,
     unitScale: Double) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
-    val dir = new File(path)
-    if (truncate && dir.exists())
-      dir.listFiles().filter { f => // all extensions the scan accepts
-        f.getName.endsWith(".pdb") || f.getName.endsWith(".pdb.gz")
-      }.foreach(_.delete())
-    dir.mkdirs()
+    if (truncate && FsIO.exists(path))
+      FsIO.list(path).filter { e => // all extensions the scan accepts
+        e.name.endsWith(".pdb") || e.name.endsWith(".pdb.gz")
+      }.foreach(e => FsIO.delete(e.path))
+    FsIO.mkdirs(path)
     new PdbWriterFactory(path, schema, unitScale)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -87,8 +86,8 @@ class PdbDataWriter(path: String, schema: StructType, partitionId: Int,
     String.format(java.util.Locale.ROOT, pattern,
       args.map(_.asInstanceOf[AnyRef]): _*)
 
-  private val file = new File(path, f"part-$partitionId%05d.pdb")
-  private val out = new BufferedWriter(new FileWriter(file))
+  private val file = FsIO.child(path, f"part-$partitionId%05d.pdb")
+  private val out: BufferedWriter = FsIO.createWriter(file)
   private var curFrame = Long.MinValue
   private var wroteHeader = false
   private var openModel = false
@@ -152,7 +151,7 @@ class PdbDataWriter(path: String, schema: StructType, partitionId: Int,
 
   override def abort(): Unit = {
     out.close()
-    file.delete()
+    FsIO.delete(file)
   }
 
   override def close(): Unit = ()

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.io.File
-
 import org.apache.spark.sql.connector.read.InputPartition
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 
@@ -36,12 +34,11 @@ private[sources] abstract class ShardDirMicroBatchStream(
     * shard's frame count). */
   protected def partitionLocalEnd(p: InputPartition): Long
 
-  private def listShards(): Array[File] = {
-    val d = new File(dir)
-    if (!d.isDirectory) Array.empty
-    else d.listFiles()
-      .filter(f => f.isFile && exts.exists(f.getName.endsWith))
-      .sortBy(_.getName)
+  private def listShards(): Seq[String] = {
+    if (!FsIO.isDirectory(dir)) Nil
+    else FsIO.list(dir)
+      .filter(e => e.isFile && exts.exists(e.name.endsWith))
+      .map(_.path)
   }
 
   private val frameCache =
@@ -61,9 +58,9 @@ private[sources] abstract class ShardDirMicroBatchStream(
     val e = end.asInstanceOf[ShardFileOffset].fileCount
     val shards = listShards()
     var base = (0 until math.min(s, shards.length))
-      .map(i => frames(shards(i).getPath)).sum
+      .map(i => frames(shards(i))).sum
     (s until math.min(e, shards.length)).flatMap { i =>
-      val p = shards(i).getPath
+      val p = shards(i)
       val parts = planShard(p, base)
       val n = if (parts.isEmpty) 0L else parts.map(partitionLocalEnd).max
       frameCache.put(p, n)

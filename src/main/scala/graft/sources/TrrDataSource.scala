@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.RandomAccessFile
+
 import java.nio.ByteBuffer
 import java.util
 
@@ -34,7 +34,7 @@ private[sources] object TrrFormat {
     * None cleanly at EOF (zero bytes left). A PARTIAL header or a
     * magic/tag mismatch throws — the caller decides whether that is
     * fatal (FAILFAST) or truncates the index (DROPMALFORMED). */
-  def readHeader(raf: RandomAccessFile, path: String, frame: Long)
+  def readHeader(raf: FsRandom, path: String, frame: Long)
       : Option[TrrFrameHeader] = {
     val start = raf.getFilePointer
     val remaining = raf.length() - start
@@ -112,7 +112,7 @@ private[sources] object TrrFormat {
     * frame truncates the index with a warning; FAILFAST rethrows. */
   def index(path: String, mode: String, maxFrames: Long)
       : IndexedSeq[(Long, Long, TrrFrameHeader)] = {
-    val raf = new RandomAccessFile(path, "r")
+    val raf = FsIO.openRandom(path)
     try {
       val out = IndexedSeq.newBuilder[(Long, Long, TrrFrameHeader)]
       var frame = 0L
@@ -394,7 +394,7 @@ class TrrPartitionReader(unitScale: Double, required: StructType,
     range: TrrFrameRange, mode: String)
     extends PartitionReader[InternalRow] {
 
-  private val raf = new RandomAccessFile(range.filePath, "r")
+  private val raf = FsIO.openRandom(range.filePath)
   raf.seek(range.startByte)
 
   private val needV = required.fieldNames.exists(Set("vx", "vy", "vz"))

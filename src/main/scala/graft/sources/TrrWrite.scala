@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+import java.io.DataOutputStream
 import java.nio.ByteBuffer
 
 /** TRR file writer — the write half of the variable-record binary
@@ -26,8 +26,7 @@ object TrrWrite {
   def write(path: String, frames: Seq[Frame],
       doublePrecision: Boolean = false): Unit = {
     require(frames.nonEmpty, "trr write requires at least one frame")
-    val out = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(path)))
+    val out = new DataOutputStream(FsIO.createStream(path))
     val realSize = if (doublePrecision) 8 else 4
     try {
       frames.zipWithIndex.foreach { case (fr, i) =>

@@ -18,13 +18,14 @@ import scala.io.Source
   * plain one — core/dask_traj.py:50-51). Gzip is not splittable, but
   * chunked frame-range partitions still parallelize the PARSE across
   * tasks (each task decompresses its prefix — the same tradeoff Spark's
-  * own text sources make for gzip). */
+  * own text sources make for gzip). All opens route through [[FsIO]],
+  * so the shards may live on any Hadoop filesystem. */
 private[sources] object XyzLines {
   def open(path: String): Source =
     if (path.endsWith(".gz"))
       Source.fromInputStream(new java.util.zip.GZIPInputStream(
-        new java.io.FileInputStream(path)))
-    else Source.fromFile(path)
+        FsIO.openStream(path)))
+    else Source.fromInputStream(FsIO.openStream(path))
 }
 
 /** Malformed-record handling shared by the trajectory text sources —

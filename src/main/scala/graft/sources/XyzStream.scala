@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.io.File
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
@@ -34,13 +32,12 @@ case class XyzFileOffset(fileCount: Int) extends Offset {
 class XyzMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
     schema: StructType) extends MicroBatchStream {
 
-  private def listShards(): Array[File] = {
-    val d = new File(dir)
-    if (!d.isDirectory) Array.empty
-    else d.listFiles()
-      .filter(f => f.isFile &&
-        (f.getName.endsWith(".xyz") || f.getName.endsWith(".xyz.gz")))
-      .sortBy(_.getName)
+  private def listShards(): Seq[String] = {
+    if (!FsIO.isDirectory(dir)) Nil
+    else FsIO.list(dir)
+      .filter(e => e.isFile &&
+        (e.name.endsWith(".xyz") || e.name.endsWith(".xyz.gz")))
+      .map(_.path)
   }
 
   override def initialOffset(): Offset = XyzFileOffset(0)
@@ -56,7 +53,7 @@ class XyzMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
     val e = end.asInstanceOf[XyzFileOffset].fileCount
     val shards = listShards()
     (s until math.min(e, shards.length)).flatMap { i =>
-      val path = shards(i).getPath
+      val path = shards(i)
       // per-file frame probe + chunked ranges, same as the batch scan
       new XyzScan(Seq(path), chunks, unitScale, schema)
         .planInputPartitions()

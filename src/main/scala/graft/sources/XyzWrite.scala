@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedWriter, File, FileWriter}
+import java.io.BufferedWriter
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
@@ -36,12 +36,11 @@ class XyzBatchWrite(path: String, schema: StructType, truncate: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
-    val dir = new File(path)
-    if (truncate && dir.exists())
-      dir.listFiles().filter { f => // all extensions the scan accepts
-        f.getName.endsWith(".xyz") || f.getName.endsWith(".xyz.gz")
-      }.foreach(_.delete())
-    dir.mkdirs()
+    if (truncate && FsIO.exists(path))
+      FsIO.list(path).filter { e => // all extensions the scan accepts
+        e.name.endsWith(".xyz") || e.name.endsWith(".xyz.gz")
+      }.foreach(e => FsIO.delete(e.path))
+    FsIO.mkdirs(path)
     new XyzWriterFactory(path, schema)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -76,8 +75,8 @@ class XyzDataWriter(path: String, schema: StructType, partitionId: Int)
     s"xyz write needs columns frame_id, element, x, y, z; got " +
       schema.fieldNames.mkString(", "))
 
-  private val file = new File(path, f"part-$partitionId%05d.xyz")
-  private val out = new BufferedWriter(new FileWriter(file))
+  private val file = FsIO.child(path, f"part-$partitionId%05d.xyz")
+  private val out: BufferedWriter = FsIO.createWriter(file)
   private var curFrame = Long.MinValue
   private var curTime = 0.0
   private var curBox: Option[(Float, Float, Float)] = None
@@ -125,7 +124,7 @@ class XyzDataWriter(path: String, schema: StructType, partitionId: Int)
 
   override def abort(): Unit = {
     out.close()
-    file.delete()
+    FsIO.delete(file)
   }
 
   override def close(): Unit = ()

@@ -1,7 +1,5 @@
 package graft.traj
 
-import java.io.File
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Extension-dispatch loader — the analog of the reference's top-level
@@ -79,15 +77,16 @@ object TrajLoad {
     * registry extension (a `foo.dtr` frameset is one trajectory), else
     * on the name of its first regular file (a shard directory). */
   def formatFor(path: String): String = {
-    val f = new File(path)
+    import graft.sources.FsIO
+    val fname = FsIO.fileName(path)
     val probe =
-      if (f.isDirectory && extensionOf(f.getName).isDefined) f.getName
-      else if (f.isDirectory)
-        f.listFiles().filter(_.isFile).sortBy(_.getName).headOption
-          .map(_.getName).getOrElse(
+      if (FsIO.isDirectory(path) && extensionOf(fname).isDefined) fname
+      else if (FsIO.isDirectory(path))
+        FsIO.list(path).filter(_.isFile).headOption
+          .map(_.name).getOrElse(
             throw new IllegalArgumentException(
               s"trajectory load: directory $path contains no files"))
-      else f.getName
+      else fname
     extensionOf(probe).map(_._2).getOrElse {
       val lower = probe.toLowerCase
       val known = KnownUnsupported.collectFirst {
