@@ -6,7 +6,7 @@ import java.io.{BufferedInputStream, BufferedOutputStream, BufferedReader,
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{ChecksumFileSystem, FileSystem, Path}
 
 /** Cluster-filesystem I/O layer shared by every trajectory source.
   *
@@ -33,9 +33,25 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Configuration: on the driver (and in local mode) the active
   * SparkSession's Hadoop configuration is used, so `spark.hadoop.*`
   * settings (S3 credentials, custom schemes) apply. On a cluster
-  * executor with no session in the JVM, a plain `new Configuration()`
-  * picks up core-site.xml from the executor classpath — the standard
-  * way executors learn their filesystems.
+  * executor with no session in the JVM, the configuration is rebuilt
+  * from the executor's `SparkEnv.conf` — every `spark.hadoop.*` entry
+  * the driver set (S3 credentials, endpoint overrides, custom FS
+  * impls) is applied on top of the classpath's core-site.xml, so
+  * partition readers and data writers see the same filesystems the
+  * driver planned against. (`FsIOSpec` pins this with a marker key
+  * read from inside an executor task with both sessions cleared.)
+  *
+  * Checksum policy: Hadoop's LocalFileSystem wraps the raw local FS in
+  * a ChecksumFileSystem that writes a hidden `.name.crc` sidecar per
+  * file and fails reads with a ChecksumException when the sidecar goes
+  * stale. The trajectory formats carry their own record markers (DCD
+  * validates per-frame block lengths, dtr checks its metadata magic),
+  * so the sidecars add no safety — but they doubled the file count of
+  * every DSv2 write directory and turned any out-of-band edit into an
+  * opaque checksum error instead of the source's own error contract.
+  * Both sides are therefore explicitly disabled on checksum-wrapping
+  * filesystems; HDFS/S3A have integrity built into the store and are
+  * unaffected.
   *
   * Rename (used by the dtr frameset committer) maps to
   * `FileSystem.rename`: atomic on HDFS and local disk; on object
@@ -44,19 +60,49 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object FsIO {
 
-  /** Fallback conf for session-less JVMs (cluster executors): built
-    * once, reads core-site.xml/hdfs-site.xml from the classpath. */
+  /** Classpath-only conf (core-site.xml/hdfs-site.xml), built once —
+    * the base both fallback paths layer on. */
   private lazy val standalone = new Configuration()
 
   def conf: Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(standalone)
+      .getOrElse(executorConf)
+
+  /** Session-less JVMs/threads — i.e. cluster executors, where
+    * partition readers and data writers actually run. Rebuilt per call
+    * (cheap: the copy constructor skips XML re-parse) so runtime
+    * `spark.hadoop.*` changes are visible; SparkEnv carries the
+    * driver's SparkConf to every executor, which is how the driver's
+    * S3 credentials / endpoints / custom schemes reach `FsRandom`
+    * without threading a SerializableConfiguration through each of the
+    * eleven sources. */
+  private def executorConf: Configuration =
+    Option(org.apache.spark.SparkEnv.get) match {
+      case None => standalone
+      case Some(env) =>
+        val c = new Configuration(standalone)
+        env.conf.getAll.foreach { case (k, v) =>
+          if (k.startsWith("spark.hadoop."))
+            c.set(k.substring("spark.hadoop.".length), v)
+        }
+        c
+    }
 
   /** FileSystem for a path's scheme (FileSystem.get caches per
-    * scheme+authority, so this is cheap per call). */
-  def fs(p: String): FileSystem = new Path(p).getFileSystem(conf)
+    * scheme+authority, so this is cheap per call), with the explicit
+    * local-checksum policy applied (see object scaladoc). */
+  def fs(p: String): FileSystem = {
+    val f = new Path(p).getFileSystem(conf)
+    f match {
+      case cs: ChecksumFileSystem =>
+        cs.setWriteChecksum(false)
+        cs.setVerifyChecksum(false)
+      case _ => ()
+    }
+    f
+  }
 
   /** Scheme-preserving path join (the `new File(dir, name)` analog):
     * child("hdfs://nn/a", "b") == "hdfs://nn/a/b". */
@@ -125,8 +171,14 @@ object FsIO {
   /** Seekable positioned reader — the RandomAccessFile("r") analog. */
   def openRandom(p: String): FsRandom = new FsRandom(p)
 
+  /** Whole-file read for small metadata files (dtr `metadata`, .stk
+    * lists, topology headers) — NOT for trajectory payloads, which are
+    * read positioned per partition. */
   def readAllBytes(p: String): Array[Byte] = {
     val st = fs(p).getFileStatus(new Path(p))
+    require(st.getLen <= Int.MaxValue,
+      s"readAllBytes is for small metadata files; $p is ${st.getLen} " +
+        "bytes (> 2 GiB) — use openRandom/openStream for payloads")
     val buf = new Array[Byte](st.getLen.toInt)
     val in = fs(p).open(new Path(p))
     try in.readFully(0L, buf) finally in.close()
@@ -180,7 +232,13 @@ object FsIO {
   * surface the binary sources use (seek / readFully / length /
   * getFilePointer / close), backed by a seekable
   * `FSDataInputStream` so byte-offset partition plans work on any
-  * Hadoop filesystem. */
+  * Hadoop filesystem.
+  *
+  * `length()` is the size at open time, not a live stat (unlike
+  * RandomAccessFile.length()): handles are short-lived (one per
+  * partition read / header probe), so a simulation appending frames
+  * is observed on the next open, which is the same granularity the
+  * chunked planner re-plans at anyway. */
 final class FsRandom(p: String) extends AutoCloseable {
   private val fileSystem = FsIO.fs(p)
   private val hp = new Path(p)
