@@ -59,7 +59,9 @@ class BinposDataSource extends TableProvider with DataSourceRegister {
           "; the supplied read schema " + schema.simpleString +
           " does not match (drop .schema(...) or make it identical)")
     }
-    new BinposTable(paths, chunks, unitScale)
+    val expectAtoms = Option(properties.get("top"))
+      .map(PdbTopology.atomCount).getOrElse(-1)
+    new BinposTable(paths, chunks, unitScale, expectAtoms)
   }
 }
 
@@ -100,7 +102,8 @@ object BinposTable {
   }
 }
 
-class BinposTable(paths: Seq[String], chunks: Int, unitScale: Double)
+class BinposTable(paths: Seq[String], chunks: Int, unitScale: Double,
+    expectAtoms: Int = -1)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"binpos:${paths.mkString(",")}"
@@ -109,14 +112,16 @@ class BinposTable(paths: Seq[String], chunks: Int, unitScale: Double)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new BinposScanBuilder(paths, chunks, unitScale)
+      : ScanBuilder =
+    new BinposScanBuilder(paths, chunks, unitScale, expectAtoms)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new BinposWriteBuilder(MultiPath.single("binpos", paths, "write"), unitScale, info)
 }
 
-class BinposScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double)
+class BinposScanBuilder(paths: Seq[String], chunks: Int,
+    unitScale: Double, expectAtoms: Int = -1)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = BinposTable.Schema
@@ -156,7 +161,7 @@ class BinposScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double)
 
   override def build(): Scan =
     new BinposScan(paths, chunks, unitScale, required, frameLo, frameHi,
-      limit)
+      limit, expectAtoms)
 }
 
 case class BinposFrameRange(startFrame: Long, endFrame: Long,
@@ -164,7 +169,8 @@ case class BinposFrameRange(startFrame: Long, endFrame: Long,
     extends InputPartition
 
 class BinposScan(paths: Seq[String], chunks: Int, unitScale: Double,
-    required: StructType, frameLo: Long, frameHi: Long, limit: Int)
+    required: StructType, frameLo: Long, frameHi: Long, limit: Int,
+    expectAtoms: Int = -1)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -204,6 +210,12 @@ class BinposScan(paths: Seq[String], chunks: Int, unitScale: Double,
     files.foreach { p =>
       if (budget > 0 && off < frameHi) {
         val (nAtoms, nFrames) = BinposTable.probe(p)
+        // binpos carries natoms in its header; `top` is a plan-time
+        // cross-check against the topology's first-model atom count
+        if (expectAtoms > 0 && nAtoms != expectAtoms)
+          throw new IllegalArgumentException(
+            s"binpos $p: natoms $nAtoms disagrees with the topology " +
+              s"atom count $expectAtoms (option 'top')")
         val (parts, rows) = planFile(p, nAtoms, nFrames, off, budget)
         out ++= parts
         if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)

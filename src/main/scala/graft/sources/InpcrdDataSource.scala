@@ -33,7 +33,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Options: `chunks` (FILES per partition — the per-frame analog of
   * the other sources' frames-per-partition), `unit_scale` (default
-  * 0.1: Å → nm), `velocities` (see above). Velocity blocks are parsed
+  * 0.1: Å → nm), `velocities` (see above), `top` (optional PDB
+  * topology — inpcrd carries natoms in each file, so `top` is a
+  * cross-check: a restart whose natoms disagrees with the topology's
+  * first-model atom count fails with context, the reference's
+  * load(..., top=...) shape validation). Velocity blocks are parsed
   * past, not emitted — the reference's column registry for this
   * format carries coordinates only. */
 class InpcrdDataSource extends TableProvider with DataSourceRegister {
@@ -75,7 +79,9 @@ class InpcrdDataSource extends TableProvider with DataSourceRegister {
           "; the supplied read schema " + schema.simpleString +
           " does not match (drop .schema(...) or make it identical)")
     }
-    new InpcrdTable(paths, chunks, unitScale, vel)
+    val expectAtoms = Option(properties.get("top"))
+      .map(PdbTopology.atomCount).getOrElse(-1)
+    new InpcrdTable(paths, chunks, unitScale, vel, expectAtoms)
   }
 }
 
@@ -100,18 +106,19 @@ object InpcrdTable {
 }
 
 class InpcrdTable(paths: Seq[String], chunks: Int, unitScale: Double,
-    vel: String) extends Table with SupportsRead {
+    vel: String, expectAtoms: Int = -1) extends Table with SupportsRead {
   override def name(): String = s"inpcrd:${paths.mkString(",")}"
   override def schema(): StructType = InpcrdTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new InpcrdScanBuilder(paths, chunks, unitScale, vel)
+      : ScanBuilder =
+    new InpcrdScanBuilder(paths, chunks, unitScale, vel, expectAtoms)
 }
 
 class InpcrdScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double,
-    vel: String) extends ScanBuilder
+    vel: String, expectAtoms: Int = -1) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit {
   private var required: StructType = InpcrdTable.Schema
@@ -151,7 +158,7 @@ class InpcrdScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double,
 
   override def build(): Scan =
     new InpcrdScan(paths, chunks, unitScale, vel, required, frameLo,
-      frameHi, limit)
+      frameHi, limit, expectAtoms)
 }
 
 /** A run of consecutive shard FILES; each file is one frame. */
@@ -160,7 +167,7 @@ case class InpcrdFileRange(files: Seq[String], firstFrame: Long)
 
 class InpcrdScan(paths: Seq[String], chunks: Int, unitScale: Double,
     vel: String, required: StructType, frameLo: Long, frameHi: Long,
-    limit: Int) extends Scan with Batch {
+    limit: Int, expectAtoms: Int = -1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -195,19 +202,20 @@ class InpcrdScan(paths: Seq[String], chunks: Int, unitScale: Double,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new InpcrdReaderFactory(unitScale, vel, required)
+    new InpcrdReaderFactory(unitScale, vel, required, expectAtoms)
 }
 
 class InpcrdReaderFactory(unitScale: Double, vel: String,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, expectAtoms: Int = -1)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
     new InpcrdPartitionReader(unitScale, vel,
-      required, partition.asInstanceOf[InpcrdFileRange])
+      required, partition.asInstanceOf[InpcrdFileRange], expectAtoms)
 }
 
 class InpcrdPartitionReader(unitScale: Double, vel: String,
-    required: StructType, range: InpcrdFileRange)
+    required: StructType, range: InpcrdFileRange, expectAtoms: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private val ordinals: Array[Int] = {
@@ -257,6 +265,9 @@ class InpcrdPartitionReader(unitScale: Double, vel: String,
         catch { case _: NumberFormatException =>
           parseFail(p, s"non-integer natoms '${header(0)}'") }
       if (natoms <= 0) parseFail(p, s"natoms must be > 0, got $natoms")
+      if (expectAtoms > 0 && natoms != expectAtoms)
+        parseFail(p, s"natoms $natoms disagrees with the topology " +
+          s"atom count $expectAtoms (option 'top')")
       time =
         if (header.length > 1)
           try header(1).toDouble

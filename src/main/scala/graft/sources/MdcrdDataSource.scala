@@ -29,7 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (splitting on spaces mis-parses negative coordinates like
   * `-99.999-100.001`).
   *
-  * Options: `natoms` (required), `box` (boolean, default false —
+  * Options: `natoms` or `top` (one required — `top` names a PDB
+  * topology whose first-model atom count supplies natoms; if both are
+  * given they must agree), `box` (boolean, default false —
   * whether each frame carries a trailing box-length line; a 3-value
   * box line is indistinguishable from a 3-value final coordinate line,
   * so auto-detection would guess on 3N ≡ 3 mod 10 files), `chunks`,
@@ -53,9 +55,13 @@ class MdcrdDataSource extends TableProvider with DataSourceRegister {
             s"mdcrd option '$key' must be an integer, got '$v'")
         }
       }.getOrElse(default)
-    // required for SCANS (validated in newScanBuilder — the write path
-    // does not need the atom count)
-    val natoms = intOpt("natoms", -1)
+    // the frame shape is NOT in the file: either `natoms` directly or
+    // `top` (a PDB topology, the reference's `load(..., top=...)` idiom
+    // — core/dask_traj.py:61,80-83) must supply it; both must agree.
+    // Required for SCANS (validated in newScanBuilder — the write path
+    // does not need the atom count).
+    val natoms = PdbTopology.resolveNatoms("mdcrd",
+      Option(properties.get("top")), intOpt("natoms", -1))
     val chunks = intOpt("chunks", 10)
     if (chunks <= 0) throw new IllegalArgumentException(
       s"mdcrd option 'chunks' must be > 0, got $chunks")
@@ -118,9 +124,9 @@ class MdcrdTable(paths: Seq[String], natoms: Int, box: Boolean,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     if (natoms <= 0) throw new IllegalArgumentException(
-      "mdcrd option 'natoms' is required and must be > 0 — the AMBER " +
-        "trajectory format does not carry the atom count (readers get " +
-        "it from the prmtop topology)")
+      "mdcrd needs the atom count: pass option 'natoms' (> 0) or " +
+        "option 'top' (a PDB topology file) — the AMBER trajectory " +
+        "format does not carry it (readers get it from the topology)")
     new MdcrdScanBuilder(paths, natoms, box, chunks, unitScale, mode)
   }
   override def newWriteBuilder(

@@ -448,6 +448,46 @@ object PdbTopology {
     "CO" -> 58.933, "NI" -> 58.693, "CU" -> 63.546, "ZN" -> 65.38,
     "SE" -> 78.971, "BR" -> 79.904, "I" -> 126.904)
 
+  /** Driver-side atom count of the topology's first model — the shape
+    * the reference's `load(filename, top=...)` pulls from a topology
+    * file (core/dask_traj.py:61,80-83) for formats that don't carry
+    * their own atom count. No Spark job: topologies are small metadata
+    * files, read once at plan time (gz-aware, any Hadoop scheme). */
+  def atomCount(path: String): Int = {
+    val src = XyzLines.open(path)
+    try {
+      var n = 0
+      var done = false
+      val it = src.getLines()
+      while (!done && it.hasNext) {
+        val line = it.next()
+        if (line.startsWith("END")) done = true // END or ENDMDL
+        else if (n > 0 && line.startsWith("MODEL")) done = true
+        else if (line.startsWith("ATOM") || line.startsWith("HETATM"))
+          n += 1
+      }
+      if (n == 0) throw new IllegalArgumentException(
+        s"topology '$path' has no ATOM/HETATM records in its first model")
+      n
+    } finally src.close()
+  }
+
+  /** Resolve the atom count for a shape-less format from its `top` /
+    * `natoms` options: either alone works; both must agree (the
+    * reference raises on a frame/topology shape mismatch —
+    * utils/validation.py's ensure_type path). */
+  def resolveNatoms(fmt: String, top: Option[String], natoms: Int): Int =
+    top match {
+      case None => natoms
+      case Some(t) =>
+        val fromTop = atomCount(t)
+        if (natoms > 0 && natoms != fromTop)
+          throw new IllegalArgumentException(
+            s"$fmt options disagree: natoms=$natoms but topology '$t' " +
+              s"has $fromTop atoms")
+        fromTop
+    }
+
   /** Atom dimension (atom_id, name, res_name, chain, res_seq, element,
     * mass) from the file's first model — broadcast side of any
     * mass-weighted aggregation over the trajectory, exactly the shape

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.sources.PdbTopology
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `top=` topology option — the Spark-idiomatic form of the
+  * reference's `load(filename, top=...)` argument
+  * (core/dask_traj.py:61,80-83): a PDB topology supplies the atom
+  * count for formats that don't carry one (mdcrd), and cross-checks
+  * it for formats that do (inpcrd, binpos). */
+class TopOptionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** Minimal PDB with `n` atoms in one model. */
+  private def pdbTop(n: Int, models: Int = 1): String = {
+    val sb = new StringBuilder
+    (0 until models).foreach { m =>
+      if (models > 1) sb.append(f"MODEL     ${m + 1}%4d\n")
+      (1 to n).foreach { i =>
+        sb.append(
+          f"ATOM  $i%5d  C   ALA A$i%4d      1.000   2.000   3.000" +
+            "  1.00  0.00           C\n")
+      }
+      if (models > 1) sb.append("ENDMDL\n")
+    }
+    sb.append("END\n")
+    val f = Files.createTempFile("top", ".pdb")
+    Files.writeString(f, sb.toString)
+    f.toString
+  }
+
+  /** 4-atom × 2-frame mdcrd with box line (the mdcrd suite's shape). */
+  private lazy val mdcrdFixture: String = {
+    def line(vs: Seq[Double]): String = vs.map(v => f"$v%8.3f").mkString
+    val f1 = (1 to 12).map(_.toDouble)
+    val f2 = (13 to 24).map(_.toDouble)
+    val txt = (Seq("test amber trajectory") ++ Seq(
+      line(f1.take(10)), line(f1.drop(10)), line(Seq(20.0, 30.0, 40.0)),
+      line(f2.take(10)), line(f2.drop(10)), line(Seq(20.0, 30.0, 40.0))))
+      .mkString("", "\n", "\n")
+    val f = Files.createTempFile("traj", ".mdcrd")
+    Files.writeString(f, txt)
+    f.toString
+  }
+
+  test("PdbTopology.atomCount counts the FIRST model only and " +
+    "rejects atom-less files") {
+    assert(PdbTopology.atomCount(pdbTop(4)) == 4)
+    assert(PdbTopology.atomCount(pdbTop(3, models = 5)) == 3)
+    val e = intercept[IllegalArgumentException] {
+      val f = Files.createTempFile("empty", ".pdb")
+      Files.writeString(f, "REMARK nothing here\nEND\n")
+      PdbTopology.atomCount(f.toString)
+    }
+    assert(e.getMessage.contains("no ATOM"))
+  }
+
+  test("mdcrd: top= alone derives natoms (reference load(top=...) " +
+    "idiom); values match the explicit-natoms read") {
+    val viaTop = spark.read.format("mdcrd")
+      .option("top", pdbTop(4)).option("box", "true").load(mdcrdFixture)
+    assert(viaTop.count() == 8)
+    val viaN = spark.read.format("mdcrd")
+      .option("natoms", 4).option("box", "true").load(mdcrdFixture)
+    assert(viaTop.collect().map(_.toSeq).toSet ==
+      viaN.collect().map(_.toSeq).toSet)
+  }
+
+  test("mdcrd: natoms and top disagreement fails at plan time with " +
+    "both numbers") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("mdcrd").option("natoms", 5)
+        .option("top", pdbTop(4)).option("box", "true")
+        .load(mdcrdFixture).count()
+    }
+    assert(e.getMessage.contains("disagree"))
+    assert(e.getMessage.contains("5") && e.getMessage.contains("4"))
+    // agreeing values are fine
+    assert(spark.read.format("mdcrd").option("natoms", 4)
+      .option("top", pdbTop(4)).option("box", "true")
+      .load(mdcrdFixture).count() == 8)
+  }
+
+  test("inpcrd: top= cross-checks the file's own natoms") {
+    def f12(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%12.7f", v)
+    val txt = (Seq("amber restart", "     3  1.0") ++
+      (1 to 9).map(_.toDouble).grouped(6).map(_.map(f12).mkString))
+      .mkString("", "\n", "\n")
+    val f = Files.createTempFile("r", ".rst7")
+    Files.writeString(f, txt)
+    // matching topology: reads fine
+    assert(spark.read.format("inpcrd").option("top", pdbTop(3))
+      .load(f.toString).count() == 3)
+    // disagreeing topology: fails with context
+    val e = intercept[Exception] {
+      spark.read.format("inpcrd").option("top", pdbTop(4))
+        .load(f.toString).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(m => m.contains("disagrees") && m.contains("top"))))
+  }
+
+  test("binpos: top= cross-checks the header natoms at plan time") {
+    val f = Files.createTempFile("t", ".binpos")
+    val atoms = 2; val frames = 3
+    val bb = ByteBuffer.allocate(4 + frames * (4 + 12 * atoms))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("fxyz".getBytes("US-ASCII"))
+    var v = 1.0f
+    (0 until frames).foreach { _ =>
+      bb.putInt(atoms)
+      (0 until 3 * atoms).foreach { _ => bb.putFloat(v); v += 1.0f }
+    }
+    Files.write(f, bb.array())
+    assert(spark.read.format("binpos").option("top", pdbTop(2))
+      .load(f.toString).count() == 6)
+    val e = intercept[Exception] {
+      spark.read.format("binpos").option("top", pdbTop(3))
+        .load(f.toString).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("disagrees"))))
+  }
+}
