@@ -47,6 +47,29 @@ object DtrFormat {
   val MetaMagic = 0x47445452 // "GDTR": this library's payload profile
   val KeysMagic = 0x4b455953 // "KEYS"
 
+  /** The documented blocker for FOREIGN framesets (real Desmond /
+    * VMD-molfile dtr directories — reference registry
+    * core/dask_traj.py:46-47). Their payload is the molfile
+    * "meta-frame" encoding: a prologue with endianness rosetta
+    * constants, then typename/label/scalar/field blocks whose typed
+    * sections (POSITION float32 ×3N, UNITCELL float64 3×3, energies)
+    * locate the coordinates. Decoding it correctly requires
+    * byte-layout constants (magics, rosetta values, record shapes)
+    * verified against real Desmond fixtures; none can be produced or
+    * fetched in this offline environment, and a parser built from an
+    * unverified layout would silently mis-decode coordinates — worse
+    * than rejection. The frame-set DESIGN (directory + timekeys index
+    * + arithmetic (file,offset) addressing + stk concatenation) is
+    * fully implemented over this library's own GDTR payload profile;
+    * a foreign frameset is detected by its metadata magic and rejected
+    * with this context. */
+  val ForeignPayloadBlocker: String =
+    "this library reads the frame-set layout with its own GDTR " +
+      "payload profile; the Desmond/VMD molfile meta-frame payload " +
+      "encoding needs byte-layout constants verified against real " +
+      "fixtures, which this offline environment cannot provide " +
+      "(re-export the trajectory as dcd/trr, or ingest via DtrWrite)"
+
   case class Meta(nAtoms: Int, hasBox: Boolean)
 
   /** metadata file: magic, version, natoms, hasBox — 16 bytes LE. */
@@ -63,8 +86,8 @@ object DtrFormat {
       val magic = bb.getInt()
       if (magic != MetaMagic) throw new IllegalArgumentException(
         s"dtr: $dir metadata magic 0x${magic.toHexString} is " +
-          s"not 0x${MetaMagic.toHexString} — a foreign frameset payload " +
-          "profile this library does not decode")
+          s"not 0x${MetaMagic.toHexString} — a foreign frameset: " +
+          ForeignPayloadBlocker)
       val version = bb.getInt()
       if (version != 1) throw new IllegalArgumentException(
         s"dtr: $dir metadata version $version unsupported")
@@ -149,12 +172,8 @@ object DtrFormat {
           s"got '$raw'")
       if (!FsIO.isDirectory(dirPart)) throw new IllegalArgumentException(
         s"dtr load: glob parent '$dirPart' is not a directory")
-      val matcher = java.nio.file.FileSystems.getDefault
-        .getPathMatcher("glob:" + namePat)
-      val hits = FsIO.list(dirPart)
-        .filter(e => !e.isFile &&
-          matcher.matches(java.nio.file.Paths.get(e.name)))
-        .map(_.path)
+      // Hadoop glob semantics, same dialect as MultiPath's file globs
+      val hits = FsIO.globDirs(dirPart, namePat)
       if (hits.isEmpty) throw new IllegalArgumentException(
         s"dtr load: glob '$raw' matched no framesets")
       hits.flatMap(framesets)

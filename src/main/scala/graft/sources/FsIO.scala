@@ -162,6 +162,17 @@ object FsIO {
         .map(_.getPath).sortBy(_.getName).map(_.toString)
     }
 
+  /** Directories in `dir` whose NAME matches the glob, name order —
+    * the frameset-directory symmetric of [[globFiles]], so every
+    * format (file- and directory-shaped) shares ONE glob dialect
+    * (Hadoop's). */
+  def globDirs(dir: String, namePat: String): Seq[String] =
+    fs(dir).globStatus(new Path(dir, namePat)) match {
+      case null => Nil
+      case sts => sts.toSeq.filterNot(_.isFile)
+        .map(_.getPath).sortBy(_.getName).map(_.toString)
+    }
+
   // ---- reads -------------------------------------------------------------
 
   /** Buffered sequential read stream. */

@@ -224,6 +224,27 @@ class DtrDataSourceSpec extends AnyFunSuite {
     assert(chainContains(e, "append"))
   }
 
+  test("a real Desmond-profile frameset is rejected with the " +
+    "documented meta-frame blocker and a migration path") {
+    val root = Files.createTempDirectory("dtrforeign")
+    val set = root.resolve("real.dtr")
+    Files.createDirectories(set)
+    // a foreign frameset shape: metadata with an alien magic, plus the
+    // frame-file naming real framesets use
+    val meta = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(0x4d534544).putInt(1).putInt(100).putInt(1) // "DESM"
+    Files.write(set.resolve("metadata"), meta.array())
+    Files.write(set.resolve("timekeys"), new Array[Byte](64))
+    Files.write(set.resolve("frame000000000"), new Array[Byte](128))
+    val e = intercept[Exception] {
+      spark.read.format("dtr").load(set.toString).count()
+    }
+    assert(chainContains(e, "foreign frameset"))
+    assert(chainContains(e, "meta-frame"))
+    assert(chainContains(e, "re-export"))
+  }
+
   test("foreign frameset (wrong metadata magic) is rejected, not " +
     "misread; truncated frame file fails with context") {
     val root = Files.createTempDirectory("dtrbad")
