@@ -28,6 +28,23 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Star-shapedness probe: nodes that appear both as a `lo` and as a
+    * `hi` in the canonical (lo < hi) edge set — empty exactly when the
+    * set is a union of stars rooted at their minima (the CC fixpoint).
+    * ONE scan and ONE shuffle: both roles unpivot via an in-row
+    * explode, then a single keyed aggregation with map-side partials.
+    * The previous `intersect` probe planned a distinct on each side of
+    * a join — two scans and three exchanges per round on the hot loop
+    * of every near-dup clustering run. */
+  private[graft] def starProbe(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+        struct(col("lo").as("n"), lit(1).as("l"), lit(0).as("h")),
+        struct(col("hi").as("n"), lit(0).as("l"), lit(1).as("h"))))
+        .as("e"))
+      .select("e.n", "e.l", "e.h")
+      .groupBy("n").agg(max("l").as("l"), max("h").as("h"))
+      .filter(col("l") === 1 && col("h") === 1)
+
   /** Connected components of an undirected graph.
     *
     * @param edges0 two integral columns (endpoint ids); direction and
@@ -104,8 +121,7 @@ object GraphOps {
     while (!converged && round < maxRounds) {
       edges = t(s"round $round")(
         smallStar(largeStar(edges)).localCheckpoint())
-      converged = t(s"probe $round")(
-        edges.select("hi").intersect(edges.select("lo")).isEmpty)
+      converged = t(s"probe $round")(starProbe(edges).isEmpty)
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")

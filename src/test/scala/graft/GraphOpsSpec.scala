@@ -76,4 +76,56 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L))
     assert(got.size == 12)
   }
+
+  test("starProbe detects star-shapedness correctly") {
+    // a star set (fixpoint): no node is both lo and hi
+    val stars = Seq((0L, 1L), (0L, 2L), (10L, 11L)).toDF("lo", "hi")
+    assert(GraphOps.starProbe(stars).isEmpty)
+    // a chain: 1 appears as hi of (0,1) and lo of (1,2)
+    val chain = Seq((0L, 1L), (1L, 2L)).toDF("lo", "hi")
+    assert(GraphOps.starProbe(chain).collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
+  test("folded probe schedules fewer stages and jobs than the old " +
+    "intersect probe (listener-measured)") {
+    val sc = spark.sparkContext
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+      // completed stages only: onJobStart's stageInfos also lists
+      // stages that get SKIPPED as already-computed, overcounting
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = stages += 1
+    }
+    def measure(f: => Unit): (Int, Int) = {
+      sc.addSparkListener(listener)
+      try {
+        jobs = 0; stages = 0
+        f
+        var last = -1; var spins = 0
+        while (jobs != last && spins < 50) {
+          last = jobs; Thread.sleep(100); spins += 1
+        }
+        (jobs, stages)
+      } finally sc.removeSparkListener(listener)
+    }
+    val edges = (0L until 64L).map(i => (i, i + 1)).toDF("lo", "hi")
+      .localCheckpoint()
+    // warm both paths once (codegen/JIT jobs don't skew the count)
+    GraphOps.starProbe(edges).isEmpty
+    edges.select("hi").intersect(edges.select("lo")).isEmpty
+    val (pJobs, pStages) = measure(GraphOps.starProbe(edges).isEmpty)
+    val (iJobs, iStages) = measure(
+      edges.select("hi").intersect(edges.select("lo")).isEmpty)
+    assert(pStages < iStages,
+      s"probe stages $pStages !< intersect stages $iStages " +
+        s"(probe jobs $pJobs, intersect jobs $iJobs)")
+    assert(pJobs <= iJobs,
+      s"probe jobs $pJobs > intersect jobs $iJobs")
+  }
 }
