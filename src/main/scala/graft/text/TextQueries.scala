@@ -689,6 +689,26 @@ object TextQueries {
       |  CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Subword token counts by greedy longest-match over the committed
+    * BPE merges table ([[BpeTokens]]) — the real-tokenizer upgrade of
+    * `q_token_count`'s regex heuristic. One built-in string function,
+    * fully codegen'd, and the oracle runs the identical pattern. */
+  def tokenCountBpe(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(expr(
+        s"regexp_extract_all(text, '${BpeTokens.pattern}', 0)"))
+        .cast("long").as("bpe_tokens"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+      .orderBy("doc_id")
+
+  private val tokenCountBpeSql =
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '${BpeTokens.pattern}')) AS BIGINT)
+      |    AS bpe_tokens,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- quality
 
   /** Common function words used as the stopword inventory (also the
@@ -1241,6 +1261,7 @@ object TextQueries {
     QueryDef("q_span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("q_text_stats", textStats, Some(textStatsSql)),
     QueryDef("q_token_count", tokenCount, Some(tokenCountSql)),
+    QueryDef("q_token_count_bpe", tokenCountBpe, Some(tokenCountBpeSql)),
     QueryDef("q_quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("q_lang_id", langId, Some(langIdSql)),
     QueryDef("q_lang_id_ngram", langIdNgram, Some(langIdNgramSql)),
