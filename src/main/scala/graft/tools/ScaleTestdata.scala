@@ -29,9 +29,6 @@ object ScaleTestdata {
     // the text translation cycles with the alphabet length: copy 12
     // would translate identically to copy 0 and silently reintroduce
     // the exact-duplicate artifact the translation exists to prevent
-    require(copies >= 1 && copies <= 12,
-      s"ScaleTestdata: copies must be in [1, 12] (the per-copy text " +
-        s"translation has period 12), got $copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,6 +38,21 @@ object ScaleTestdata {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    generate(spark, src, dst, copies)
+    spark.stop()
+  }
+
+  /** Generation body, session-preserving — callable from a test suite
+    * (ScaleKnobsSpec) without tearing down the caller's session the
+    * way main()'s stop() would. */
+  def generate(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
+    // the text translation cycles with the alphabet length: copy 12
+    // would translate identically to copy 0 and silently reintroduce
+    // the exact-duplicate artifact the translation exists to prevent
+    require(copies >= 1 && copies <= 12,
+      s"ScaleTestdata: copies must be in [1, 12] (the per-copy text " +
+        s"translation has period 12), got $copies")
 
     def rd(t: String): DataFrame =
       spark.read.parquet(s"$src/$t.parquet")
@@ -118,6 +130,5 @@ object ScaleTestdata {
       System.err.println(s"[scale] $t x$copies done")
     }
     System.err.println(s"[scale] wrote $dst")
-    spark.stop()
   }
 }
