@@ -177,7 +177,7 @@ class InpcrdScan(paths: Seq[String], chunks: Int, unitScale: Double,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new InpcrdMicroBatchStream(
       MultiPath.single("inpcrd", paths, "streaming read"),
-      chunks, unitScale, required, vel)
+      chunks, unitScale, required, vel, expectAtoms)
 
   /** One frame per file: planning needs NO file probe at all — the
     * frame axis IS the shard list, so frame_id pushdown prunes files

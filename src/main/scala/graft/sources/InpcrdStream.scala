@@ -17,7 +17,8 @@ case class InpcrdFileOffset(fileCount: Int) extends Offset {
 }
 
 class InpcrdMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
-    schema: StructType, vel: String) extends MicroBatchStream {
+    schema: StructType, vel: String, expectAtoms: Int = -1)
+    extends MicroBatchStream {
 
   private def listShards(): Seq[String] = {
     if (!FsIO.isDirectory(dir)) Nil
@@ -51,7 +52,7 @@ class InpcrdMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new InpcrdReaderFactory(unitScale, vel, schema)
+    new InpcrdReaderFactory(unitScale, vel, schema, expectAtoms)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

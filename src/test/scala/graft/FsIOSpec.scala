@@ -159,6 +159,26 @@ class FsIOSpec extends AnyFunSuite {
       s"got a checksum error instead of the DCD contract: $e")
   }
 
+  test("micro-batch streaming reads shard directories through the " +
+    "non-file: scheme (cluster landing-dir posture)") {
+    spark
+    val dir = Files.createTempDirectory("fsio-stream")
+    def shard(i: Int): Unit =
+      Files.writeString(dir.resolve(f"s$i%03d.xyz"),
+        s"1\n# Step: $i\nC 1.0 2.0 3.0\n")
+    shard(0)
+    val q = spark.readStream.format("xyz").load(graftUri(dir.toString))
+      .writeStream.format("memory").queryName("graftfs_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graftfs_stream").count() == 1)
+      shard(1)
+      q.processAllAvailable()
+      assert(spark.table("graftfs_stream").count() == 2)
+    } finally q.stop()
+  }
+
   test("executor conf: spark.hadoop.* reaches FsIO on a session-less " +
     "thread via SparkEnv (cluster partition-reader posture)") {
     spark

@@ -107,6 +107,37 @@ class TopOptionSpec extends AnyFunSuite {
       .exists(m => m.contains("disagrees") && m.contains("top"))))
   }
 
+  test("inpcrd streaming twin applies the same top= cross-check") {
+    def f12(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%12.7f", v)
+    val restart = (Seq("amber restart", "     3  1.0") ++
+      (1 to 9).map(_.toDouble).grouped(6).map(_.map(f12).mkString))
+      .mkString("", "\n", "\n")
+    val dir = Files.createTempDirectory("rst-stream")
+    Files.writeString(dir.resolve("a000.rst7"), restart)
+    // matching topology streams fine
+    val ok = spark.readStream.format("inpcrd").option("top", pdbTop(3))
+      .load(dir.toString)
+      .writeStream.format("memory").queryName("top_stream_ok")
+      .outputMode("append").start()
+    try {
+      ok.processAllAvailable()
+      assert(spark.table("top_stream_ok").count() == 3)
+    } finally ok.stop()
+    // disagreeing topology fails the stream with context
+    val bad = spark.readStream.format("inpcrd").option("top", pdbTop(4))
+      .load(dir.toString)
+      .writeStream.format("memory").queryName("top_stream_bad")
+      .outputMode("append").start()
+    try {
+      val e = intercept[Exception] { bad.processAllAvailable() }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("disagrees"))), s"got: $e")
+    } finally bad.stop()
+  }
+
   test("binpos: top= cross-checks the header natoms at plan time") {
     val f = Files.createTempFile("t", ".binpos")
     val atoms = 2; val frames = 3
