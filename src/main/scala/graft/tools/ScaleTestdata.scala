@@ -129,6 +129,11 @@ object ScaleTestdata {
       wr(out.drop("__copy").repartition(32), t)
       System.err.println(s"[scale] $t x$copies done")
     }
+    // completion marker: table iteration order is unspecified, so
+    // "does table X exist" cannot distinguish a finished replica from
+    // an interrupted one — consumers (ScaleKnobsSpec) probe this file
+    graft.sources.FsIO.writeString(s"$dst/_GRAFT_SCALE_OK",
+      s"copies=$copies src=$src\n")
     System.err.println(s"[scale] wrote $dst")
   }
 }

@@ -27,7 +27,7 @@ class ScaleKnobsSpec extends AnyFunSuite {
   private def optIn(): Unit = {
     assume(sys.env.get("GRAFT_SCALE_TESTS").contains("1"),
       "set GRAFT_SCALE_TESTS=1 to run the 10x scale suite")
-    if (!graft.sources.FsIO.exists(s"$sf1/embeddings.parquet"))
+    if (!graft.sources.FsIO.exists(s"$sf1/_GRAFT_SCALE_OK"))
       tools.ScaleTestdata.generate(spark, "/root/testdata/sf0.1", sf1, 10)
   }
 
