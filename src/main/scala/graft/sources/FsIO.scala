@@ -53,6 +53,15 @@ import org.apache.hadoop.fs.{ChecksumFileSystem, FileSystem, Path}
   * filesystems; HDFS/S3A have integrity built into the store and are
   * unaffected.
   *
+  * The policy is SCOPED to FsIO: instances come from
+  * `FileSystem.newInstance` and live in an FsIO-private cache, so the
+  * JVM-shared instance that `FileSystem.get` / `Path.getFileSystem`
+  * hands to everyone else (Spark's committers, event logs, streaming
+  * checkpoint metadata, user code embedding this library) keeps full
+  * CRC writing and verification. (`FsIOSpec` pins both sides: the
+  * shared local FS still writes sidecars and throws ChecksumException
+  * on a stale one, while FsIO handles do neither.)
+  *
   * Rename (used by the dtr frameset committer) maps to
   * `FileSystem.rename`: atomic on HDFS and local disk; on object
   * stores it degrades to copy+delete, the same tradeoff every
@@ -72,12 +81,16 @@ object FsIO {
 
   /** Session-less JVMs/threads — i.e. cluster executors, where
     * partition readers and data writers actually run. Rebuilt per call
-    * (cheap: the copy constructor skips XML re-parse) so runtime
-    * `spark.hadoop.*` changes are visible; SparkEnv carries the
-    * driver's SparkConf to every executor, which is how the driver's
-    * S3 credentials / endpoints / custom schemes reach `FsRandom`
-    * without threading a SerializableConfiguration through each of the
-    * eleven sources. */
+    * (cheap: the copy constructor skips XML re-parse); SparkEnv
+    * carries the driver's SparkConf to every executor, which is how
+    * the driver's S3 credentials / endpoints / custom schemes reach
+    * `FsRandom` without threading a SerializableConfiguration through
+    * each of the eleven sources. Note the visibility boundary: the
+    * rebuilt conf only reaches FileSystem INSTANTIATION — a scheme's
+    * instance is created once per JVM ([[fs]] caches it, exactly as
+    * Hadoop's own `FileSystem.get` cache would), so `spark.hadoop.*`
+    * changes made after a scheme's first access (credential rotation)
+    * require [[invalidate]] to take effect. */
   private def executorConf: Configuration =
     Option(org.apache.spark.SparkEnv.get) match {
       case None => standalone
@@ -90,18 +103,40 @@ object FsIO {
         c
     }
 
-  /** FileSystem for a path's scheme (FileSystem.get caches per
-    * scheme+authority, so this is cheap per call), with the explicit
+  /** FsIO-private FileSystem instances, one per scheme://authority.
+    * `FileSystem.newInstance` bypasses Hadoop's shared cache, so the
+    * checksum policy below mutates only instances this library owns —
+    * `FileSystem.get` callers elsewhere in the JVM are untouched. */
+  private val instances =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+
+  /** Drop all cached FsIO FileSystem instances, so the next [[fs]]
+    * call re-instantiates from the CURRENT configuration — the hook
+    * for runtime `spark.hadoop.*` changes (credential/endpoint
+    * rotation), which otherwise never reach an already-created
+    * instance. Dropped instances are not closed (in-flight streams on
+    * them stay valid); they are reclaimed when unreferenced. */
+  def invalidate(): Unit = instances.clear()
+
+  /** FileSystem for a path's scheme — an FsIO-private instance (one
+    * per scheme://authority, created on first use) with the explicit
     * local-checksum policy applied (see object scaladoc). */
   def fs(p: String): FileSystem = {
-    val f = new Path(p).getFileSystem(conf)
-    f match {
-      case cs: ChecksumFileSystem =>
-        cs.setWriteChecksum(false)
-        cs.setVerifyChecksum(false)
-      case _ => ()
-    }
-    f
+    val c = conf
+    val u = new Path(p).toUri
+    val eff = if (u.getScheme == null) FileSystem.getDefaultUri(c) else u
+    val key = eff.getScheme + "://" +
+      Option(eff.getAuthority).getOrElse("")
+    instances.computeIfAbsent(key, _ => {
+      val f = FileSystem.newInstance(eff, c)
+      f match {
+        case cs: ChecksumFileSystem =>
+          cs.setWriteChecksum(false)
+          cs.setVerifyChecksum(false)
+        case _ => ()
+      }
+      f
+    })
   }
 
   /** Scheme-preserving path join (the `new File(dir, name)` analog):

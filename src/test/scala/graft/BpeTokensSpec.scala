@@ -26,11 +26,38 @@ class BpeTokensSpec extends AnyFunSuite {
   test("pattern is deterministic and space-free") {
     assert(BpeTokens.pattern == BpeTokens.pattern)
     assert(!BpeTokens.merges.exists(_.contains(" ")))
-    // longest-first ordering: no unit is preceded by a shorter one
-    val units = BpeTokens.pattern.split('|').dropRight(1)
+    // flat reference form: longest-first ordering — no unit is
+    // preceded by a shorter one
+    val units = BpeTokens.flatPattern.split('|').dropRight(1)
     assert(units.sliding(2).forall {
       case Array(a, b) => a.length >= b.length
       case _ => true
     })
+    // factored form: one group per distinct first character
+    assert(BpeTokens.pattern.count(_ == '(') ==
+      BpeTokens.merges.map(_.head).distinct.length)
+  }
+
+  test("factored pattern tokenizes IDENTICALLY to the flat reference " +
+    "pattern on a fuzz corpus (arrays, not just counts)") {
+    // characters drawn from the unit alphabet plus out-of-inventory
+    // ones, so matches, partial matches, and fallbacks all occur
+    val alphabet = "theinrandostc xqz7."
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 200).map { _ =>
+      val n = 1 + rnd.nextInt(40)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    } :+ "the thin ingestion" :+ "" :+ "   " :+ "aaa"
+    import spark.implicits._
+    val df = docs.toDF("t")
+    df.createOrReplaceTempView("bpe_fuzz")
+    val neq = spark.sql(
+      s"""SELECT t FROM bpe_fuzz
+         |WHERE regexp_extract_all(t, '${BpeTokens.pattern}', 0)
+         |   != regexp_extract_all(t, '${BpeTokens.flatPattern}', 0)
+         |""".stripMargin).collect()
+    assert(neq.isEmpty,
+      s"factored != flat on: ${neq.map(_.getString(0)).take(5).toSeq}")
   }
 }

@@ -17,6 +17,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * resolution (`fs.graftfs.impl`) rather than the local default. */
 class GraftTestFs extends RawLocalFileSystem {
   override def getUri: URI = URI.create("graftfs:///")
+
+  /** Conf value captured at initialize time — lets the cache-semantics
+    * test observe WHICH configuration an instance was created from. */
+  @volatile var confMarker: String = "unset"
+  override def initialize(uri: URI,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    super.initialize(uri, conf)
+    confMarker = conf.get("graft.fsio.conf.marker", "unset")
+  }
 }
 
 /** The cluster-I/O layer ([[graft.sources.FsIO]]) under a NON-`file:`
@@ -177,6 +186,61 @@ class FsIOSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("graftfs_stream").count() == 2)
     } finally q.stop()
+  }
+
+  test("checksum policy is SCOPED to FsIO instances: the JVM-shared " +
+    "FileSystem.get local FS still writes AND verifies CRC sidecars") {
+    spark
+    val d = Files.createTempDirectory("fsio-scope")
+    // touch FsIO first so any shared-instance mutation would already
+    // have happened before we inspect the shared FS
+    FsIO.writeString(d.resolve("via-fsio.txt").toString, "fsio")
+    assert(!Files.exists(d.resolve(".via-fsio.txt.crc")),
+      "FsIO's own write must not produce a sidecar")
+    val shared = org.apache.hadoop.fs.FileSystem
+      .get(URI.create("file:///"), FsIO.conf)
+    assert(shared ne FsIO.fs(d.toString),
+      "FsIO must hold a private instance, not the shared one")
+    val sp = new org.apache.hadoop.fs.Path(
+      d.resolve("via-shared.txt").toString)
+    val out = shared.create(sp, true)
+    out.write("shared".getBytes(StandardCharsets.UTF_8)); out.close()
+    // shared FS still WRITES the sidecar...
+    assert(Files.exists(d.resolve(".via-shared.txt.crc")),
+      "shared local FS lost checksum writing — policy leaked")
+    // ...and still VERIFIES it: same-length out-of-band corruption
+    Files.write(d.resolve("via-shared.txt"),
+      "sXared".getBytes(StandardCharsets.UTF_8))
+    intercept[org.apache.hadoop.fs.ChecksumException] {
+      val in = shared.open(sp)
+      try { val buf = new Array[Byte](6); in.readFully(buf) }
+      finally in.close()
+    }
+    // while the FsIO handle reads the same bytes undisturbed
+    assert(new String(
+      FsIO.readAllBytes(d.resolve("via-shared.txt").toString),
+      StandardCharsets.UTF_8) == "sXared")
+  }
+
+  test("instance-cache semantics: conf changes after first access " +
+    "reach FsIO only via invalidate()") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("graft.fsio.conf.marker", "m1")
+    try {
+      FsIO.invalidate() // drop instances from earlier tests/suites
+      def marker(): String =
+        FsIO.fs("graftfs:///tmp").asInstanceOf[GraftTestFs].confMarker
+      assert(marker() == "m1")
+      hc.set("graft.fsio.conf.marker", "m2")
+      // pinned: a held instance does NOT see later conf changes
+      // (same visibility rule as Hadoop's own FileSystem cache)
+      assert(marker() == "m1")
+      FsIO.invalidate()
+      assert(marker() == "m2")
+    } finally {
+      hc.unset("graft.fsio.conf.marker")
+      FsIO.invalidate()
+    }
   }
 
   test("executor conf: spark.hadoop.* reaches FsIO on a session-less " +
