@@ -86,6 +86,53 @@ object HashKernels {
     new GenericInternalRow(Array[Any](lo, hi))
   }
 
+  /** Group-local simhash candidate generation + verify: given one LSH
+    * band bucket's members as (doc_id, sim_lo, sim_hi) structs, emit
+    * every unordered pair with Hamming(sig_a, sig_b) ≤ maxHamming as
+    * (d1, d2, hamming) with d1 < d2.
+    *
+    * This replaces the banded SELF-JOIN in the simhash dedup plan: the
+    * join materialized every bucket co-occurrence as a shuffled row
+    * (sum over buckets of c² rows — 17 M at sf0.1, with the hottest
+    * 7-bit bucket holding ~1.7 k docs) before the Hamming filter could
+    * drop 99.995 % of them. Here the c² work stays inside one kernel
+    * call per bucket — two XOR+popcount per candidate, only survivors
+    * ever become rows. The shuffle that remains is the groupBy of the
+    * 9·n banded rows (a few dozen bytes each), which is the minimum any
+    * exhaustive banded-LSH plan must pay. Skew note: a hot bucket costs
+    * c² POPCNT ops in one task (~1.5 M for the observed hottest — μs),
+    * not c² shuffled rows, so band-key skew no longer needs AQE help. */
+  def simhashClosePairs(xs: org.apache.spark.sql.catalyst.util.ArrayData,
+      maxHamming: Int): GenericArrayData = {
+    val n = xs.numElements()
+    val ids = new Array[Long](n)
+    val lo = new Array[Long](n)
+    val hi = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = xs.getStruct(i, 3)
+      ids(i) = r.getLong(0); lo(i) = r.getLong(1); hi(i) = r.getLong(2)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val h = java.lang.Long.bitCount(lo(i) ^ lo(j)) +
+          java.lang.Long.bitCount(hi(i) ^ hi(j))
+        if (h <= maxHamming) {
+          val a = math.min(ids(i), ids(j))
+          val b = math.max(ids(i), ids(j))
+          out += new GenericInternalRow(Array[Any](a, b, h.toLong))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct word-3-gram shingles + 8-seed MinHash signature + 4
     * banded LSH bucket keys → (sh: array<string>, bkeys: array<string>).
     * Fewer than 3 words → empty arrays (caller filters). */
