@@ -48,6 +48,16 @@ object Bench {
     // with whole-suite passes the same spike has to last the entire
     // suite to survive the min.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // machine-state context: two judge sessions burned time separating
+    // co-tenant contention from code regressions — record the 1/5/15 min
+    // load averages around the measured passes so the artifact carries
+    // its own weather report
+    def loadavg(): String =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim
+        .split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+    val loadStart = loadavg()
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val passes = (1 to reps).map { _ =>
       named.map { case (name, fn) =>
@@ -65,6 +75,11 @@ object Bench {
         (name, run, cgFails)
       }
     }
+    val loadEnd = loadavg()
+    // per-pass suite totals: the contention fingerprint — a clean run
+    // has near-equal passes, a co-tenant spike inflates exactly one
+    val passTotals = passes.map(
+      _.collect { case (_, Right(t), _) => t }.sum)
     val results = named.zipWithIndex.map { case ((name, _), i) =>
       val perPass = passes.map(_(i))
       val times = perPass.collect { case (_, Right(t), _) => t }
@@ -102,10 +117,12 @@ object Bench {
     // live in the committed BENCH_FULL.json.
     val nQueries = results.size
     val nErrors = results.count(_._3.isDefined)
+    val ctx = s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"""" +
+      s""","pass_totals":[${passTotals.map(t => f"$t%.2f").mkString(",")}]"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nQueries,"n_errors":$nErrors,"errors":$errs,"codegen_error_total":$cgTotal,"reps":$reps,"sf":"$sfDir","queries_file":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nQueries,"n_errors":$nErrors,"errors":$errs,"codegen_error_total":$cgTotal,"reps":$reps,$ctx,"sf":"$sfDir","queries_file":"BENCH_FULL.json"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"codegen_errors":$cgs,"codegen_error_total":$cgTotal,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"codegen_errors":$cgs,"codegen_error_total":$cgTotal,"reps":$reps,$ctx,"sf":"$sfDir"}"""
     // Resolve the artifact against the repo base (forked JVM cwd is the
     // sbt baseDirectory, but don't depend on it) and never let an I/O
     // failure abort a bench whose queries all ran.

@@ -119,6 +119,55 @@ private[functions] object LiteralArg {
   }
 }
 
+/** `simhash_close_pairs(members, max_hamming)` — group-local candidate
+  * generation + Hamming verify over ONE LSH band bucket's members (an
+  * `array<struct<doc_id, sim_lo, sim_hi>>` built by
+  * `collect_list(struct(...))` under `groupBy(band, bval)`). Emits only
+  * the surviving pairs as `array<struct<d1, d2, hamming>>` with
+  * d1 < d2 — see [[HashKernels.simhashClosePairs]] for why this beats
+  * the banded self-join at scale. `max_hamming` is a literal: the
+  * near-dup threshold is part of the PLAN. */
+case class SimhashClosePairs(child: Expression, maxHamming: Int)
+    extends UnaryExpression {
+  require(maxHamming >= 0 && maxHamming <= 128,
+    s"simhash_close_pairs: max_hamming must be in [0, 128], got $maxHamming")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fs), _)
+        if fs.length == 3 && fs.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRUCT<BIGINT, BIGINT, BIGINT>> " +
+        s"(doc_id, sim_lo, sim_hi), got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d1", LongType, nullable = false),
+    StructField("d2", LongType, nullable = false),
+    StructField("hamming", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "simhash_close_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhashClosePairs(input.asInstanceOf[ArrayData], maxHamming)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.simhashClosePairs(" +
+        s"$c, $maxHamming);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object SimhashClosePairs {
+  def build(es: Seq[Expression]): SimhashClosePairs = {
+    require(es.length == 2,
+      "simhash_close_pairs(members, max_hamming) takes 2 arguments")
+    SimhashClosePairs(es.head,
+      LiteralArg.int("simhash_close_pairs", es(1), "max_hamming"))
+  }
+}
+
 case class MinFingerprint(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "min_fingerprint"
@@ -448,6 +497,8 @@ object GraftFunctions {
       es => RepStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pair_dist_stats",
       es => PairDistStats(es), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_close_pairs",
+      es => SimhashClosePairs.build(es), "scala_udf")
     reg.createOrReplaceTempFunction("topk_pairs",
       es => TopKPairs.build(es).toAggregateExpression(), "scala_udf")
   }

@@ -22,17 +22,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Sessions set
-    * spark.sql.legacy.parquet.nanosAsLong=true, so ts arrives as a LONG
-    * of epoch nanoseconds; convert to a microsecond timestamp here
-    * (integer div — no double round-trip, 2^63 ns >> any test value). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
-  }
+  /** The driver's generator has shipped events.ts as both parquet
+    * TIMESTAMP(NANOS) (early rounds; Spark's vectorized reader rejects
+    * it, so sessions set spark.sql.legacy.parquet.nanosAsLong=true and
+    * ts arrives as a LONG of epoch nanoseconds) and TIMESTAMP(MICROS)
+    * (r10+; isAdjustedToUTC=false, so it arrives as TIMESTAMP_NTZ).
+    * Normalize both here — the LONG shape via integer div (no double
+    * round-trip, 2^63 ns >> any test value), the NTZ shape via a cast
+    * that is value-preserving under the UTC session timezone every
+    * entry point sets — so every consumer (including streaming
+    * watermarks, which reject NTZ) sees one contract: ts is a
+    * TIMESTAMP. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventsTs(table(s, d, "events"))
+
+  /** See [[events]]; shared with the streaming specs, which stage the
+    * same file behind a file-source stream. */
+  def normalizeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => raw
+    }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =

@@ -208,17 +208,29 @@ class BinposScan(paths: Seq[String], chunks: Int, unitScale: Double,
     var off = 0L
     var budget = budget0
     files.foreach { p =>
-      if (budget > 0 && off < frameHi) {
+      val wantPlan = budget > 0 && off < frameHi
+      // binpos carries natoms in its header; `top` is a plan-time
+      // cross-check against the topology's first-model atom count.
+      // The check covers EVERY file the load names — including files
+      // limit/frame pruning will never read (same contract as inpcrd,
+      // which validates per file read): a trailing shard whose header
+      // disagrees with the topology is a corrupt dataset, and hiding
+      // that behind a small limit would let it surface only in the
+      // one query that happens to read far enough. The probe is a
+      // header read + length arithmetic, so validating pruned files
+      // costs one 8-byte read each, only when `top` is given.
+      if (wantPlan || expectAtoms > 0) {
         val (nAtoms, nFrames) = BinposTable.probe(p)
-        // binpos carries natoms in its header; `top` is a plan-time
-        // cross-check against the topology's first-model atom count
         if (expectAtoms > 0 && nAtoms != expectAtoms)
           throw new IllegalArgumentException(
             s"binpos $p: natoms $nAtoms disagrees with the topology " +
               s"atom count $expectAtoms (option 'top')")
-        val (parts, rows) = planFile(p, nAtoms, nFrames, off, budget)
-        out ++= parts
-        if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
+        if (wantPlan) {
+          val (parts, rows) = planFile(p, nAtoms, nFrames, off, budget)
+          out ++= parts
+          if (budget != Long.MaxValue)
+            budget = math.max(0L, budget - rows)
+        }
         off += nFrames
       }
     }

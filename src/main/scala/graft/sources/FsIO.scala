@@ -115,7 +115,14 @@ object FsIO {
     * for runtime `spark.hadoop.*` changes (credential/endpoint
     * rotation), which otherwise never reach an already-created
     * instance. Dropped instances are not closed (in-flight streams on
-    * them stay valid); they are reclaimed when unreferenced. */
+    * them stay valid); they are reclaimed when unreferenced.
+    *
+    * Best-effort only: [[fs]] snapshots the configuration before its
+    * `computeIfAbsent`, so a concurrent in-flight `fs()` call can
+    * repopulate the cache with an instance built from the
+    * pre-rotation configuration — after changing `spark.hadoop.*`
+    * keys, callers that need a hard guarantee should quiesce reads or
+    * call `invalidate()` a second time once in-flight calls drain. */
   def invalidate(): Unit = instances.clear()
 
   /** FileSystem for a path's scheme — an FsIO-private instance (one

@@ -410,7 +410,7 @@ object TextQueries {
   /** 7-bit band value b∈[0,8] of the 64-bit signature held as two
     * 32-bit halves (band 4 straddles the boundary). Bits 0..62 are
     * banded; bit 63 only participates in the hamming verify. */
-  private def bandVal(b: Int): org.apache.spark.sql.Column =
+  private[graft] def bandVal(b: Int): org.apache.spark.sql.Column =
     if (b <= 3)
       shiftright(col("sim_lo"), 7 * b).bitwiseAND(lit(127L))
     else if (b == 4)
@@ -446,7 +446,7 @@ object TextQueries {
 
   /** Threshold-parameterized simhash near-dup (the third member of
     * the scale-knob family next to lsh_code bits and minhash bands):
-    * `maxHamming + 1` bands make the band-join exhaustive for the
+    * `maxHamming + 1` bands make the banding exhaustive for the
     * given threshold — tighter thresholds mean MORE, narrower bands,
     * so candidate cost falls as the near-dup definition sharpens.
     * Output at the default threshold 8 is row-identical to the
@@ -465,32 +465,63 @@ object TextQueries {
         .as("bd"))
       .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
         col("bd.band").as("band"), col("bd.bval").as("bval"))
-    val g1 = banded.select(col("doc_id").as("d1"),
-      col("sim_lo").as("lo1"), col("sim_hi").as("hi1"),
-      col("band"), col("bval"))
-    val g2 = banded.select(col("doc_id").as("d2"),
-      col("sim_lo").as("lo2"), col("sim_hi").as("hi2"),
-      col("band").as("band2"), col("bval").as("bval2"))
-    g1.join(g2, col("band") === col("band2") &&
-        col("bval") === col("bval2") && col("d1") < col("d2"))
-      .withColumn("hamming",
-        (bit_count(col("lo1").bitwiseXOR(col("lo2"))) +
-          bit_count(col("hi1").bitwiseXOR(col("hi2")))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("d1", "d2", "hamming")
-      .distinct()
-      .orderBy("d1", "d2")
+    closePairsFromBanded(banded, maxHamming)
   }
 
+  /** Shared tail of the simhash dedup family: one bucket per
+    * (band, bval) key, members gathered with collect_list, candidate
+    * enumeration + Hamming verify inside the
+    * [[graft.functions.SimhashClosePairs]] kernel. Only surviving
+    * pairs ever become rows; the cross-band `distinct()` stays because
+    * a qualifying pair can collide in several bands. */
+  private def closePairsFromBanded(banded: DataFrame,
+      maxHamming: Int): DataFrame =
+    banded.groupBy(col("band"), col("bval"))
+      .agg(collect_list(
+        struct(col("doc_id"), col("sim_lo"), col("sim_hi"))).as("members"))
+      .where(size(col("members")) > 1)
+      .select(explode(
+        expr(s"simhash_close_pairs(members, $maxHamming)")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.hamming").as("hamming"))
+      .distinct()
+      .orderBy("d1", "d2")
+
   /** SimHash near-dup pairs: hamming(sig1, sig2) ≤ 8, found via 9-band
-    * bit-sampling LSH + exact verify. Pigeonhole: ≤ 8 differing bits
-    * cannot corrupt all 9 bands, so every qualifying pair shares at
-    * least one (band, value) key — the equi-join is exhaustive, never
-    * an O(n²) cross join, and shuffles on the band key at scale. */
+    * bit-sampling LSH + group-local exact verify. Pigeonhole: ≤ 8
+    * differing bits cannot corrupt all 9 bands, so every qualifying
+    * pair shares at least one (band, value) key — bucketing is
+    * exhaustive, never an O(n²) cross join. The per-bucket c²
+    * candidate work happens INSIDE the simhash_close_pairs kernel
+    * (two XOR+popcount per candidate), not as shuffled join rows —
+    * the r9 profile measured the former self-join materializing 17 M
+    * candidate rows (86 % of query cost) at sf0.1 before the Hamming
+    * filter dropped 99.995 % of them. What shuffles now is the 9·n
+    * banded rows of the groupBy — the minimum any banded-LSH plan
+    * pays — so cost scales linearly in docs plus μs-scale POPCNT
+    * loops per bucket. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     // lineage barrier — same rationale as dedupMinhash: signatures must
-    // evaluate once per doc, not once per candidate pair inside the
-    // join predicate
+    // evaluate once per doc, not once per banded row after projection
+    // collapse
+    val sig = simhashSig(s, d).localCheckpoint(false)
+    val banded = sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+      explode(array((0 to 8).map(b =>
+        struct(lit(b).as("band"), bandVal(b).as("bval"))): _*)).as("bd"))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        col("bd.band").as("band"), col("bd.bval").as("bval"))
+    closePairsFromBanded(banded, 8)
+  }
+
+  /** The pre-r10 join-based plan, kept ONLY as the differential-test
+    * oracle for the kernel plan (SimhashKernelSpec): band self-join on
+    * (band, bval) then Hamming-filter — row-identical output to
+    * [[dedupSimhash]] by construction, but materializes every bucket
+    * co-occurrence as a shuffled row (sum of c² per bucket), which is
+    * the measured scale-killer the kernel plan exists to avoid. Not
+    * registered; do not use outside tests. */
+  private[graft] def dedupSimhashViaJoin(s: SparkSession,
+      d: String): DataFrame = {
     val sig = simhashSig(s, d).localCheckpoint(false)
     val banded = sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
       explode(array((0 to 8).map(b =>

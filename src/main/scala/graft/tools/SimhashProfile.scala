@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *  2. `signature` — scan + one `simhash64(text)` call per doc
   *     (the md5-vote kernel under suspicion);
   *  3. `full`      — the registered query (signatures + 9-band
-  *     explode + self-join + hamming verify + distinct + sort).
+  *     explode + groupBy-bucket kernel verify + distinct + sort;
+  *     the band self-join before r10).
   *
   * Each layer runs `reps` times (default 3) into the noop sink after
   * one untimed warm-up; minima are printed as one JSON line. The
@@ -47,23 +48,20 @@ object SimhashProfile {
         expr("simhash64(text)").as("sig"))),
       "full" -> (() => graft.text.TextQueries.dedupSimhash(spark, sfDir)))
 
-    // one-off diagnostics: candidate-pair volume through the band join
-    // (before the hamming filter) and surviving pairs (before distinct)
+    // one-off diagnostics: candidate-pair volume through the banding
+    // (the rows a self-join WOULD materialize; with the r10 kernel plan
+    // this is in-task POPCNT work instead). Banding reuses the query's
+    // own TextQueries.bandVal so the profile can't drift from the plan.
     {
       val sig = docs.select(col("doc_id"),
           expr("simhash64(text)").as("sig"))
         .select(col("doc_id"), col("sig.sim_lo").as("sim_lo"),
           col("sig.sim_hi").as("sim_hi"))
         .localCheckpoint(false)
-      def bandVal(b: Int) =
-        if (b <= 3) shiftright(col("sim_lo"), 7 * b).bitwiseAND(lit(127L))
-        else if (b == 4)
-          shiftright(col("sim_lo"), 28).bitwiseAND(lit(15L)) +
-            col("sim_hi").bitwiseAND(lit(7L)) * 16
-        else shiftright(col("sim_hi"), 7 * b - 32).bitwiseAND(lit(127L))
       val banded = sig.select(col("doc_id"),
         explode(array((0 to 8).map(b =>
-          struct(lit(b).as("band"), bandVal(b).as("bval"))): _*)).as("bd"))
+          struct(lit(b).as("band"),
+            graft.text.TextQueries.bandVal(b).as("bval"))): _*)).as("bd"))
         .select(col("bd.band").as("band"), col("bd.bval").as("bval"))
       val hist = banded.groupBy("band", "bval").count()
         .agg(max("count").as("mx"), sum(col("count") * col("count")).as("s2"))

@@ -133,4 +133,33 @@ object TrajLoad {
 
   def load(spark: SparkSession, paths: Seq[String]): DataFrame =
     load(spark, paths, None, Map.empty)
+
+  /** The other half of the reference's `load(filename, top=...)`
+    * semantics (core/dask_traj.py:61,80-83): beyond the atom COUNT the
+    * sources already consume from the `top` option, the topology
+    * delivers per-atom identity and MASSES — what
+    * `compute_center_of_mass` reads off `traj.top`
+    * (geometry/distance.py:319-320). Returns the atom dimension
+    * `(atom_id, name, res_name, chain, res_seq, element, mass)` with
+    * `atom_id` the 0-based file-order ordinal every trajectory source
+    * emits, so it broadcast-joins onto any loaded trajectory —
+    * masses are IUPAC 2021 weights keyed on the PDB element column
+    * ([[graft.sources.PdbTopology.elementMasses]]). Pass the SAME path
+    * given as the `top=` read option:
+    * {{{
+    * val traj = TrajLoad.load(spark, "run42.mdcrd",
+    *   options = Map("top" -> "protein.pdb"))
+    * val com  = TrajQueries.comOfLoaded(traj,
+    *   TrajLoad.topology(spark, "protein.pdb"))
+    * }}} */
+  def topology(spark: SparkSession, path: String): DataFrame = {
+    import graft.sources.FsIO
+    val lower = FsIO.fileName(path).toLowerCase
+    if (lower.endsWith(".pdb") || lower.endsWith(".pdb.gz"))
+      graft.sources.PdbTopology.topology(spark, path)
+    else throw new IllegalArgumentException(
+      s"trajectory topology: no parser for '$path' — topologies are " +
+        "PDB files (.pdb/.pdb.gz), the shape the reference's own test " +
+        "suite feeds top= with")
+  }
 }

@@ -592,6 +592,34 @@ object TrajQueries {
       .orderBy("frame_id")
   }
 
+  /** A1 for a FILE-LOADED trajectory — closes the reference's
+    * `compute_center_of_mass(load(filename, top=topology))` path
+    * (geometry/distance.py:282-337, masses from `traj.top` at
+    * :319-320) for the formats that need `top=` for their shape
+    * (mdcrd/inpcrd/binpos) and for any other source: masses come from
+    * [[TrajLoad.topology]] (PDB elements → IUPAC weights) instead of
+    * the synthetic parquet dimension, joined on the 0-based file-order
+    * `atom_id` both sides emit. Same DECIMAL-exact Σx·m / Σm as
+    * [[trajCom]]; the topology is broadcast (atoms are the bounded
+    * axis — a 10⁶-atom system is a few MB) so the per-frame
+    * aggregation shuffles only frames, never an atom-keyed join.
+    * `groupKeys` extends the per-frame grouping with topology columns
+    * — `Seq("res_seq")` / `Seq("chain")` give the residue/chain COM
+    * variants of [[trajComResidue]]/[[trajComChain]] on loaded data. */
+  def comOfLoaded(traj: DataFrame, topo: DataFrame,
+      groupKeys: Seq[String] = Nil): DataFrame = {
+    def com(c: String) = round(
+      sum(col(c).cast(DecimalType(18, 6)) * col("mass")).cast("double") /
+        sum(col("mass")).cast("double"), 6).as(s"com_$c")
+    val dimCols = ("atom_id" +: "mass" +: groupKeys).distinct
+    val keys = "frame_id" +: groupKeys
+    traj.join(broadcast(topo.select(dimCols.map(col): _*)), "atom_id")
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_atoms"), com("x"), com("y"), com("z"),
+        sum(col("mass")).cast("double").as("total_mass"))
+      .orderBy(keys.map(col): _*)
+  }
+
   /** A1 across the full topology hierarchy: ROLLUP(chain, residue)
     * inside each frame — one Expand+Aggregate pass emits the chain-level
     * COM, the (chain, residue) detail AND the per-frame total, completing

@@ -40,9 +40,13 @@ class BpeTokensSpec extends AnyFunSuite {
 
   test("factored pattern tokenizes IDENTICALLY to the flat reference " +
     "pattern on a fuzz corpus (arrays, not just counts)") {
-    // characters drawn from the unit alphabet plus out-of-inventory
-    // ones, so matches, partial matches, and fallbacks all occur
-    val alphabet = "theinrandostc xqz7."
+    // every character of every merge unit (so every factored group's
+    // first char is reachable) plus out-of-inventory ones, so matches,
+    // partial matches, and fallbacks all occur
+    val alphabet = (BpeTokens.merges.mkString + " xqz7.").distinct
+    assert(BpeTokens.merges.map(_.head).distinct
+      .forall(alphabet.contains(_)),
+      "fuzz alphabet must cover every factored group head")
     val rnd = new scala.util.Random(42)
     val docs = (0 until 200).map { _ =>
       val n = 1 + rnd.nextInt(40)

@@ -10,20 +10,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class EventStreamsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
-  test("streaming tumbling counts == batch tumbling counts") {
-    // the file source requires a directory; stage the single parquet file
+  /** Stage events.parquet into a fresh directory (the file source
+    * requires one) and open it as a stream with `ts` normalized to a
+    * real timestamp the SAME way the batch loader (`rel.Tables.events`)
+    * does: the driver's generator has shipped `ts` both as
+    * TIMESTAMP(NANOS) (arriving as LONG nanos under the session's
+    * nanosAsLong flag) and as TIMESTAMP(MICROS)/NTZ across rounds —
+    * hard-coding either shape breaks on the other, so the stream
+    * schema is taken from a batch read of the staged file under the
+    * live session flags and normalized exactly like the batch side. */
+  private def stagedEventsStream(prefix: String)
+      : org.apache.spark.sql.DataFrame = {
     val src = java.nio.file.Paths.get(s"${SparkTestBase.sf}/events.parquet")
-    val tmp = java.nio.file.Files.createTempDirectory("events_stream")
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
     java.nio.file.Files.copy(src, tmp.resolve("events.parquet"))
-    val dir = tmp.toString
-    // nanosAsLong session flag → ts arrives as LONG nanos, like batch
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val schema = spark.read.parquet(tmp.toString).schema
+    rel.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(tmp.toString))
+  }
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    val stream = stagedEventsStream("events_stream")
     val q = EventStreams.tumblingCounts(stream, streaming = true)
       .writeStream.format("memory").queryName("tumbling_out")
       .outputMode("complete").start()
@@ -39,16 +46,7 @@ class EventStreamsSpec extends AnyFunSuite {
   }
 
   test("streaming sliding counts == batch sliding counts") {
-    val src = java.nio.file.Paths.get(s"${SparkTestBase.sf}/events.parquet")
-    val tmp = java.nio.file.Files.createTempDirectory("events_stream2")
-    java.nio.file.Files.copy(src, tmp.resolve("events.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = stagedEventsStream("events_stream2")
     val q = EventStreams.slidingCounts(stream, streaming = true)
       .writeStream.format("memory").queryName("sliding_out")
       .outputMode("complete").start()
@@ -65,16 +63,7 @@ class EventStreamsSpec extends AnyFunSuite {
 
   test("streaming windowed top-k == batch windowed top-k (bounded " +
     "O(k) heap state per window+key)") {
-    val src = java.nio.file.Paths.get(s"${SparkTestBase.sf}/events.parquet")
-    val tmp = java.nio.file.Files.createTempDirectory("events_topk")
-    java.nio.file.Files.copy(src, tmp.resolve("events.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = stagedEventsStream("events_topk")
     val q = EventStreams.windowTopK(stream, streaming = true)
       .writeStream.format("memory").queryName("topk_stream_out")
       .outputMode("complete").start()
@@ -111,17 +100,7 @@ class EventStreamsSpec extends AnyFunSuite {
   }
 
   test("stream-stream interval join == batch attribution join") {
-    val src = java.nio.file.Paths.get(s"${SparkTestBase.sf}/events.parquet")
-    val tmp = java.nio.file.Files.createTempDirectory("events_stream3")
-    java.nio.file.Files.copy(src, tmp.resolve("events.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    def side(tpe: String) = spark.readStream.schema(schema)
-      .parquet(tmp.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def side(tpe: String) = stagedEventsStream("events_stream3")
       .filter(col("event_type") === tpe)
     val q = EventStreams.attributionJoin(
       side("purchase"), side("view"), streaming = true)

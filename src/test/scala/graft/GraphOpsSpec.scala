@@ -90,28 +90,50 @@ class GraphOpsSpec extends AnyFunSuite {
   test("folded probe schedules fewer stages and jobs than the old " +
     "intersect probe (listener-measured)") {
     val sc = spark.sparkContext
-    @volatile var jobs = 0
-    @volatile var stages = 0
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
-      // completed stages only: onJobStart's stageInfos also lists
-      // stages that get SKIPPED as already-computed, overcounting
-      override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted)
-          : Unit = stages += 1
-    }
-    def measure(f: => Unit): (Int, Int) = {
+    // Job-group-tagged measurement: only jobs carrying our group id
+    // count (other suites run concurrently on the shared context), and
+    // completion is keyed on jobEnd parity — every group job that
+    // started has ended — not a fixed sleep spin. Stage attribution
+    // goes through the job's stageInfos, and only COMPLETED stages
+    // count (onJobStart's stageInfos also lists stages that get
+    // SKIPPED as already-computed, overcounting).
+    def measure(tag: String)(f: => Unit): (Int, Int) = {
+      import org.apache.spark.scheduler._
+      val started =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val ended =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val groupStages =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val doneStages =
+        new java.util.concurrent.atomic.AtomicInteger()
+      val listener = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          if (Option(j.properties).exists(
+              _.getProperty("spark.jobGroup.id") == tag)) {
+            started.add(j.jobId)
+            j.stageInfos.foreach(si => groupStages.add(si.stageId))
+          }
+        override def onJobEnd(j: SparkListenerJobEnd): Unit =
+          if (started.contains(j.jobId)) ended.add(j.jobId)
+        override def onStageCompleted(
+            s: SparkListenerStageCompleted): Unit =
+          if (groupStages.contains(s.stageInfo.stageId))
+            doneStages.incrementAndGet()
+      }
       sc.addSparkListener(listener)
       try {
-        jobs = 0; stages = 0
-        f
-        var last = -1; var spins = 0
-        while (jobs != last && spins < 50) {
-          last = jobs; Thread.sleep(100); spins += 1
-        }
-        (jobs, stages)
+        sc.setJobGroup(tag, tag, interruptOnCancel = false)
+        try f finally sc.clearJobGroup()
+        // actions in f block until their jobs finish; the listener bus
+        // is async, so wait for jobEnd parity (bounded)
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while ((started.isEmpty || ended.size < started.size) &&
+            System.nanoTime() < deadline)
+          Thread.sleep(20)
+        assert(started.size == ended.size && !started.isEmpty,
+          s"listener bus never drained: ${ended.size}/${started.size}")
+        (started.size, doneStages.get)
       } finally sc.removeSparkListener(listener)
     }
     val edges = (0L until 64L).map(i => (i, i + 1)).toDF("lo", "hi")
@@ -119,8 +141,9 @@ class GraphOpsSpec extends AnyFunSuite {
     // warm both paths once (codegen/JIT jobs don't skew the count)
     GraphOps.starProbe(edges).isEmpty
     edges.select("hi").intersect(edges.select("lo")).isEmpty
-    val (pJobs, pStages) = measure(GraphOps.starProbe(edges).isEmpty)
-    val (iJobs, iStages) = measure(
+    val (pJobs, pStages) =
+      measure("graphops-probe-folded")(GraphOps.starProbe(edges).isEmpty)
+    val (iJobs, iStages) = measure("graphops-probe-intersect")(
       edges.select("hi").intersect(edges.select("lo")).isEmpty)
     assert(pStages < iStages,
       s"probe stages $pStages !< intersect stages $iStages " +

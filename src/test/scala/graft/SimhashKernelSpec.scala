@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r10 simhash plan rewrite: `q_dedup_simhash` now gathers each
+  * (band, bval) bucket with collect_list and enumerates + verifies
+  * candidates inside the `simhash_close_pairs` kernel instead of
+  * materializing every bucket co-occurrence through a band self-join
+  * (measured at sf0.1: 17 M candidate rows, 86 % of query cost). These
+  * specs pin (1) row-identity of the kernel plan against the retired
+  * join plan, (2) codegen on/off invariance, (3) the kernel's unit
+  * semantics on hand-built buckets, and (4) that the executed plan
+  * really has no join left in it. */
+class SimhashKernelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("kernel plan is row-identical to the join-based plan " +
+    "(differential, full sf output)") {
+    val kern = text.TextQueries.dedupSimhash(spark, SparkTestBase.sf)
+      .collect().map(_.toString).toSet
+    val join = text.TextQueries.dedupSimhashViaJoin(spark, SparkTestBase.sf)
+      .collect().map(_.toString).toSet
+    assert(kern == join,
+      s"${(kern -- join).size} extra / ${(join -- kern).size} missing " +
+        "vs the join-based plan")
+    assert(kern.nonEmpty, "differential vacuous: no near-dup pairs at sf")
+  }
+
+  test("kernel plan results are invariant to whole-stage codegen " +
+    "on/off; threshold-knob variant goes through the kernel too") {
+    val c0 = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val on = text.TextQueries.dedupSimhash(spark, SparkTestBase.sf)
+        .collect().map(_.toString).toSeq
+      val onAt4 = text.TextQueries
+        .dedupSimhashAt(spark, SparkTestBase.sf, maxHamming = 4)
+        .collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val off = text.TextQueries.dedupSimhash(spark, SparkTestBase.sf)
+        .collect().map(_.toString).toSeq
+      val offAt4 = text.TextQueries
+        .dedupSimhashAt(spark, SparkTestBase.sf, maxHamming = 4)
+        .collect().map(_.toString).toSeq
+      assert(on == off, "dedupSimhash differs across codegen modes")
+      assert(onAt4 == offAt4, "dedupSimhashAt(4) differs across codegen")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", c0)
+  }
+
+  test("simhash_close_pairs unit semantics: pair ordering, threshold " +
+    "edge, id normalization, empty survivors") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // bucket members (doc_id, sim_lo, sim_hi): 7↔9 differ by 1 bit in
+    // lo; 9↔3 by 2 bits (1 in each half); 7↔3 by 3 bits
+    val df = Seq(Seq((7L, 0x0FL, 0x00L), (9L, 0x0EL, 0x00L),
+      (3L, 0x0CL, 0x10L))).toDF("members")
+    def pairs(h: Int) =
+      df.select(expr(s"simhash_close_pairs(members, $h)").as("ps"))
+        .select(explode(col("ps")).as("p"))
+        .select("p.d1", "p.d2", "p.hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(pairs(3) == Set((7L, 9L, 1L), (3L, 9L, 2L), (3L, 7L, 3L)),
+      "exhaustive enumeration at h=3 wrong")
+    assert(pairs(2) == Set((7L, 9L, 1L), (3L, 9L, 2L)),
+      "threshold edge (<= is inclusive) wrong")
+    assert(pairs(0) == Set.empty, "no survivors must mean empty array")
+    // ids arrive unsorted in the bucket; output is still d1 < d2
+    val rev = Seq(Seq((9L, 0x0EL, 0x00L), (7L, 0x0FL, 0x00L)))
+      .toDF("members")
+      .select(explode(expr("simhash_close_pairs(members, 8)")).as("p"))
+      .select("p.d1", "p.d2").collect()
+    assert(rev.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, 9L)))
+    // plan-time literal validation
+    val e = intercept[Exception] {
+      df.selectExpr("simhash_close_pairs(members, -1)").collect()
+    }
+    assert(e.getMessage.contains("max_hamming"))
+  }
+
+  test("executed kernel plan contains no join operator (the c^2 " +
+    "candidate work stays in-task)") {
+    val plan = text.TextQueries.dedupSimhash(spark, SparkTestBase.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"expected a join-free plan, got:\n$plan")
+    assert(plan.contains("simhash_close_pairs"),
+      "kernel expression missing from the physical plan")
+  }
+}

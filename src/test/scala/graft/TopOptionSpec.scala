@@ -138,6 +138,49 @@ class TopOptionSpec extends AnyFunSuite {
     } finally bad.stop()
   }
 
+  test("comOfLoaded: center of mass on an mdcrd + top= load matches " +
+    "the hand-computed weighted mean (reference load(top=) COM " +
+    "semantics — top delivers MASSES, not just an atom count)") {
+    // topology: C, O, N, H — IUPAC masses 12.011/15.999/14.007/1.008
+    val elems = Seq("C", "O", "N", "H")
+    val sb = new StringBuilder
+    elems.zipWithIndex.foreach { case (e, i) =>
+      sb.append(f"ATOM  ${i + 1}%5d  $e%s   ALA A${i + 1}%4d      " +
+        f"1.000   2.000   3.000  1.00  0.00           $e%s\n")
+    }
+    sb.append("END\n")
+    val top = Files.createTempFile("top4", ".pdb")
+    Files.writeString(top, sb.toString)
+    val traj = spark.read.format("mdcrd")
+      .option("top", top.toString).option("box", "true")
+      .option("unit_scale", "1.0").load(mdcrdFixture)
+    val topo = graft.traj.TrajLoad.topology(spark, top.toString)
+    // masses resolve from the element column (IUPAC), per atom
+    assert(topo.orderBy("atom_id").select("mass").collect()
+      .map(_.getDouble(0)).toSeq == Seq(12.011, 15.999, 14.007, 1.008))
+    val got = graft.traj.TrajQueries.comOfLoaded(traj, topo)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // hand-computed: frame 0 atoms (1,2,3)C (4,5,6)O (7,8,9)N
+    // (10,11,12)H; Σm = 43.025, Σx·m = 184.136 → 184.136/43.025 =
+    // 4.279744; y/z shift the numerator by Σm → +1 each; frame 1 = +12
+    assert(got == Seq(
+      (0L, 4L, 4.279744, 5.279744, 6.279744, 43.025),
+      (1L, 4L, 16.279744, 17.279744, 18.279744, 43.025)))
+    // groupKeys: residue-level COM on loaded data (one atom per
+    // residue here, so each group's COM is that atom's position)
+    val byRes = graft.traj.TrajQueries.comOfLoaded(
+      traj, topo, Seq("res_seq"))
+    assert(byRes.count() == 8)
+    assert(byRes.filter(col("frame_id") === 0 && col("res_seq") === 2)
+      .select("com_x").head.getDouble(0) == 4.0)
+    // topologies that aren't PDBs are rejected with guidance
+    val e = intercept[IllegalArgumentException] {
+      graft.traj.TrajLoad.topology(spark, "/tmp/nope.prmtop")
+    }
+    assert(e.getMessage.contains("PDB"))
+  }
+
   test("binpos: top= cross-checks the header natoms at plan time") {
     val f = Files.createTempFile("t", ".binpos")
     val atoms = 2; val frames = 3
@@ -160,5 +203,39 @@ class TopOptionSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
     assert(chain(e).exists(c => Option(c.getMessage)
       .exists(_.contains("disagrees"))))
+  }
+
+  test("binpos: top= validates EVERY named file, including a trailing " +
+    "shard a pushed limit prunes from the plan") {
+    def binpos(dir: java.nio.file.Path, name: String, atoms: Int,
+        frames: Int): Unit = {
+      val bb = ByteBuffer.allocate(4 + frames * (4 + 12 * atoms))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("fxyz".getBytes("US-ASCII"))
+      var v = 1.0f
+      (0 until frames).foreach { _ =>
+        bb.putInt(atoms)
+        (0 until 3 * atoms).foreach { _ => bb.putFloat(v); v += 1.0f }
+      }
+      Files.write(dir.resolve(name), bb.array())
+    }
+    val dir = Files.createTempDirectory("binpos-shards")
+    binpos(dir, "a00.binpos", 2, 3) // matches top=2
+    binpos(dir, "a01.binpos", 3, 2) // corrupt trailing shard
+    // limit(2) is satisfied entirely by the first file, but the
+    // disagreeing trailing shard still fails the plan — corrupt data
+    // must not hide behind a small limit
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    val e = intercept[Exception] {
+      spark.read.format("binpos").option("top", pdbTop(2))
+        .load(dir.toString).limit(2).collect()
+    }
+    assert(chain(e).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("disagrees") && m.contains("a01.binpos"))))
+    // without top= the limit prunes the trailing file unprobed (no
+    // cross-check requested, nothing to validate against)
+    assert(spark.read.format("binpos").load(dir.toString)
+      .limit(2).collect().length == 2)
   }
 }
