@@ -575,11 +575,13 @@ object SimQueries {
       |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
       |wdots AS (
       |  SELECT w.v1, w.v2,
-      |    sum(CAST(round(p.v * q.v * 1e12, 0) AS BIGINT)) AS dot
+      |    CAST(list_sum(list_transform(
+      |      list_zip(x.embedding, y.embedding),
+      |      z -> CAST(round(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
+      |                      * 1e12, 0) AS BIGINT))) AS BIGINT) AS dot
       |  FROM wpairs w
-      |  JOIN e p ON p.vec_id = w.v1
-      |  JOIN e q ON q.vec_id = w.v2 AND q.idx = p.idx
-      |  GROUP BY 1, 2),
+      |  JOIN embeddings x ON x.vec_id = w.v1
+      |  JOIN embeddings y ON y.vec_id = w.v2),
       |sedges0 AS (
       |  SELECT d.v1, d.v2
       |  FROM wdots d
