@@ -293,15 +293,24 @@ object TextQueries {
     *
     * Pipeline: positioned 5-grams straight off the split array (array
     * slice — no window shuffle), gram stats via one map-side-combinable
-    * groupBy(gram) {count, min(struct(doc_id, pos))}, duplicate
+    * groupBy {count, min(struct(doc_id, pos))}, duplicate
     * occurrences expand to covered token positions, kept tokens
     * reassemble per doc. Output per doc: token counts before/after and
     * the md5 of the cleaned text.
     *
-    * Scale: shuffles are keyed by gram (combiner-friendly counts;
-    * AQE-skew-splittable hot grams) and doc_id (bounded per-doc state).
-    * Nothing is ever all-pairs, and the gram table is the same O(corpus
-    * tokens) a tokenizing pass already produces. */
+    * Scale: shuffles are keyed by a 128-bit GRAM FINGERPRINT (two
+    * independent xxhash64 lanes, r10) rather than the gram text — the
+    * stats groupBy and the occurrence re-join carry 16 bytes per row
+    * where the 5-gram string averages ~30 and is never needed after
+    * the fingerprint is computed in the scan stage. Identity is
+    * preserved up to a 128-bit collision (P ≈ n²/2¹²⁹; ~10⁻²⁰ even at
+    * 10¹⁴ corpus grams), and the DuckDB oracle still matches on the
+    * STRING grams, so the hash-match gate re-validates the
+    * no-collision claim at every test scale. Shuffle keys remain
+    * combiner-friendly and AQE-skew-splittable (hot grams), the doc
+    * reassembly stays doc_id-bounded, and nothing is ever all-pairs:
+    * the gram table is the same O(corpus tokens) a tokenizing pass
+    * already produces. */
   def spanDedup(s: SparkSession, d: String): DataFrame =
     spanDedupAt(s, d, span = 5)
 
@@ -326,10 +335,13 @@ object TextQueries {
         s"transform(sequence(0, size(arr) - $span)," +
           s" i -> array_join(slice(arr, i + 1, $span), ' '))"))
         .as(Seq("pos", "g")))
-    val stats = grams.groupBy("g").agg(
+      .select(col("doc_id"), col("pos"),
+        xxhash64(col("g")).as("h1"),
+        xxhash64(lit(span), col("g")).as("h2"))
+    val stats = grams.groupBy("h1", "h2").agg(
       count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("pos"))).as("first"))
-    val removed = grams.join(stats, "g")
+    val removed = grams.join(stats, Seq("h1", "h2"))
       .filter(col("cnt") > 1 &&
         !(col("doc_id") === col("first.doc_id") &&
           col("pos") === col("first.pos")))
