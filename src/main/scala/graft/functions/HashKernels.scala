@@ -207,29 +207,95 @@ object HashKernels {
     * shorter than 8 chars). Windows are CODE POINTS, not UTF-16 units,
     * so the kernel matches the character semantics of Spark SQL
     * substring()/length() and the DuckDB oracle on non-BMP text
-    * (surrogate pairs count as one character in both engines). */
+    * (surrogate pairs count as one character in both engines).
+    *
+    * Pure-ASCII texts (the dedupNgram key stage's dominant case) take
+    * a zero-allocation loop: UTF-8 bytes == chars 1:1, so each window
+    * digests straight from one shared byte array into a reused 16-byte
+    * buffer, and the running minimum is kept as raw digest bytes
+    * compared UNSIGNED — identical ordering to the hex-string compare
+    * (hex encoding is monotonic in unsigned byte order) — with only
+    * the winning digest hex-encoded at the end. The n-gram md5 loop
+    * was the measured hot path of the ngram key stage: one md5 per
+    * text position, previously plus a 32-char hex String and a
+    * byte-array encode per position. */
   def fingerprint(text: String): String = {
-    // fast path: no surrogates → code units == code points
-    var ascii = true
+    var pureAscii = true
     var j = 0
-    while (ascii && j < text.length) {
-      if (Character.isHighSurrogate(text.charAt(j))) ascii = false
+    while (pureAscii && j < text.length) {
+      if (text.charAt(j) >= 0x80) pureAscii = false
+      j += 1
+    }
+    if (pureAscii) {
+      if (text.length < 8) return md5hex(text)
+      val bytes = new Array[Byte](text.length)
+      var k = 0
+      while (k < text.length) {
+        bytes(k) = text.charAt(k).toByte
+        k += 1
+      }
+      val md = md5tl.get()
+      var cur = new Array[Byte](16)
+      var min = new Array[Byte](16)
+      var haveMin = false
+      var i = 0
+      while (i <= bytes.length - 8) {
+        md.reset()
+        md.update(bytes, i, 8)
+        md.digest(cur, 0, 16)
+        if (!haveMin || unsignedLess(cur, min)) {
+          val t = min; min = cur; cur = t
+          haveMin = true
+        }
+        i += 1
+      }
+      return hex16(min)
+    }
+    // BMP fast path: no surrogates → code units == code points
+    var bmp = true
+    j = 0
+    while (bmp && j < text.length) {
+      if (Character.isHighSurrogate(text.charAt(j))) bmp = false
       j += 1
     }
     val cps: Array[Int] =
-      if (ascii) null else text.codePoints().toArray
-    val n = if (ascii) text.length else cps.length
+      if (bmp) null else text.codePoints().toArray
+    val n = if (bmp) text.length else cps.length
     if (n < 8) return md5hex(text)
     var min: String = null
     var i = 0
     while (i <= n - 8) {
       val gram =
-        if (ascii) text.substring(i, i + 8) else new String(cps, i, 8)
+        if (bmp) text.substring(i, i + 8) else new String(cps, i, 8)
       val h = md5hex(gram)
       if (min == null || h.compareTo(min) < 0) min = h
       i += 1
     }
     min
+  }
+
+  /** a < b over 16 raw digest bytes, UNSIGNED — the byte-level twin of
+    * comparing the hex encodings lexicographically. */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def hex16(b: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   def fingerprintUtf8(text: UTF8String): UTF8String =

@@ -96,6 +96,25 @@ class HashKernelsSpec extends AnyFunSuite {
     df.collect().foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("min_fingerprint fast paths agree across pure-ASCII / BMP / " +
+    "non-BMP inputs (r10 zero-alloc ASCII loop)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val extra = Seq(
+      "pure ascii text long enough for many eight char windows",
+      "café déjà vu accented BMP text with windows",
+      "emoji 😀😀 non-BMP windows 😀 in extended text",
+      "1234567", // < 8 chars: md5 of the whole text
+      "12345678", // exactly one window
+      "éshort") // < 8 chars, non-ASCII
+    // Spark's substring/length count code points, same as the kernel
+    val df = extra.toDF("text").select(
+      expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1))," +
+        " i -> md5(substring(text, i, 8))))").as("sql"),
+      expr("min_fingerprint(text)").as("k"))
+    df.collect().foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("ngram5_count / ngram5_packed / ngram3_set match HOF-composed forms") {
     GraftFunctions.register(spark)
     import spark.implicits._
