@@ -205,6 +205,21 @@ class TopOptionSpec extends AnyFunSuite {
       .exists(_.contains("disagrees"))))
   }
 
+  test("comOfLoaded on the synthetic tables reproduces the registered " +
+    "trajCom query (same DECIMAL-exact weighted mean)") {
+    val s = spark
+    val d = SparkTestBase.sf
+    val generic = graft.traj.TrajQueries.comOfLoaded(
+      graft.traj.TrajModel.positionsShared(s, d),
+      graft.traj.TrajModel.topologyShared(s, d))
+      .select("frame_id", "com_x", "com_y", "com_z", "total_mass")
+      .collect().map(_.toString).toSeq
+    val registered = graft.traj.TrajQueries.trajCom(s, d)
+      .select("frame_id", "com_x", "com_y", "com_z", "total_mass")
+      .collect().map(_.toString).toSeq
+    assert(generic == registered && generic.nonEmpty)
+  }
+
   test("binpos: top= validates EVERY named file, including a trailing " +
     "shard a pushed limit prunes from the plan") {
     def binpos(dir: java.nio.file.Path, name: String, atoms: Int,
