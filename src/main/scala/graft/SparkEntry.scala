@@ -19,7 +19,10 @@ object SparkEntry {
       sim.SimQueries.defs :+
       QueryDef("q_multimodal_features",
         multimodal.MultimodalPipeline.multimodalFeatures,
-        Some(multimodal.MultimodalPipeline.multimodalFeaturesSql))
+        Some(multimodal.MultimodalPipeline.multimodalFeaturesSql)) :+
+      QueryDef("q_multimodal_image",
+        multimodal.MultimodalPipeline.multimodalImage,
+        Some(multimodal.MultimodalPipeline.multimodalImageSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

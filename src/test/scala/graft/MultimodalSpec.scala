@@ -44,7 +44,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.header > 0)
     val agg = MultimodalPipeline.multimodalFeatures(spark, SparkTestBase.sf)
       .collect()
+    // image rows graduated to the real-decode q_multimodal_image query;
+    // the stub aggregate covers the two genuinely codec-less types
     assert(agg.map(_.getAs[String]("media_type")).toSet ==
-      Set("image", "audio", "video"))
+      Set("audio", "video"))
+  }
+
+  test("real image decode: hand-computed pixel stats on a known 2x2 PNG") {
+    import spark.implicits._
+    // pixels chosen by hand: (0,0)=#010203 (1,0)=#FF0080
+    //                        (0,1)=#406080 (1,1)=#000000
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x010203); img.setRGB(1, 0, 0xff0080)
+    img.setRGB(0, 1, 0x406080); img.setRGB(1, 1, 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ds = Seq(MultimodalPipeline.Asset(7L, "image", bos.toByteArray)).toDS()
+    val f = MultimodalPipeline.imageFeatures(ds).collect().head
+    assert(f.width == 2 && f.height == 2)
+    assert(f.r_sum == 0x01L + 0xff + 0x40 + 0x00)   // 320
+    assert(f.g_sum == 0x02L + 0x00 + 0x60 + 0x00)   // 98
+    assert(f.b_sum == 0x03L + 0x80 + 0x80 + 0x00)   // 259
+    assert(f.feature.toSeq == Seq(320f / 4, 98f / 4, 259f / 4, 4f))
+  }
+
+  test("PNG payload round-trips: ImageIO decode equals the pixel formula") {
+    for (id <- Seq(0L, 3L, 99L, 123456L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MultimodalPipeline.imagePayload(id)))
+      val w = 8 + (id % 9).toInt
+      val h = 8 + (id % 7).toInt
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y) & 0xffffff
+        val want = ((((id * 7 + x * 3 + y * 5) % 256).toInt << 16) |
+          (((id * 11 + x + y * 2) % 256).toInt << 8) |
+          ((id * 13 + x * 2 + y) % 256).toInt)
+        assert(rgb == want, s"doc $id pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("registered image query matches the closed-form stats per doc") {
+    val got = MultimodalPipeline.multimodalImage(spark, SparkTestBase.sf)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val w = 8 + (id % 9).toInt
+      val h = 8 + (id % 7).toInt
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        rs += (id * 7 + x * 3 + y * 5) % 256
+        gs += (id * 11 + x + y * 2) % 256
+        bs += (id * 13 + x * 2 + y) % 256
+      }
+      assert(row.getAs[Long]("width") == w && row.getAs[Long]("height") == h)
+      assert(row.getAs[Long]("r_sum") == rs, s"doc $id r_sum")
+      assert(row.getAs[Long]("g_sum") == gs, s"doc $id g_sum")
+      assert(row.getAs[Long]("b_sum") == bs, s"doc $id b_sum")
+    }
   }
 }
