@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -117,6 +117,19 @@ private[functions] object LiteralArg {
         s"$fn: $what must be an integer literal, got $other")
     }
   }
+
+  def double(fn: String, e: Expression, what: String): Double = {
+    require(e.foldable, s"$fn: $what must be a numeric literal")
+    e.eval(null) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a numeric literal, got $other")
+    }
+  }
 }
 
 /** `simhash_close_pairs(members, max_hamming)` — group-local candidate
@@ -132,12 +145,17 @@ case class SimhashClosePairs(child: Expression, maxHamming: Int)
   require(maxHamming >= 0 && maxHamming <= 128,
     s"simhash_close_pairs: max_hamming must be in [0, 128], got $maxHamming")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StructType(fs), _)
+    // containsNull = false required: the kernel getStructs every element,
+    // so a null member would NPE — reject it as a type error instead
+    // (the registered plans build the array via collect_list, which is
+    // containsNull = false by construction)
+    case ArrayType(StructType(fs), false)
         if fs.length == 3 && fs.forall(_.dataType == LongType) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<STRUCT<BIGINT, BIGINT, BIGINT>> " +
-        s"(doc_id, sim_lo, sim_hi), got ${other.simpleString}")
+        s"(doc_id, sim_lo, sim_hi) with non-null elements, " +
+        s"got ${other.simpleString}")
   }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("d1", LongType, nullable = false),
@@ -165,6 +183,74 @@ object SimhashClosePairs {
       "simhash_close_pairs(members, max_hamming) takes 2 arguments")
     SimhashClosePairs(es.head,
       LiteralArg.int("simhash_close_pairs", es(1), "max_hamming"))
+  }
+}
+
+/** `cosine_close_pairs(members_a, members_b, same_bucket, threshold)` —
+  * group-local candidate generation + exact-cosine verify over the two
+  * member lists of one qualifying Hamming-≤1 LSH code pair (each an
+  * `array<struct<vec_id, emb, nrm>>` built by `collect_list` under a
+  * groupBy on the code). `same_bucket` (a column: `ca = cb`) switches
+  * to within-bucket i < j enumeration; `threshold` is a literal — the
+  * near-dup definition is part of the PLAN. Emits only surviving pairs
+  * as `array<struct<v1, v2, cos_sim>>` with v1 < v2 — see
+  * [[HashKernels.cosineClosePairs]] for the exactness contract and why
+  * this beats the code-pair-keyed vector join at scale. */
+case class CosineClosePairs(a: Expression, b: Expression,
+    same: Expression, threshold: Double) extends TernaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = same
+
+  // containsNull = false required (kernel getStructs every element);
+  // collect_list produces exactly that
+  private def memberOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(fs), false) =>
+      fs.length == 3 && fs(0).dataType == LongType &&
+        (fs(1).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        }) && fs(2).dataType == DoubleType
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (memberOk(a.dataType) && memberOk(b.dataType) &&
+        same.dataType == BooleanType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<STRUCT<BIGINT, ARRAY<DOUBLE>, " +
+        "DOUBLE>> member lists with non-null elements and a BOOLEAN, " +
+        s"got (${a.dataType.simpleString}, ${b.dataType.simpleString}, " +
+        s"${same.dataType.simpleString})")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("v1", LongType, nullable = false),
+    StructField("v2", LongType, nullable = false),
+    StructField("cos_sim", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cosine_close_pairs"
+
+  override protected def nullSafeEval(ma: Any, mb: Any, sm: Any): Any =
+    HashKernels.cosineClosePairs(ma.asInstanceOf[ArrayData],
+      mb.asInstanceOf[ArrayData], sm.asInstanceOf[Boolean], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ma, mb, sm) =>
+      s"${ev.value} = graft.functions.HashKernels.cosineClosePairs(" +
+        s"$ma, $mb, $sm, ${threshold}D);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(a = newFirst, b = newSecond, same = newThird)
+}
+
+object CosineClosePairs {
+  def build(es: Seq[Expression]): CosineClosePairs = {
+    require(es.length == 4,
+      "cosine_close_pairs(members_a, members_b, same_bucket, threshold) " +
+        "takes 4 arguments")
+    CosineClosePairs(es(0), es(1), es(2),
+      LiteralArg.double("cosine_close_pairs", es(3), "threshold"))
   }
 }
 
@@ -499,6 +585,8 @@ object GraftFunctions {
       es => PairDistStats(es), "scala_udf")
     reg.createOrReplaceTempFunction("simhash_close_pairs",
       es => SimhashClosePairs.build(es), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_close_pairs",
+      es => CosineClosePairs.build(es), "scala_udf")
     reg.createOrReplaceTempFunction("topk_pairs",
       es => TopKPairs.build(es).toAggregateExpression(), "scala_udf")
   }

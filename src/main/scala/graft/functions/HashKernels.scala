@@ -423,20 +423,136 @@ object HashKernels {
     * as bits grow — the scale knob for corpus growth: bucket occupancy
     * ~ n/2^bits, so doubling the corpus and adding one bit keeps the
     * candidate-join cost flat. */
+  /** Hyperplane table cache: sin(997p + 31i) depends only on (p, i),
+    * so the (bits × dim) table is computed once per shape and reused —
+    * without it every vector recomputed bits·dim Math.sin calls
+    * (20.5 M sin at the 10× replica's 20 k × 16 × 64). Same doubles
+    * (Math.sin is deterministic), so codes are bit-identical. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def planes(bits: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((bits, dim), { case (b, n) =>
+      val t = new Array[Double](b * n)
+      var p = 0
+      while (p < b) {
+        var i = 0
+        while (i < n) {
+          t(p * n + i) = math.sin(p * 997 + (i + 1) * 31)
+          i += 1
+        }
+        p += 1
+      }
+      t
+    })
+
   def lshCode(v: Array[Double], bits: Int): Long = {
+    val t = planes(bits, v.length)
     var code = 0L
     var p = 0
     while (p < bits) {
       var s = 0L
       var i = 0
+      val off = p * v.length
       while (i < v.length) {
-        s += roundHalfUp(v(i) * math.sin(p * 997 + (i + 1) * 31) * 1e12)
+        s += roundHalfUp(v(i) * t(off + i) * 1e12)
         i += 1
       }
       if (s > 0) code |= 1L << p
       p += 1
     }
     code
+  }
+
+  /** Group-local cosine candidate generation + verify for the
+    * embedding near-dup tier (the vector twin of [[simhashClosePairs]]):
+    * given the member lists of the two buckets of one qualifying
+    * Hamming-≤1 code pair — each element a (vec_id, emb, nrm) struct —
+    * emit every pair whose 6-decimal-rounded cosine clears `threshold`,
+    * as (v1, v2, cos_sim) with v1 < v2. `same = true` means the two
+    * lists are the SAME bucket (a (c, c) code pair): iterate unordered
+    * within-bucket pairs i < j over `xs` only.
+    *
+    * This replaces the code-pair-keyed vector join in the LSH near-dup
+    * plan: that join materialized every candidate as a row carrying
+    * BOTH full embeddings (~1 KB each) before the cosine filter ran —
+    * 25.6 M such rows at the 10× replica (the corpus is clustered, so
+    * candidates grow quadratically: 256 k at sf0.1, exactly 100× at
+    * 10×), measured at 18.0 s idle. Here a bucket's members shuffle
+    * ONCE per partner code (≤ bits+1 partners exist at all), and the
+    * c² cosine work runs as in-task primitive-array loops — only
+    * survivors ever become rows.
+    *
+    * Exactness contract (oracle hash): the dot is [[dotScaled]] (exact
+    * integer accumulation), the cosine is `(dots / 1e12) / (n1 · n2)`
+    * in that association, and the rounding is
+    * `BigDecimal.valueOf(cos).setScale(6, HALF_UP)` — bit-for-bit what
+    * Spark's `round(col, 6)` computes on a double, so the kernel's
+    * output is row-identical to the join plan it replaces
+    * (CosineKernelSpec pins this differentially). Non-finite cosines
+    * (zero-norm vectors) are skipped — they cannot pass the threshold
+    * compare in the join plan either. */
+  def cosineClosePairs(xs: org.apache.spark.sql.catalyst.util.ArrayData,
+      ys: org.apache.spark.sql.catalyst.util.ArrayData,
+      same: Boolean, threshold: Double): GenericArrayData = {
+    val n = xs.numElements()
+    val ida = new Array[Long](n)
+    val ea = new Array[Array[Double]](n)
+    val na = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val r = xs.getStruct(i, 3)
+      ida(i) = r.getLong(0)
+      ea(i) = r.getArray(1).toDoubleArray()
+      na(i) = r.getDouble(2)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // HALF_UP at 6 decimals moves a value by at most 5e-7 (+ ulp), so
+    // no cosine below `threshold - 5.001e-7` can round up to clear the
+    // threshold — the cheap double compare skips the exact BigDecimal
+    // rounding (a Double.toString under the hood, the kernel's hottest
+    // non-dot cost) for the ~99.95 % of candidates that fail by a wide
+    // margin, without ever changing which pairs survive.
+    val preGate = threshold - 5.001e-7
+    def verify(id1: Long, e1: Array[Double], n1: Double,
+        id2: Long, e2: Array[Double], n2: Double): Unit = {
+      val cos = (dotScaled(e1, e2) / 1e12) / (n1 * n2)
+      if (cos >= preGate && java.lang.Double.isFinite(cos)) {
+        val r6 = java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (r6 >= threshold)
+          out += new GenericInternalRow(Array[Any](
+            math.min(id1, id2), math.max(id1, id2), r6))
+      }
+    }
+    if (same) {
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          verify(ida(i), ea(i), na(i), ida(j), ea(j), na(j))
+          j += 1
+        }
+        i += 1
+      }
+    } else {
+      val m = ys.numElements()
+      var j = 0
+      while (j < m) {
+        val r = ys.getStruct(j, 3)
+        val idb = r.getLong(0)
+        val eb = r.getArray(1).toDoubleArray()
+        val nb = r.getDouble(2)
+        i = 0
+        while (i < n) {
+          verify(ida(i), ea(i), na(i), idb, eb, nb)
+          i += 1
+        }
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** Sorted array of distinct char-5-grams as packed longs. Injective

@@ -164,17 +164,19 @@ object SimQueries {
 
   /** Embedding near-dup pairs: multiprobe sign-LSH candidates + exact
     * cosine ≥ 0.4 verify. Candidate pairs are the vector pairs whose
-    * 16-bit codes differ in ≤ 1 bit, found in TWO tiers:
+    * 16-bit codes differ in ≤ 1 bit, found in THREE tiers:
     *
     *  1. CODE-pair generation runs on the distinct codes only (≤ 2^16
     *     rows no matter the corpus size): each code emits 16 one-bit-
     *     masked probes, the self-join on (band, mask) finds code pairs
     *     at Hamming ≤ 1. Cost is bounded by 17·2^16 rows — corpus-size
     *     independent.
-    *  2. The vector-level join expands each qualifying code pair into
-    *     its vector pairs — exactly the candidate set, each pair
-    *     produced once (no distinct over a ×16-replicated pair stream,
-    *     which on a clustered corpus was 12× the candidate count).
+    *  2. Vectors group into per-code member lists — one shuffle of the
+    *     corpus, each embedding moving at most (#partner codes ≤ 17)
+    *     times via the code-pair join.
+    *  3. The c² candidate enumeration + exact-cosine verify runs
+    *     INSIDE the cosine_close_pairs kernel per code pair — see
+    *     [[simNeardupLshAt]].
     *
     * One pass computes code + norm + vector per row behind one lineage
     * barrier (see TextQueries.dedupMinhash for the barrier rationale). */
@@ -184,17 +186,68 @@ object SimQueries {
   /** `bits` is the corpus-growth knob (see HashKernels.lshCode): the
     * hyperplane family is prefix-extensible, so candidates at MORE
     * bits are a strict subset of candidates at fewer — occupancy per
-    * bucket ~ n/2^bits keeps the candidate join flat if bits grows
-    * with log2(n). The registered query pins 16 to match its oracle;
-    * the r6 sf1 run measured the 16-bit form at 13.5× for 10× data —
-    * exactly the tail this parameter removes. */
+    * bucket ~ n/2^bits keeps the candidate cost flat if bits grows
+    * with log2(n). The registered query pins 16 to match its oracle,
+    * and on a clustered corpus that pin makes the CANDIDATE COUNT
+    * quadratic in docs (the r11 10× replica: 32 live codes, 256 k →
+    * 25.6 M candidates, exactly 100×) — so the plan's job is to keep
+    * the PER-CANDIDATE cost at two array reads + one fused dot.
+    *
+    * Kernel tier: vectors group ONCE per code into member lists; each
+    * qualifying code pair joins the two lists (≤ bits+1 partners per
+    * code, so a vector's embedding is shuffled at most 17 times —
+    * corpus-linear) and the c² cosine verify runs inside
+    * [[graft.functions.CosineClosePairs]] as primitive array loops.
+    * The pre-r11 plan materialized every candidate as a join row
+    * carrying both full embeddings (~1 KB each): 18.0 s idle at the
+    * 10× replica. Only surviving pairs become rows. */
   def simNeardupLshAt(s: SparkSession, d: String, bits: Int): DataFrame = {
+    val (vecs, codePairs) = lshCandidateCodes(s, d, bits)
+    val members = vecs.groupBy(col("bkt"))
+      .agg(collect_list(
+        struct(col("vec_id"), col("emb"), col("nrm"))).as("m"))
+    val withA = codePairs
+      .join(members.select(col("bkt").as("ka"), col("m").as("ma")),
+        col("ca") === col("ka"))
+    val withB = withA
+      .join(members.select(col("bkt").as("kb"), col("m").as("mb")),
+        col("cb") === col("kb"))
+    // explicit spread before the kernel: the joined pair table is a
+    // handful of WIDE rows (one per qualifying code pair), and AQE's
+    // byte-based coalescing would pack them into 1-4 partitions,
+    // serializing the c² kernel arithmetic; a user repartition pins the
+    // fan-out so each pair's kernel call can run on its own core. 4×
+    // the shuffle-partition count keeps hash collisions (two hot pairs
+    // sharing a partition) rare when live code pairs ~ core count.
+    withB.repartition(
+        s.sessionState.conf.numShufflePartitions * 4,
+        col("ca"), col("cb"))
+      .select(explode(
+        expr("cosine_close_pairs(ma, mb, ca = cb, 0.4)")).as("p"))
+      .select(col("p.v1").as("v1"), col("p.v2").as("v2"),
+        col("p.cos_sim").as("cos_sim"))
+      .orderBy("v1", "v2")
+  }
+
+  /** Shared head of the LSH near-dup family: coded vectors behind one
+    * lineage barrier + the distinct Hamming-≤1 code pairs (ca ≤ cb),
+    * generated on the DISTINCT codes only (≤ 2^bits rows no matter the
+    * corpus size): each code emits `bits` one-bit-masked probes and the
+    * self-join on (band, mask) finds code pairs at Hamming ≤ 1 — cost
+    * bounded by (bits+1)·2^bits, corpus-size independent. */
+  private def lshCandidateCodes(s: SparkSession, d: String, bits: Int)
+      : (DataFrame, DataFrame) = {
     require(bits >= 1 && bits <= 63,
       s"sim_neardup_lsh: bits must be in [1, 63], got $bits")
     graft.functions.GraftFunctions.register(s)
-    val vecs = vecsShared(s, d)
-      .withColumn("bkt", expr(s"lsh_code(emb, $bits)"))
-      .localCheckpoint(false)
+    // coded vectors shared per (session, dir, bits) — the code column
+    // is deterministic, so recomputing + re-checkpointing it per
+    // invocation was pure waste (same contract as vecsShared)
+    val vecs = shared(s, d, s"coded-$bits") {
+      vecsShared(s, d)
+        .withColumn("bkt", expr(s"lsh_code(emb, $bits)"))
+        .localCheckpoint(false)
+    }
     val codes = vecs.select(col("bkt")).distinct()
     val maskExpr =
       s"transform(sequence(0, ${bits - 1}), b -> named_struct(" +
@@ -209,6 +262,19 @@ object SimQueries {
       col("band") === col("band2") && col("mval") === col("mval2") &&
         col("bkt") <= col("bktB"))
       .select(col("bkt").as("ca"), col("bktB").as("cb")).distinct()
+    (vecs, codePairs)
+  }
+
+  /** The pre-r11 code-pair-keyed vector join, kept ONLY as the
+    * differential-test oracle for the kernel plan (CosineKernelSpec):
+    * row-identical output to [[simNeardupLshAt]] by construction, but
+    * it materializes every candidate pair as a shuffled/joined row
+    * carrying both full embeddings — the measured quadratic-bytes tail
+    * the kernel plan exists to avoid. Not registered; do not use
+    * outside tests. */
+  private[graft] def simNeardupLshViaJoin(s: SparkSession, d: String,
+      bits: Int): DataFrame = {
+    val (vecs, codePairs) = lshCandidateCodes(s, d, bits)
     val v1 = vecs.select(col("vec_id").as("va"), col("bkt").as("ka"),
       col("emb").as("emb1"), col("nrm").as("nrm1"))
     val v2 = vecs.select(col("vec_id").as("vb"), col("bkt").as("kb"),

@@ -1,0 +1,120 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r11 embedding-LSH plan rewrite: `q_sim_neardup_lsh` now gathers
+  * per-code member lists and runs the c² candidate enumeration +
+  * exact-cosine verify inside the `cosine_close_pairs` kernel instead
+  * of materializing every candidate as a join row carrying both full
+  * embeddings (measured at the 10× replica: 25.6 M candidate rows of
+  * ~1 KB, 18.0 s idle — candidates grow quadratically on the clustered
+  * corpus). These specs pin (1) row-identity of the kernel plan against
+  * the retired join plan at two `bits` settings, (2) codegen on/off
+  * invariance, (3) the kernel's unit semantics (rounding, threshold
+  * edge, same-bucket vs cross-bucket modes, id normalization) on
+  * hand-built member lists, and (4) that the executed plan carries no
+  * per-candidate embedding-pair columns. */
+class CosineKernelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("kernel plan is row-identical to the join-based plan " +
+    "(differential, sf0.01, bits = 16 and 12)") {
+    val sf01 = "/root/testdata/sf0.01"
+    for (bits <- Seq(16, 12)) {
+      val kern = sim.SimQueries.simNeardupLshAt(spark, sf01, bits)
+        .collect().map(_.toString).toSet
+      val join = sim.SimQueries.simNeardupLshViaJoin(spark, sf01, bits)
+        .collect().map(_.toString).toSet
+      assert(kern == join,
+        s"bits=$bits: ${(kern -- join).size} extra / " +
+          s"${(join -- kern).size} missing vs the join-based plan")
+      assert(kern.nonEmpty,
+        s"bits=$bits: differential vacuous, no near-dup pairs")
+    }
+  }
+
+  test("kernel plan results are invariant to whole-stage codegen on/off") {
+    val c0 = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val on = sim.SimQueries.simNeardupLsh(spark, SparkTestBase.sf)
+        .collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val off = sim.SimQueries.simNeardupLsh(spark, SparkTestBase.sf)
+        .collect().map(_.toString).toSeq
+      assert(on == off, "simNeardupLsh differs across codegen modes")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", c0)
+  }
+
+  test("cosine_close_pairs unit semantics: rounding, threshold edge, " +
+    "modes, id normalization") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // norms supplied exactly: (3,4) and (4,3) have norm 5; their dot is
+    // 24 -> cos 0.96. (1,1) vs (1,0): cos = 1/sqrt(2) -> rounds to
+    // 0.707107 at 6 decimals (the kernel must reproduce Spark's
+    // round(col, 6) exactly).
+    val a = Seq((1L, Seq(3.0, 4.0), 5.0), (2L, Seq(4.0, 3.0), 5.0),
+      (3L, Seq(-3.0, 4.0), 5.0))
+      .toDF("vec_id", "emb", "nrm")
+      .agg(collect_list(struct(col("vec_id"), col("emb"), col("nrm")))
+        .as("ma"))
+    def run(thr: Double) = a
+      .select(explode(expr(s"cosine_close_pairs(ma, ma, true, $thr)"))
+        .as("p"))
+      .select("p.v1", "p.v2", "p.cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // pairs: (1,2) cos 0.96; (1,3) cos (-9+16)/25 = 0.28; (2,3) cos
+    // (-12+12)/25 = 0.0
+    assert(run(0.5) == Set((1L, 2L, 0.96)))
+    assert(run(0.28) == Set((1L, 2L, 0.96), (1L, 3L, 0.28)),
+      "threshold compare must be inclusive (>=)")
+    assert(run(0.99) == Set.empty, "no survivors must mean empty array")
+    // 6-decimal HALF_UP rounding, bit-identical to Spark's round(_, 6)
+    val b = Seq((10L, Seq(1.0, 1.0), math.sqrt(2.0)),
+      (20L, Seq(1.0, 0.0), 1.0))
+      .toDF("vec_id", "emb", "nrm")
+      .agg(collect_list(struct(col("vec_id"), col("emb"), col("nrm")))
+        .as("ma"))
+    val r = b.select(explode(
+        expr("cosine_close_pairs(ma, ma, true, 0.5)")).as("p"))
+      .select("p.v1", "p.v2", "p.cos_sim").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .toSeq == Seq((10L, 20L, 0.707107)))
+    // cross-bucket mode: every A x B pair, ids normalized v1 < v2 even
+    // when the larger id sits in bucket A
+    val hi = Seq((9L, Seq(1.0, 0.0), 1.0))
+      .toDF("vec_id", "emb", "nrm")
+      .agg(collect_list(struct(col("vec_id"), col("emb"), col("nrm")))
+        .as("ma"))
+    val lo = Seq((4L, Seq(1.0, 0.0), 1.0), (5L, Seq(0.0, 1.0), 1.0))
+      .toDF("vec_id", "emb", "nrm")
+      .agg(collect_list(struct(col("vec_id"), col("emb"), col("nrm")))
+        .as("mb"))
+    val cross = hi.crossJoin(lo)
+      .select(explode(
+        expr("cosine_close_pairs(ma, mb, false, 0.5)")).as("p"))
+      .select("p.v1", "p.v2", "p.cos_sim").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(cross == Set((4L, 9L, 1.0)),
+      "cross mode: expected the one qualifying A x B pair, normalized")
+    // plan-time literal validation
+    val e = intercept[Exception] {
+      a.selectExpr("cosine_close_pairs(ma, ma, true, ma)").collect()
+    }
+    assert(e.getMessage.contains("threshold"))
+  }
+
+  test("executed kernel plan materializes no per-candidate embedding " +
+    "pairs (the c^2 verify stays in-task)") {
+    val plan = sim.SimQueries.simNeardupLsh(spark, SparkTestBase.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_close_pairs"),
+      "kernel expression missing from the physical plan")
+    assert(!plan.contains("emb1") && !plan.contains("emb2"),
+      s"per-candidate embedding-pair columns found in plan:\n$plan")
+  }
+}
