@@ -186,6 +186,67 @@ object SimhashClosePairs {
   }
 }
 
+/** `simhash_close_pairs_x(members_a, members_b, same_segment,
+  * max_hamming)` — the two-list segment variant of
+  * [[SimhashClosePairs]], used by the hot-bucket guard: buckets over
+  * the plan's cap are hash-split and each segment cell (within via
+  * `same_segment = true`, cross otherwise) verifies in-task — see
+  * [[HashKernels.simhashClosePairsCross]]. */
+case class SimhashClosePairsX(a: Expression, b: Expression,
+    same: Expression, maxHamming: Int) extends TernaryExpression {
+  require(maxHamming >= 0 && maxHamming <= 128,
+    s"simhash_close_pairs_x: max_hamming must be in [0, 128], " +
+      s"got $maxHamming")
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = same
+
+  private def memberOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(fs), false) =>
+      fs.length == 3 && fs.forall(_.dataType == LongType)
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (memberOk(a.dataType) && memberOk(b.dataType) &&
+        same.dataType == BooleanType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<STRUCT<BIGINT, BIGINT, BIGINT>> " +
+        "member lists with non-null elements and a BOOLEAN, got " +
+        s"(${a.dataType.simpleString}, ${b.dataType.simpleString}, " +
+        s"${same.dataType.simpleString})")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d1", LongType, nullable = false),
+    StructField("d2", LongType, nullable = false),
+    StructField("hamming", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "simhash_close_pairs_x"
+
+  override protected def nullSafeEval(ma: Any, mb: Any, sm: Any): Any =
+    HashKernels.simhashClosePairsCross(ma.asInstanceOf[ArrayData],
+      mb.asInstanceOf[ArrayData], sm.asInstanceOf[Boolean], maxHamming)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ma, mb, sm) =>
+      s"${ev.value} = graft.functions.HashKernels.simhashClosePairsCross(" +
+        s"$ma, $mb, $sm, $maxHamming);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(a = newFirst, b = newSecond, same = newThird)
+}
+
+object SimhashClosePairsX {
+  def build(es: Seq[Expression]): SimhashClosePairsX = {
+    require(es.length == 4,
+      "simhash_close_pairs_x(members_a, members_b, same_segment, " +
+        "max_hamming) takes 4 arguments")
+    SimhashClosePairsX(es(0), es(1), es(2),
+      LiteralArg.int("simhash_close_pairs_x", es(3), "max_hamming"))
+  }
+}
+
 /** `cosine_close_pairs(members_a, members_b, same_bucket, threshold)` —
   * group-local candidate generation + exact-cosine verify over the two
   * member lists of one qualifying Hamming-≤1 LSH code pair (each an
@@ -585,6 +646,8 @@ object GraftFunctions {
       es => PairDistStats(es), "scala_udf")
     reg.createOrReplaceTempFunction("simhash_close_pairs",
       es => SimhashClosePairs.build(es), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_close_pairs_x",
+      es => SimhashClosePairsX.build(es), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_close_pairs",
       es => CosineClosePairs.build(es), "scala_udf")
     reg.createOrReplaceTempFunction("topk_pairs",

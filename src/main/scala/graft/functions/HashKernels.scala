@@ -464,6 +464,54 @@ object HashKernels {
     code
   }
 
+  /** Two-list variant of [[simhashClosePairs]] for SEGMENTED buckets —
+    * the hot-bucket guard (SCALING.md): a (band, bval) bucket larger
+    * than the plan's cap is hash-split into segments, within-segment
+    * pairs run the one-list kernel shape (`same = true`, `ys`
+    * ignored), and each cross-segment cell (s1 < s2) runs the full
+    * xs × ys cross — every unordered pair lands in exactly one cell,
+    * so the union over cells is pair-identical to the unsegmented
+    * kernel. Re-banding alone cannot guard this case: k docs with
+    * IDENTICAL signatures share one bucket under every banding, while
+    * hash-segmenting bounds per-task members (and c² work) regardless
+    * of the signature distribution. */
+  def simhashClosePairsCross(
+      xs: org.apache.spark.sql.catalyst.util.ArrayData,
+      ys: org.apache.spark.sql.catalyst.util.ArrayData,
+      same: Boolean, maxHamming: Int): GenericArrayData = {
+    if (same) return simhashClosePairs(xs, maxHamming)
+    val n = xs.numElements()
+    val ids = new Array[Long](n)
+    val lo = new Array[Long](n)
+    val hi = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = xs.getStruct(i, 3)
+      ids(i) = r.getLong(0); lo(i) = r.getLong(1); hi(i) = r.getLong(2)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val m = ys.numElements()
+    var j = 0
+    while (j < m) {
+      val r = ys.getStruct(j, 3)
+      val idb = r.getLong(0); val lob = r.getLong(1); val hib = r.getLong(2)
+      i = 0
+      while (i < n) {
+        val h = java.lang.Long.bitCount(lo(i) ^ lob) +
+          java.lang.Long.bitCount(hi(i) ^ hib)
+        if (h <= maxHamming) {
+          val a = math.min(ids(i), idb)
+          val b = math.max(ids(i), idb)
+          out += new GenericInternalRow(Array[Any](a, b, h.toLong))
+        }
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Group-local cosine candidate generation + verify for the
     * embedding near-dup tier (the vector twin of [[simhashClosePairs]]):
     * given the member lists of the two buckets of one qualifying

@@ -201,29 +201,61 @@ object SimQueries {
     * The pre-r11 plan materialized every candidate as a join row
     * carrying both full embeddings (~1 KB each): 18.0 s idle at the
     * 10× replica. Only surviving pairs become rows. */
-  def simNeardupLshAt(s: SparkSession, d: String, bits: Int): DataFrame = {
+  /** Default per-task member bound for the cosine gather: 1024 members
+    * keep a within-cell verify at ~0.5 M fused dots (tens of ms) and
+    * the gathered array at ~0.5 MB — far below task memory. Buckets
+    * under the cap take the unsegmented path with zero extra
+    * replication. */
+  private[graft] val LshBucketCap = 1024
+
+  def simNeardupLshAt(s: SparkSession, d: String, bits: Int): DataFrame =
+    simNeardupLshCapped(s, d, bits, LshBucketCap)
+
+  /** Kernel plan body with an explicit hot-bucket cap (the registered
+    * query uses [[LshBucketCap]]; CosineKernelSpec drives a tiny cap to
+    * pin segment-cell coverage against the uncapped plan). Buckets over
+    * the cap hash-split into ⌈count/cap⌉ segments: for a (ca, cb) code
+    * pair every (s1, s2) segment cell verifies in its own kernel call
+    * (within-mode only when ca = cb AND s1 = s2; ca = cb cells keep
+    * s1 ≤ s2 so each unordered pair lands in exactly one cell) — the
+    * same guard shape as TextQueries.closePairsFromBanded, needed here
+    * for the same reason: a pathological corpus can put millions of
+    * vectors in one code, and no bits setting splits identical
+    * embeddings. */
+  private[graft] def simNeardupLshCapped(s: SparkSession, d: String,
+      bits: Int, bucketCap: Int): DataFrame = {
     val (vecs, codePairs) = lshCandidateCodes(s, d, bits)
-    val members = vecs.groupBy(col("bkt"))
+    val w = Window.partitionBy(col("bkt"))
+    val members = vecs
+      .withColumn("nseg",
+        greatest(lit(1L), ceil(count(lit(1)).over(w) / lit(bucketCap)))
+          .cast("int"))
+      .withColumn("seg", pmod(hash(col("vec_id")), col("nseg")))
+      .groupBy(col("bkt"), col("seg"))
       .agg(collect_list(
         struct(col("vec_id"), col("emb"), col("nrm"))).as("m"))
     val withA = codePairs
-      .join(members.select(col("bkt").as("ka"), col("m").as("ma")),
-        col("ca") === col("ka"))
+      .join(members.select(col("bkt").as("ka"), col("seg").as("s1"),
+        col("m").as("ma")), col("ca") === col("ka"))
     val withB = withA
-      .join(members.select(col("bkt").as("kb"), col("m").as("mb")),
-        col("cb") === col("kb"))
-    // explicit spread before the kernel: the joined pair table is a
-    // handful of WIDE rows (one per qualifying code pair), and AQE's
-    // byte-based coalescing would pack them into 1-4 partitions,
-    // serializing the c² kernel arithmetic; a user repartition pins the
-    // fan-out so each pair's kernel call can run on its own core. 4×
-    // the shuffle-partition count keeps hash collisions (two hot pairs
-    // sharing a partition) rare when live code pairs ~ core count.
+      .join(members.select(col("bkt").as("kb"), col("seg").as("s2"),
+        col("m").as("mb")),
+        col("cb") === col("kb") &&
+          (col("ca") =!= col("cb") || col("s1") <= col("s2")))
+    // explicit spread before the kernel: the joined cell table is a
+    // handful of WIDE rows (one per qualifying code-pair segment cell),
+    // and AQE's byte-based coalescing would pack them into 1-4
+    // partitions, serializing the c² kernel arithmetic; a user
+    // repartition pins the fan-out so each cell's kernel call can run
+    // on its own core. 4× the shuffle-partition count keeps hash
+    // collisions (two hot cells sharing a partition) rare when live
+    // cells ~ core count.
     withB.repartition(
         s.sessionState.conf.numShufflePartitions * 4,
-        col("ca"), col("cb"))
+        col("ca"), col("cb"), col("s1"), col("s2"))
       .select(explode(
-        expr("cosine_close_pairs(ma, mb, ca = cb, 0.4)")).as("p"))
+        expr("cosine_close_pairs(ma, mb, ca = cb AND s1 = s2, 0.4)"))
+        .as("p"))
       .select(col("p.v1").as("v1"), col("p.v2").as("v2"),
         col("p.cos_sim").as("cos_sim"))
       .orderBy("v1", "v2")

@@ -480,24 +480,72 @@ object TextQueries {
     closePairsFromBanded(banded, maxHamming)
   }
 
+  /** Default per-task member bound for the simhash gather: 8192
+    * members cost ~34 M XOR+POPCNT pairs (tens of ms) and ~200 KB of
+    * struct array per kernel call — far below task memory and the 2 GB
+    * array ceiling. */
+  private[graft] val SimhashBucketCap = 8192
+
   /** Shared tail of the simhash dedup family: one bucket per
     * (band, bval) key, members gathered with collect_list, candidate
     * enumeration + Hamming verify inside the
     * [[graft.functions.SimhashClosePairs]] kernel. Only surviving
     * pairs ever become rows; the cross-band `distinct()` stays because
-    * a qualifying pair can collide in several bands. */
-  private def closePairsFromBanded(banded: DataFrame,
-      maxHamming: Int): DataFrame =
-    banded.groupBy(col("band"), col("bval"))
+    * a qualifying pair can collide in several bands.
+    *
+    * HOT-BUCKET GUARD (SCALING.md): a (band, bval) bucket larger than
+    * `bucketCap` would otherwise gather into ONE collect_list row and
+    * run its whole c² verify in one task — unbounded under adversarial
+    * skew (millions of identical-signature docs share one bucket under
+    * EVERY banding, so re-banding alone cannot split them). Buckets
+    * over the cap are hash-split into ⌈count/cap⌉ segments; each
+    * within-segment cell runs the one-list kernel and each s1 < s2
+    * cross cell runs the two-list kernel, so every unordered pair
+    * lands in exactly one cell and per-task members stay ≤ ~cap. The
+    * window count reuses the same (band, bval) hash partitioning the
+    * common-path groupBy needs, and the segment branch processes zero
+    * rows unless a bucket actually exceeds the cap
+    * (SimhashSkewSpec pins output identity against the uncapped plan
+    * on a corpus engineered to blow the cap). */
+  private[graft] def closePairsFromBanded(banded: DataFrame,
+      maxHamming: Int, bucketCap: Int = SimhashBucketCap): DataFrame = {
+    // per-bucket counts via a window over the same (band, bval) hash
+    // partitioning the groupBy below needs: ONE shuffle of the banded
+    // rows plus an in-partition sort. (Measured alternative — a
+    // counts-table join — reads the banded source twice and came out
+    // slower at sf0.1, 1.08 s vs 0.97 s; at scale a second source scan
+    // loses to the sort as well.)
+    val w = Window.partitionBy(col("band"), col("bval"))
+    val counted = banded.withColumn("nseg",
+      greatest(lit(1L), ceil(count(lit(1)).over(w) / lit(bucketCap)))
+        .cast("int"))
+    val small = counted.where(col("nseg") === 1)
+      .groupBy(col("band"), col("bval"))
       .agg(collect_list(
         struct(col("doc_id"), col("sim_lo"), col("sim_hi"))).as("members"))
       .where(size(col("members")) > 1)
       .select(explode(
         expr(s"simhash_close_pairs(members, $maxHamming)")).as("p"))
+    val segs = counted.where(col("nseg") > 1)
+      .withColumn("seg", pmod(hash(col("doc_id")), col("nseg")))
+      .groupBy(col("band"), col("bval"), col("seg"))
+      .agg(collect_list(
+        struct(col("doc_id"), col("sim_lo"), col("sim_hi"))).as("m"))
+    val sa = segs.select(col("band"), col("bval"),
+      col("seg").as("s1"), col("m").as("ma"))
+    val sb = segs.select(col("band").as("bandB"), col("bval").as("bvalB"),
+      col("seg").as("s2"), col("m").as("mb"))
+    val big = sa.join(sb, col("band") === col("bandB") &&
+        col("bval") === col("bvalB") && col("s1") <= col("s2"))
+      .select(explode(
+        expr(s"simhash_close_pairs_x(ma, mb, s1 = s2, $maxHamming)"))
+        .as("p"))
+    small.unionByName(big)
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
         col("p.hamming").as("hamming"))
       .distinct()
       .orderBy("d1", "d2")
+  }
 
   /** SimHash near-dup pairs: hamming(sig1, sig2) ≤ 8, found via 9-band
     * bit-sampling LSH + group-local exact verify. Pigeonhole: ≤ 8

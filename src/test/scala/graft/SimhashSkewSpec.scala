@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial hot-bucket guard specs (VERDICT r10 ask #3): a corpus of
+  * identical-signature docs puts EVERY member in one (band, bval)
+  * bucket under every banding — re-banding cannot split it, so the r10
+  * plan's single collect_list gather grew without bound. The r11 guard
+  * hash-segments buckets over a cap and verifies each segment cell
+  * in-task ([[graft.functions.HashKernels.simhashClosePairsCross]]);
+  * these specs drive a tiny cap on corpora engineered to blow it and
+  * pin OUTPUT IDENTITY against the uncapped plan (the oracle), for
+  * both the simhash tail and the cosine LSH twin. */
+class SimhashSkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** Banded rows for hand-built signatures, exactly as dedupSimhash
+    * builds them (9 bands over the split 64-bit signature). */
+  private def banded(sigs: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    val sig = sigs.toDF("doc_id", "sim_lo", "sim_hi")
+    sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+      explode(array((0 to 8).map(b => struct(lit(b).as("band"),
+        text.TextQueries.bandVal(b).as("bval"))): _*)).as("bd"))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        col("bd.band").as("band"), col("bd.bval").as("bval"))
+  }
+
+  test("simhash guard: capped plan is pair-identical to the uncapped " +
+    "oracle on a 500-identical-signature corpus (cap 64 => 8 segments)") {
+    graft.functions.GraftFunctions.register(spark)
+    // 500 docs sharing ONE signature (hottest possible bucket), plus a
+    // 1-bit-off neighbour family and unrelated background signatures
+    val sigs =
+      (0L until 500L).map(i => (i, 0x0123456789ABCDEFL, 0x00000000FEDCBA98L)) ++
+      (500L until 520L).map(i => (i, 0x0123456789ABCDEEL, 0x00000000FEDCBA98L)) ++
+      (520L until 540L).map(i => (i, ~0L, 0x00000000FFFFFFFFL))
+    val b = banded(sigs)
+    b.cache()
+    try {
+      val capped = text.TextQueries.closePairsFromBanded(b, 8, bucketCap = 64)
+        .collect().map(_.toString).toSet
+      val oracle = text.TextQueries
+        .closePairsFromBanded(b, 8, bucketCap = Int.MaxValue)
+        .collect().map(_.toString).toSet
+      assert(capped == oracle,
+        s"${(capped -- oracle).size} extra / ${(oracle -- capped).size} " +
+          "missing vs the uncapped plan")
+      // families: 500 identical (C(500,2) at h=0), 20 one-bit-off
+      // neighbours (500·20 at h=1 plus C(20,2) internal at h=0), and
+      // 20 identical far-away background docs (C(20,2) at h=0)
+      assert(oracle.size == 500 * 499 / 2 + 500 * 20 + 2 * (20 * 19 / 2),
+        s"unexpected oracle pair count ${oracle.size}")
+      val plan = text.TextQueries.closePairsFromBanded(b, 8, bucketCap = 64)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("simhash_close_pairs_x"),
+        "segment-cell kernel missing from the capped plan")
+    } finally b.unpersist()
+  }
+
+  test("simhash guard: default cap leaves sub-cap corpora on the " +
+    "single-gather path with identical output") {
+    val sigs = (0L until 100L).map(i =>
+      (i, 0x1111111111111111L ^ i, 0x2222222222222222L))
+    val b = banded(sigs)
+    val dflt = text.TextQueries.closePairsFromBanded(b, 8)
+      .collect().map(_.toString).toSet
+    val uncapped = text.TextQueries
+      .closePairsFromBanded(b, 8, bucketCap = Int.MaxValue)
+      .collect().map(_.toString).toSet
+    assert(dflt == uncapped)
+  }
+
+  test("cosine guard: capped LSH plan is row-identical to the uncapped " +
+    "plan and the join oracle at a cap the sf corpus exceeds") {
+    val sf = SparkTestBase.sf
+    // sf0.001 has ~200 clustered vectors over few live codes; cap 8
+    // forces multi-segment cells on every hot bucket
+    val capped = sim.SimQueries.simNeardupLshCapped(spark, sf, 16, 8)
+      .collect().map(_.toString).toSet
+    val uncapped = sim.SimQueries
+      .simNeardupLshCapped(spark, sf, 16, Int.MaxValue)
+      .collect().map(_.toString).toSet
+    val joinOracle = sim.SimQueries.simNeardupLshViaJoin(spark, sf, 16)
+      .collect().map(_.toString).toSet
+    assert(capped == uncapped,
+      s"${(capped -- uncapped).size} extra / " +
+        s"${(uncapped -- capped).size} missing vs the uncapped plan")
+    assert(uncapped == joinOracle, "uncapped kernel plan drifted from " +
+      "the join oracle")
+    assert(capped.nonEmpty, "adversarial cap test vacuous: no pairs")
+  }
+}
