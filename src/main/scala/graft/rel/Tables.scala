@@ -28,11 +28,14 @@ object Tables {
     * ts arrives as a LONG of epoch nanoseconds) and TIMESTAMP(MICROS)
     * (r10+; isAdjustedToUTC=false, so it arrives as TIMESTAMP_NTZ).
     * Normalize both here — the LONG shape via integer div (no double
-    * round-trip, 2^63 ns >> any test value), the NTZ shape via a cast
-    * that is value-preserving under the UTC session timezone every
-    * entry point sets — so every consumer (including streaming
-    * watermarks, which reject NTZ) sees one contract: ts is a
-    * TIMESTAMP. */
+    * round-trip, 2^63 ns >> any test value), the NTZ shape by
+    * assembling epoch micros arithmetically from the NTZ fields
+    * (unix_date + HOUR/MINUTE/SECOND extracts are all timezone-free),
+    * so the instant equals the wall-clock read as UTC REGARDLESS of
+    * spark.sql.session.timeZone — `cast(ntz as timestamp)` would
+    * silently shift every instant under a non-UTC session. Every
+    * consumer (including streaming watermarks, which reject NTZ) sees
+    * one contract: ts is a TIMESTAMP. */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventsTs(table(s, d, "events"))
 
@@ -43,7 +46,11 @@ object Tables {
       case LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+        raw.withColumn("ts", expr(
+          "timestamp_micros(unix_date(cast(ts as date)) * 86400000000L" +
+            " + extract(HOUR from ts) * 3600000000L" +
+            " + extract(MINUTE from ts) * 60000000L" +
+            " + cast(extract(SECOND from ts) * 1000000 as long))"))
       case _ => raw
     }
   def documents(s: SparkSession, d: String): DataFrame =

@@ -35,6 +35,23 @@ class TablesSpec extends AnyFunSuite {
     assert(micros == Seq(epochMicros, epochMicros, epochMicros))
   }
 
+  test("NTZ normalization is session-timezone-independent (ADVICE " +
+    "r10: cast(ntz as timestamp) would shift instants off-UTC)") {
+    import spark.implicits._
+    val asNtz = Seq(epochMicros).toDF("us")
+      .select(timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      for (tz <- Seq("America/New_York", "Asia/Tokyo", "UTC")) {
+        spark.conf.set(tzKey, tz)
+        val got = rel.Tables.normalizeEventsTs(asNtz)
+          .select(unix_micros(col("ts"))).head.getLong(0)
+        assert(got == epochMicros, s"instant shifted under $tz")
+      }
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("the live events table normalizes to TIMESTAMP and survives " +
     "an hour-window aggregation") {
     val ev = rel.Tables.events(spark, SparkTestBase.sf)
