@@ -27,8 +27,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * positions), written and read by this library ([[DtrWrite]]). The
   * full molfile meta-frame payload encoding is not reproducible
   * byte-for-byte in this offline environment, so foreign framesets
-  * with other payload sections are rejected by the metadata magic
-  * check rather than misread.
+  * are rejected rather than misread — by the metadata magic check
+  * when the header differs, and by frame-file size arithmetic
+  * ([[DtrFormat.checkFileSize]]) when a structurally-valid frameset
+  * carries per-frame records that disagree with the declared profile
+  * (position-only vs box+positions, or extra payload sections).
   *
   * Why this layout wins at scale (and why Desmond chose it): frames
   * live in fixed-size records inside bounded-size files, so a frame
@@ -145,6 +148,59 @@ object DtrFormat {
 
   def frameBytes(meta: Meta): Long =
     (if (meta.hasBox) 48L else 0L) + 12L * meta.nAtoms
+
+  /** Exact size every frame file must have under the metadata profile:
+    * full files hold `fpf` records, the last file holds the remainder.
+    * The fixed-record layout makes this pure arithmetic — which is
+    * also why it MUST be enforced: the positioned reads trust it, and
+    * a payload whose per-frame layout differs from the metadata
+    * (position-only records under a hasBox profile, an extra box
+    * section under a position-only profile, or a foreign meta-frame
+    * encoding) yields a file whose size cannot match, so checking
+    * sizes turns every silent-misread case into a fail-fast. */
+  def expectedFileBytes(meta: Meta, fpf: Int, nFrames: Long,
+      fileIdx: Long): Long = {
+    val lastIdx = (nFrames - 1) / fpf
+    val inFile = if (fileIdx < lastIdx) fpf.toLong
+      else nFrames - lastIdx * fpf
+    inFile * frameBytes(meta)
+  }
+
+  def checkFileSize(dir: String, meta: Meta, fpf: Int, nFrames: Long,
+      fileIdx: Long, actual: Long): Unit = {
+    val want = expectedFileBytes(meta, fpf, nFrames, fileIdx)
+    if (actual != want) {
+      val shape =
+        if (actual > want) "larger than the declared per-frame record"
+        else "truncated (smaller than the declared per-frame record)"
+      throw new IllegalArgumentException(
+        s"dtr: $dir/${frameFileName(fileIdx)} is $actual bytes, but " +
+          s"the metadata profile (natoms=${meta.nAtoms}, hasBox=" +
+          s"${meta.hasBox}, frames_per_file=$fpf, frames=$nFrames) " +
+          s"requires exactly $want — the payload is $shape, so " +
+          "positioned reads would mis-decode coordinates; refusing " +
+          "to read. " + ForeignPayloadBlocker)
+    }
+  }
+
+  /** Plan-time frameset validation: one stat for the first and last
+    * frame files (O(1) per frameset — a mismatched per-frame record
+    * size shows up in ANY full file, and truncation shows up in the
+    * last). Mid-set files are re-checked exactly, per open, by the
+    * executor-side reader, so validation cost never scales with file
+    * count at the driver. */
+  def validateSetSizes(dir: String, meta: Meta, fpf: Int,
+      nFrames: Long): Unit = {
+    if (nFrames <= 0) return
+    val lastIdx = (nFrames - 1) / fpf
+    (0L :: (if (lastIdx != 0L) List(lastIdx) else Nil)).foreach { idx =>
+      val f = FsIO.child(dir, frameFileName(idx))
+      if (!FsIO.isFile(f)) throw new IllegalArgumentException(
+        s"dtr: $dir has $nFrames frames in timekeys but no " +
+          s"${frameFileName(idx)} — truncated frameset")
+      checkFileSize(dir, meta, fpf, nFrames, idx, FsIO.length(f))
+    }
+  }
 
   /** Resolve a raw path to its ordered frameset directories: a
     * directory with a `timekeys` file is one frameset; a `.stk` file
@@ -329,7 +385,8 @@ class DtrScanBuilder(paths: Seq[String], chunks: Int, unitScale: Double)
   * reader never re-reads timekeys. */
 case class DtrFrameRange(dir: String, startFrame: Long, endFrame: Long,
     nAtoms: Int, hasBox: Boolean, framesPerFile: Int,
-    times: Array[Double], frameOffset: Long) extends InputPartition
+    times: Array[Double], frameOffset: Long,
+    setFrames: Long) extends InputPartition
 
 class DtrScan(paths: Seq[String], chunks: Int, unitScale: Double,
     required: StructType, frameLo: Long, frameHi: Long, limit: Int)
@@ -359,7 +416,8 @@ class DtrScan(paths: Seq[String], chunks: Int, unitScale: Double,
       val end = math.min(start + chunks, hi)
       DtrFrameRange(dir, start - off, end - off, meta.nAtoms,
         meta.hasBox, fpf,
-        times.slice((start - off).toInt, (end - off).toInt), off)
+        times.slice((start - off).toInt, (end - off).toInt), off,
+        times.length.toLong)
         : InputPartition
     }
     (parts, (hi - lo) * meta.nAtoms)
@@ -378,6 +436,7 @@ class DtrScan(paths: Seq[String], chunks: Int, unitScale: Double,
       if (budget > 0 && off < frameHi) {
         val meta = DtrFormat.readMeta(dir)
         val (fpf, times) = DtrFormat.readTimekeys(dir)
+        DtrFormat.validateSetSizes(dir, meta, fpf, times.length.toLong)
         val (parts, rows) = planSet(dir, fpf, times, meta, off, budget)
         out ++= parts
         if (budget != Long.MaxValue) budget = math.max(0L, budget - rows)
@@ -438,6 +497,13 @@ class DtrPartitionReader(unitScale: Double, required: StructType,
         s"dtr: ${range.dir} is missing ${FsIO.fileName(f)} (frame " +
           s"${frame + range.frameOffset}) — truncated frameset")
       raf = FsIO.openRandom(f)
+      // exact per-open size check: the plan validated first/last files
+      // in O(1); this closes the mid-set case without driver-side
+      // stats scaling with file count (a larger-than-expected file
+      // means the payload layout disagrees with the metadata profile
+      // and positioned reads would silently mis-decode)
+      DtrFormat.checkFileSize(range.dir, meta, range.framesPerFile,
+        range.setFrames, fileIdx, raf.length())
       openFileIdx = fileIdx
     }
     raf.seek((frame % range.framesPerFile) * frameBytes)

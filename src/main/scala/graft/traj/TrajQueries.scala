@@ -620,6 +620,38 @@ object TrajQueries {
       .orderBy(keys.map(col): _*)
   }
 
+  /** [[comOfLoaded]] under the oracle gate: the committed
+    * `fixtures/traj_com_loaded` mdcrd+PDB pair (generated once by
+    * `graft.tools.ComLoadedFixture`, reproducible byte-for-byte) runs
+    * the reference's `compute_center_of_mass(load(f, top=...))` idiom
+    * — file load, `top=` topology with IUPAC masses, broadcast join,
+    * DECIMAL-exact weighted mean — while the DuckDB oracle recomputes
+    * the same arithmetic from `twin.parquet`, the loaded values this
+    * library's own load path dumped next to the text fixtures. `d` is
+    * ignored: the inputs are the FILES, which is the point. */
+  def trajComLoaded(s: SparkSession, d: String): DataFrame = {
+    val dir = ComLoadedFixtureDir
+    val traj = s.read.format("mdcrd")
+      .option("top", s"$dir/top.pdb").option("box", "true")
+      .load(s"$dir/traj.mdcrd")
+    comOfLoaded(traj, TrajLoad.topology(s, s"$dir/top.pdb"))
+  }
+
+  private val ComLoadedFixtureDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures") +
+      "/traj_com_loaded"
+
+  private def trajComLoadedSql = {
+    def com(c: String) =
+      s"""round(CAST(sum(CAST($c AS DECIMAL(18,6)) * mass) AS DOUBLE)
+         |    / CAST(sum(mass) AS DOUBLE), 6) AS com_$c""".stripMargin
+    s"""SELECT frame_id, CAST(count(*) AS BIGINT) AS n_atoms,
+       |  ${com("x")}, ${com("y")}, ${com("z")},
+       |  CAST(sum(mass) AS DOUBLE) AS total_mass
+       |FROM read_parquet('$ComLoadedFixtureDir/twin.parquet')
+       |GROUP BY frame_id ORDER BY frame_id""".stripMargin
+  }
+
   /** A1 across the full topology hierarchy: ROLLUP(chain, residue)
     * inside each frame — one Expand+Aggregate pass emits the chain-level
     * COM, the (chain, residue) detail AND the per-frame total, completing
@@ -1027,6 +1059,7 @@ object TrajQueries {
     QueryDef("q_traj_dihedrals", trajDihedrals, Some(trajDihedralsSql)),
     QueryDef("q_traj_angles_wide", trajAnglesWide, Some(trajAnglesSql)),
     QueryDef("q_traj_com", trajCom, Some(trajComSql)),
+    QueryDef("q_traj_com_loaded", trajComLoaded, Some(trajComLoadedSql)),
     QueryDef("q_traj_com_wide", trajComWide, Some(trajComSql)),
     QueryDef("q_traj_com_residue", trajComResidue, Some(trajComResidueSql)),
     QueryDef("q_traj_com_chain", trajComChain, Some(trajComChainSql)),

@@ -274,4 +274,65 @@ class DtrDataSourceSpec extends AnyFunSuite {
     }
     assert(chainContains(e2, "truncated"))
   }
+
+  // --- payload-layout mismatch: the conforming-foreign-fixture cases
+  // (VERDICT r10 ask #4). A frameset that is structurally valid
+  // (metadata + timekeys + frame files) but whose per-frame payload
+  // layout disagrees with the metadata profile must be REJECTED by
+  // size arithmetic — never positionally mis-decoded.
+
+  test("position-only payload under a hasBox metadata profile is " +
+    "rejected at plan time by size arithmetic, not misread") {
+    val set = Files.createTempDirectory("dtrposonly").resolve("t.dtr")
+    DtrWrite.write(set.toString, mkFrames(4, 0f), framesPerFile = 2)
+    // strip the 48-byte box section from every record: a foreign
+    // writer that packed position-only records under this metadata
+    for (fi <- 0 to 1) {
+      val p = set.resolve(f"frame$fi%09d")
+      val b = Files.readAllBytes(p)
+      val rec = 48 + 36 // box + 3 atoms × 12
+      val out = (0 until b.length / rec).flatMap(r =>
+        b.slice(r * rec + 48, (r + 1) * rec)).toArray
+      Files.write(p, out)
+    }
+    val e = intercept[Exception] {
+      spark.read.format("dtr").load(set.toString).count()
+    }
+    assert(chainContains(e, "mis-decode"))
+    assert(chainContains(e, "truncated (smaller"))
+  }
+
+  test("undeclared box section (position-only metadata, larger " +
+    "payload records) is rejected — the silent-misread case") {
+    val set = Files.createTempDirectory("dtrboxextra").resolve("t.dtr")
+    DtrWrite.write(set.toString, mkFrames(4, 0f), framesPerFile = 2)
+    // flip metadata hasBox → 0: the payload now carries a box section
+    // the profile doesn't declare; before size validation the reader
+    // would decode box float64s as atom positions with no error
+    val metaPath = set.resolve("metadata")
+    val mb = Files.readAllBytes(metaPath)
+    mb(12) = 0; mb(13) = 0; mb(14) = 0; mb(15) = 0
+    Files.write(metaPath, mb)
+    val e = intercept[Exception] {
+      spark.read.format("dtr").load(set.toString).count()
+    }
+    assert(chainContains(e, "larger than the declared per-frame record"))
+    assert(chainContains(e, "mis-decode"))
+  }
+
+  test("mid-set frame file with a mismatched layout passes the O(1) " +
+    "plan check but fails the exact per-open executor check") {
+    val set = Files.createTempDirectory("dtrmidbad").resolve("t.dtr")
+    DtrWrite.write(set.toString, mkFrames(6, 0f), framesPerFile = 2)
+    // corrupt only file 1 of 3: first/last stay valid at plan time
+    val mid = set.resolve("frame000000001")
+    Files.write(mid, Files.readAllBytes(mid) ++ new Array[Byte](48))
+    // plan succeeds (schema + partitions), the read fails with context
+    val df = spark.read.format("dtr").option("chunks", 2)
+      .option("unit_scale", "1.0").load(set.toString)
+    assert(df.filter(col("frame_id") < 2).count() == 6) // file 0 fine
+    val e = intercept[Exception] { df.count() }
+    assert(chainContains(e, "frame000000001"))
+    assert(chainContains(e, "requires exactly"))
+  }
 }

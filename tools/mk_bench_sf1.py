@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Merge a 10x-replica Bench run with a same-code sf0.1 run into
+BENCH_sf1.json: per-query seconds at both scales plus the 10x/1x
+ratio, flagging anything scaling worse than ~linear-in-data.
+
+Usage: mk_bench_sf1.py <bench_sf1_raw.json> <bench_sf01_raw.json> <out>
+
+At fixed local[32] parallelism, 10x data should cost <=10x plus
+shuffle/spill overhead; the flag threshold is 12x. Sub-second sf0.1
+queries are noise-dominated (JVM/scheduling floor ~0.1-0.3 s), so the
+flag additionally requires the 10x side to cost >= 2 s — a 0.2 s ->
+2.5 s "12.5x" is floor arithmetic, not a scaling pathology.
+"""
+import json
+import sys
+
+a = json.load(open(sys.argv[1]))  # 10x
+b = json.load(open(sys.argv[2]))  # sf0.1
+qa, qb = a["queries"], b["queries"]
+rows = {}
+flagged = []
+for name in sorted(qa):
+    s1, s01 = qa[name], qb.get(name)
+    ratio = round(s1 / s01, 2) if s01 else None
+    rows[name] = {"sf1_sec": round(s1, 3), "sf01_sec": round(s01, 3)
+                  if s01 is not None else None, "ratio": ratio}
+    if ratio is not None and ratio > 12 and s1 >= 2.0:
+        flagged.append(name)
+out = {
+    "metric": "total_sf1",
+    "value": a["value"],
+    "unit": "sec",
+    "sf1_dir": a.get("sf"),
+    "sf01_total": b["value"],
+    "total_ratio": round(a["value"] / b["value"], 2),
+    "loadavg": {"sf1": [a.get("loadavg_start"), a.get("loadavg_end")],
+                "sf01": [b.get("loadavg_start"), b.get("loadavg_end")]},
+    "codegen_error_total": [a.get("codegen_error_total"),
+                            b.get("codegen_error_total")],
+    "flag_threshold": "ratio > 12 and sf1 >= 2s",
+    "flagged_super_linear": flagged,
+    "queries": rows,
+}
+json.dump(out, open(sys.argv[3], "w"), indent=1)
+worst = sorted((r["ratio"], n) for n, r in rows.items()
+               if r["ratio"] is not None)[-8:]
+print(f"total {a['value']:.1f}s vs sf0.1 {b['value']:.1f}s "
+      f"(ratio {out['total_ratio']})")
+print("worst ratios:")
+for r, n in reversed(worst):
+    print(f"  {n}: {rows[n]['sf01_sec']}s -> {rows[n]['sf1_sec']}s "
+          f"({r}x)")
+print(f"flagged: {flagged}")
