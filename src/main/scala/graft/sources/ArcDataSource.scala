@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference registry `file_returns[".arc"]` = xyz + unitcell_lengths
   * + unitcell_angles, core/dask_traj.py:27) — the tenth registry
   * format. With it, every reference-registry extension that is not
-  * codec-blocked (xtc/tng/hdf5/netcdf — see TrajLoad.KnownUnsupported)
+  * codec-blocked (tng/hdf5/netcdf — see TrajLoad.KnownUnsupported)
   * or topology-only (pdb-as-topology, mol2, hoomdxml) reads and the
   * text ones also write.
   *

@@ -24,6 +24,7 @@ object TrajLoad {
   val Registry: Seq[(String, String)] = Seq(
     ".xyz.gz" -> "xyz",
     ".xyz" -> "xyz",
+    ".xtc" -> "xtc",
     ".gro.gz" -> "gro",
     ".gro" -> "gro",
     ".pdb.gz" -> "pdb",
@@ -55,7 +56,6 @@ object TrajLoad {
     * the unknown-extension error so a user porting a workload learns
     * the status in one message. */
   val KnownUnsupported: Map[String, String] = Map(
-    ".xtc" -> "GPL-encumbered codec (scope-out, SURVEY §7.4)",
     ".hdf5" -> "needs an HDF5 codec not present in this environment",
     ".h5" -> "needs an HDF5 codec not present in this environment",
     ".lh5" -> ("legacy MSMBuilder HDF5 — needs an HDF5 codec not " +

@@ -641,6 +641,33 @@ object TrajQueries {
     sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures") +
       "/traj_com_loaded"
 
+  /** The round-11 XTC codec under the oracle gate: scan the committed
+    * `fixtures/traj_xtc/traj.xtc` (written by [[graft.sources.
+    * XtcWrite]] with run/jump-structured coordinates) through the full
+    * DSv2 read path, while the DuckDB oracle reads `twin.parquet` —
+    * the expected values computed by `graft.tools.XtcFixture` from the
+    * same closed-form source through the format's QUANTIZATION
+    * contract alone, independent of both encoder and decoder. A
+    * single wrong bit anywhere in the compressed stream shifts every
+    * subsequent coordinate and the hash match fails. `d` is ignored:
+    * the input is the committed binary file, which is the point. */
+  def trajXtcScan(s: SparkSession, d: String): DataFrame = {
+    s.read.format("xtc").option("chunks", 2)
+      .load(s"$XtcFixtureDir/traj.xtc")
+      .select("frame_id", "time", "step", "atom_id", "x", "y", "z",
+        "bv1x", "bv2y", "bv3z")
+      .orderBy("frame_id", "atom_id")
+  }
+
+  private val XtcFixtureDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures") +
+      "/traj_xtc"
+
+  private def trajXtcScanSql =
+    s"""SELECT frame_id, time, step, atom_id, x, y, z, bv1x, bv2y, bv3z
+       |FROM read_parquet('$XtcFixtureDir/twin.parquet')
+       |ORDER BY frame_id, atom_id""".stripMargin
+
   private def trajComLoadedSql = {
     def com(c: String) =
       s"""round(CAST(sum(CAST($c AS DECIMAL(18,6)) * mass) AS DOUBLE)
@@ -1060,6 +1087,7 @@ object TrajQueries {
     QueryDef("q_traj_angles_wide", trajAnglesWide, Some(trajAnglesSql)),
     QueryDef("q_traj_com", trajCom, Some(trajComSql)),
     QueryDef("q_traj_com_loaded", trajComLoaded, Some(trajComLoadedSql)),
+    QueryDef("q_traj_xtc_scan", trajXtcScan, Some(trajXtcScanSql)),
     QueryDef("q_traj_com_wide", trajComWide, Some(trajComSql)),
     QueryDef("q_traj_com_residue", trajComResidue, Some(trajComResidueSql)),
     QueryDef("q_traj_com_chain", trajComChain, Some(trajComChainSql)),

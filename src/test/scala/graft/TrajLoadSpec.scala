@@ -58,9 +58,8 @@ class TrajLoadSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("Supported extensions"))
     // .dtr/.stk are implemented as of round 6 (the frameset source)
     assert(TrajLoad.formatFor("/tmp/a.stk") == "dtr")
-    val e2 = intercept[IllegalArgumentException](
-      TrajLoad.formatFor("/tmp/a.xtc"))
-    assert(e2.getMessage.contains("GPL"))
+    // .xtc is implemented as of round 11 (clean-room codec)
+    assert(TrajLoad.formatFor("/tmp/a.xtc") == "xtc")
     val e3 = intercept[IllegalArgumentException](
       TrajLoad.formatFor("/tmp/a.h5"))
     assert(e3.getMessage.contains("HDF5"))
