@@ -29,6 +29,8 @@ object ScaleTestdata {
     // the text translation cycles with the alphabet length: copy 12
     // would translate identically to copy 0 and silently reintroduce
     // the exact-duplicate artifact the translation exists to prevent
+    val tables = args.lift(3).map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set.empty[String])
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,7 +40,7 @@ object ScaleTestdata {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    generate(spark, src, dst, copies)
+    generate(spark, src, dst, copies, tables)
     spark.stop()
   }
 
@@ -46,13 +48,18 @@ object ScaleTestdata {
     * (ScaleKnobsSpec) without tearing down the caller's session the
     * way main()'s stop() would. */
   def generate(spark: SparkSession, src: String, dst: String,
-      copies: Int): Unit = {
+      copies: Int, tables: Set[String] = Set.empty): Unit = {
     // the text translation cycles with the alphabet length: copy 12
     // would translate identically to copy 0 and silently reintroduce
     // the exact-duplicate artifact the translation exists to prevent
     require(copies >= 1 && copies <= 12,
       s"ScaleTestdata: copies must be in [1, 12] (the per-copy text " +
         s"translation has period 12), got $copies")
+    // `tables` non-empty restricts the replica to that subset — the
+    // single-family probe path (e.g. a 100x documents-only replica
+    // built by applying x10 to an x10 replica without paying 1.9 GB
+    // of lineitem nobody will scan)
+    def wanted(t: String): Boolean = tables.isEmpty || tables(t)
 
     def rd(t: String): DataFrame =
       spark.read.parquet(s"$src/$t.parquet")
@@ -60,21 +67,26 @@ object ScaleTestdata {
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
     // dimensions: unscaled
-    Seq("region", "nation").foreach(t => wr(rd(t), t))
+    Seq("region", "nation").filter(wanted).foreach(t => wr(rd(t), t))
 
     // one offset per key DOMAIN, from the owning table, shared by all
     // referencing tables so joins stay referentially intact
     def domainMax(t: String, c: String): Long =
       rd(t).agg(max(col(c).cast("long"))).collect()(0).getLong(0) + 1L
-    val off = Map(
-      "custkey" -> domainMax("customer", "c_custkey"),
-      "orderkey" -> domainMax("orders", "o_orderkey"),
-      "partkey" -> domainMax("part", "p_partkey"),
-      "suppkey" -> domainMax("supplier", "s_suppkey"),
-      "event_id" -> domainMax("events", "event_id"),
-      "user_id" -> domainMax("events", "user_id"),
-      "doc_id" -> domainMax("documents", "doc_id"),
-      "vec_id" -> domainMax("embeddings", "vec_id"))
+    // offsets computed on demand so a subset replica never scans the
+    // owning tables of domains it does not rescale
+    val offSrc: Map[String, () => Long] = Map(
+      "custkey" -> (() => domainMax("customer", "c_custkey")),
+      "orderkey" -> (() => domainMax("orders", "o_orderkey")),
+      "partkey" -> (() => domainMax("part", "p_partkey")),
+      "suppkey" -> (() => domainMax("supplier", "s_suppkey")),
+      "event_id" -> (() => domainMax("events", "event_id")),
+      "user_id" -> (() => domainMax("events", "user_id")),
+      "doc_id" -> (() => domainMax("documents", "doc_id")),
+      "vec_id" -> (() => domainMax("embeddings", "vec_id")))
+    val offMemo = scala.collection.mutable.HashMap.empty[String, Long]
+    def off(domain: String): Long =
+      offMemo.getOrElseUpdate(domain, offSrc(domain)())
     val keyCols: Map[String, Map[String, String]] = Map(
       "customer" -> Map("c_custkey" -> "custkey"),
       "supplier" -> Map("s_suppkey" -> "suppkey"),
@@ -88,7 +100,7 @@ object ScaleTestdata {
       "embeddings" -> Map("vec_id" -> "vec_id"))
 
     val copyDf = spark.range(copies).select(col("id").as("__copy"))
-    keyCols.foreach { case (t, cols) =>
+    keyCols.filter(kv => wanted(kv._1)).foreach { case (t, cols) =>
       val base = rd(t)
       var out = base.crossJoin(copyDf)
       cols.foreach { case (c, domain) =>
