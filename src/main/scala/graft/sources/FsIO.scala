@@ -85,7 +85,7 @@ object FsIO {
     * carries the driver's SparkConf to every executor, which is how
     * the driver's S3 credentials / endpoints / custom schemes reach
     * `FsRandom` without threading a SerializableConfiguration through
-    * each of the twelve sources. Note the visibility boundary: the
+    * each of the thirteen sources. Note the visibility boundary: the
     * rebuilt conf only reaches FileSystem INSTANTIATION — a scheme's
     * instance is created once per JVM ([[fs]] caches it, exactly as
     * Hadoop's own `FileSystem.get` cache would), so `spark.hadoop.*`

@@ -486,7 +486,8 @@ class TrrPartitionReader(unitScale: Double, required: StructType,
         case 1 => hdr.time
         case 2 => hdr.step
         case 3 => hdr.lambda.toFloat
-        case 4 => a + 1 // 1-based, matching the text sources
+        case 4 => a // 0-based file-order ordinal — the topology join key
+        // contract every trajectory source shares (TrajLoad.topology)
         case 5 => xs(3 * a)
         case 6 => xs(3 * a + 1)
         case 7 => xs(3 * a + 2)

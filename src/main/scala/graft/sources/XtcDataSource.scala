@@ -787,7 +787,8 @@ class XtcPartitionReader(unitScale: Double, required: StructType,
         case 1 => meta.time
         case 2 => meta.step
         case 3 => if (nAtoms <= 9) null else meta.precision
-        case 4 => a + 1 // 1-based, matching the text sources
+        case 4 => a // 0-based file-order ordinal — the topology join key
+        // contract every trajectory source shares (TrajLoad.topology)
         case 5 => xs(3 * a)
         case 6 => xs(3 * a + 1)
         case 7 => xs(3 * a + 2)

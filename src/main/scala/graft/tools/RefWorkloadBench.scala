@@ -30,6 +30,15 @@ object RefWorkloadBench {
     sys.env.getOrElse("SPARK_GRAFT_REF_FRAMES", "1251").toInt
   private val Atoms = 22561
 
+  /** `SPARK_GRAFT_REF_FMT=xtc` runs the workload off a compressed XTC
+    * — the format the published numbers actually used — so the timed
+    * load path pays per-frame decompression exactly like the
+    * reference's; `dcd` (default, round-6..10 continuity) is the
+    * seek-addressable uncompressed variant. Same synthetic
+    * coordinates either way, so `n_dists` and the reductions agree
+    * across formats up to the XTC 0.001 quantization. */
+  private val Fmt = sys.env.getOrElse("SPARK_GRAFT_REF_FMT", "dcd")
+
   private def mkFrame(f: Int): graft.sources.DcdWrite.Frame = {
     val xs = new Array[Float](Atoms)
     val ys = new Array[Float](Atoms)
@@ -45,10 +54,26 @@ object RefWorkloadBench {
       Some((100.0, 100.0, 100.0, 90.0, 90.0, 90.0)))
   }
 
+  private def mkXtcFrame(f: Int): graft.sources.XtcWrite.Frame = {
+    val xyz = new Array[Float](3 * Atoms)
+    var a = 0
+    while (a < Atoms) {
+      xyz(3 * a) = ((f * 7 + a * 3) % 1000) / 10.0f
+      xyz(3 * a + 1) = ((f * 11 + a * 5) % 1000) / 10.0f
+      xyz(3 * a + 2) = ((f * 13 + a * 17) % 1000) / 10.0f
+      a += 1
+    }
+    graft.sources.XtcWrite.Frame(xyz,
+      box = Array(100f, 0f, 0f, 0f, 100f, 0f, 0f, 0f, 100f),
+      step = f.toLong, time = f.toDouble)
+  }
+
   def main(args: Array[String]): Unit = {
+    require(Fmt == "dcd" || Fmt == "xtc",
+      s"SPARK_GRAFT_REF_FMT must be dcd or xtc, got $Fmt")
     val dir = args.headOption.getOrElse("/tmp/graft_refbench")
     new java.io.File(dir).mkdirs()
-    val file = s"$dir/ref_$Frames.dcd"
+    val file = s"$dir/ref_$Frames.$Fmt"
 
     if (!new java.io.File(file).exists()) {
       // deterministic synthetic trajectory, reference workload shape;
@@ -59,13 +84,23 @@ object RefWorkloadBench {
       // and trading it for O(frames) memory would defeat the point
       System.err.println(s"[refbench] generating $file " +
         s"($Frames frames x $Atoms atoms)...")
-      val frames: IndexedSeq[graft.sources.DcdWrite.Frame] =
-        new scala.collection.immutable.IndexedSeq[
-            graft.sources.DcdWrite.Frame] {
-          def length: Int = Frames
-          def apply(f: Int): graft.sources.DcdWrite.Frame = mkFrame(f)
-        }
-      graft.sources.DcdWrite.write(file, frames)
+      if (Fmt == "dcd") {
+        val frames: IndexedSeq[graft.sources.DcdWrite.Frame] =
+          new scala.collection.immutable.IndexedSeq[
+              graft.sources.DcdWrite.Frame] {
+            def length: Int = Frames
+            def apply(f: Int): graft.sources.DcdWrite.Frame = mkFrame(f)
+          }
+        graft.sources.DcdWrite.write(file, frames)
+      } else {
+        val frames: IndexedSeq[graft.sources.XtcWrite.Frame] =
+          new scala.collection.immutable.IndexedSeq[
+              graft.sources.XtcWrite.Frame] {
+            def length: Int = Frames
+            def apply(f: Int): graft.sources.XtcWrite.Frame = mkXtcFrame(f)
+          }
+        graft.sources.XtcWrite.write(file, frames)
+      }
       System.err.println("[refbench] generated " +
         new java.io.File(file).length() / (1024 * 1024) + " MB")
     }
@@ -82,7 +117,7 @@ object RefWorkloadBench {
     // "load": lazy plan build + length probe, the analog of the
     // reference's dmd.load() 0.751 s (graph build, no data read)
     val t0 = System.nanoTime()
-    val df = spark.read.format("dcd").option("chunks", 40).load(file)
+    val df = spark.read.format(Fmt).option("chunks", 40).load(file)
     val nParts = df.rdd.getNumPartitions
     val loadSec = (System.nanoTime() - t0) / 1e9
 
@@ -103,7 +138,7 @@ object RefWorkloadBench {
       .collect()(0)
     val computeSec = (System.nanoTime() - t1) / 1e9
 
-    println(s"""{"metric":"ref_workload","frames":$Frames,""" +
+    println(s"""{"metric":"ref_workload","format":"$Fmt","frames":$Frames,""" +
       s""""atoms":$Atoms,"pairs":124750,"partitions":$nParts,""" +
       s""""load_sec":$loadSec,"compute_sec":$computeSec,""" +
       s""""n_dists":${row.getAs[Long]("n_dists")},""" +

@@ -31,6 +31,7 @@ object ScaleTestdata {
     // the exact-duplicate artifact the translation exists to prevent
     val tables = args.lift(3).map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set.empty[String])
+    val alpha = args.lift(4).getOrElse("etaoinshrdlu")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,7 +41,7 @@ object ScaleTestdata {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    generate(spark, src, dst, copies, tables)
+    generate(spark, src, dst, copies, tables, alpha)
     spark.stop()
   }
 
@@ -48,13 +49,25 @@ object ScaleTestdata {
     * (ScaleKnobsSpec) without tearing down the caller's session the
     * way main()'s stop() would. */
   def generate(spark: SparkSession, src: String, dst: String,
-      copies: Int, tables: Set[String] = Set.empty): Unit = {
+      copies: Int, tables: Set[String] = Set.empty,
+      alpha: String = "etaoinshrdlu"): Unit = {
     // the text translation cycles with the alphabet length: copy 12
     // would translate identically to copy 0 and silently reintroduce
     // the exact-duplicate artifact the translation exists to prevent
-    require(copies >= 1 && copies <= 12,
-      s"ScaleTestdata: copies must be in [1, 12] (the per-copy text " +
-        s"translation has period 12), got $copies")
+    require(copies >= 1 && copies <= alpha.length,
+      s"ScaleTestdata: copies must be in [1, ${alpha.length}] (the " +
+        s"per-copy text translation has period ${alpha.length}), " +
+        s"got $copies")
+    // COMPOSING replicas (x10 of an x10): the cyclic shifts over ONE
+    // alphabet form a group of order 12, so k1-then-k2 collapses to
+    // (k1+k2) mod 12 and a naive x100 plants ~8-way EXACT-duplicate
+    // families (measured: the dedup probes go quadratic on them).
+    // Pass a second-stage alphabet DISJOINT from the first (e.g.
+    // "cmpwykvxbfgj") — the two stages then act on disjoint letter
+    // sets and all copies-x-copies compositions are distinct
+    // bijections, keeping shingle-similarity structure linear.
+    require(alpha.toSet.size == alpha.length,
+      s"ScaleTestdata: alphabet '$alpha' has repeated letters")
     // `tables` non-empty restricts the replica to that subset — the
     // single-family probe path (e.g. a 100x documents-only replica
     // built by applying x10 to an x10 replica without paying 1.9 GB
@@ -111,7 +124,6 @@ object ScaleTestdata {
       if (t == "documents") {
         // per-copy character translation: every shingle changes, so
         // copies are NOT near-duplicates of each other
-        val alpha = "etaoinshrdlu"
         val shifted = (k: Int) =>
           alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
         out = out.withColumn("text",

@@ -60,7 +60,7 @@ object XtcFixture {
     val rows = for {
       f <- 0 until Frames
       a <- 0 until Atoms
-    } yield (f.toLong, (f * 0.5f).toDouble, f * 10L, a + 1,
+    } yield (f.toLong, (f * 0.5f).toDouble, f * 10L, a,
       quant(raw(f, a, 0)), quant(raw(f, a, 1)), quant(raw(f, a, 2)),
       Box(0), Box(4), Box(8))
     val twin = spark.createDataFrame(rows).toDF("frame_id", "time",

@@ -25,6 +25,10 @@ object TrajLoad {
     ".xyz.gz" -> "xyz",
     ".xyz" -> "xyz",
     ".xtc" -> "xtc",
+    ".nc" -> "netcdf",
+    ".ncdf" -> "netcdf",
+    ".netcdf" -> "netcdf",
+    ".ncrst" -> "netcdf",
     ".gro.gz" -> "gro",
     ".gro" -> "gro",
     ".pdb.gz" -> "pdb",
@@ -59,11 +63,6 @@ object TrajLoad {
     ".hdf5" -> "needs an HDF5 codec not present in this environment",
     ".h5" -> "needs an HDF5 codec not present in this environment",
     ".lh5" -> ("legacy MSMBuilder HDF5 — needs an HDF5 codec not " +
-      "present in this environment"),
-    ".nc" -> "needs a NetCDF codec not present in this environment",
-    ".ncdf" -> "needs a NetCDF codec not present in this environment",
-    ".netcdf" -> "needs a NetCDF codec not present in this environment",
-    ".ncrst" -> ("AMBER NetCDF restart — needs a NetCDF codec not " +
       "present in this environment"),
     ".tng" -> "needs the TNG codec not present in this environment")
 

@@ -668,6 +668,32 @@ object TrajQueries {
        |FROM read_parquet('$XtcFixtureDir/twin.parquet')
        |ORDER BY frame_id, atom_id""".stripMargin
 
+  /** The round-11 netCDF-classic source under the oracle gate: scan
+    * the committed `fixtures/traj_nc/traj.nc` (AMBER trajectory
+    * convention, CDF-2, written by [[graft.sources.NetcdfWrite]])
+    * through the full DSv2 read path; the DuckDB oracle reads
+    * `twin.parquet`, computed by `graft.tools.NcFixture` from the
+    * same closed-form source values independently of the reader. The
+    * container stores float32 verbatim, so the contract is exact
+    * equality on every coordinate, time, and cell value. */
+  def trajNcScan(s: SparkSession, d: String): DataFrame = {
+    s.read.format("netcdf").option("chunks", 2)
+      .load(s"$NcFixtureDir/traj.nc")
+      .select("frame_id", "time", "atom_id", "x", "y", "z",
+        "box_a", "box_b", "box_c", "box_alpha", "box_beta", "box_gamma")
+      .orderBy("frame_id", "atom_id")
+  }
+
+  private val NcFixtureDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures") +
+      "/traj_nc"
+
+  private def trajNcScanSql =
+    s"""SELECT frame_id, time, atom_id, x, y, z, box_a, box_b, box_c,
+       |  box_alpha, box_beta, box_gamma
+       |FROM read_parquet('$NcFixtureDir/twin.parquet')
+       |ORDER BY frame_id, atom_id""".stripMargin
+
   private def trajComLoadedSql = {
     def com(c: String) =
       s"""round(CAST(sum(CAST($c AS DECIMAL(18,6)) * mass) AS DOUBLE)
@@ -1088,6 +1114,7 @@ object TrajQueries {
     QueryDef("q_traj_com", trajCom, Some(trajComSql)),
     QueryDef("q_traj_com_loaded", trajComLoaded, Some(trajComLoadedSql)),
     QueryDef("q_traj_xtc_scan", trajXtcScan, Some(trajXtcScanSql)),
+    QueryDef("q_traj_nc_scan", trajNcScan, Some(trajNcScanSql)),
     QueryDef("q_traj_com_wide", trajComWide, Some(trajComSql)),
     QueryDef("q_traj_com_residue", trajComResidue, Some(trajComResidueSql)),
     QueryDef("q_traj_com_chain", trajComChain, Some(trajComChainSql)),

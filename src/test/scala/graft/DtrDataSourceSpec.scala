@@ -86,8 +86,8 @@ class DtrDataSourceSpec extends AnyFunSuite {
     assert(df.limit(3).rdd.getNumPartitions == 1)
   }
 
-  test("TrajLoad dispatches .dtr directories and .stk lists; lh5/ncrst " +
-    "give the explanatory unsupported error") {
+  test("TrajLoad dispatches .dtr directories and .stk lists; lh5 " +
+    "gives the explanatory unsupported error") {
     val root = Files.createTempDirectory("dtrdisp")
     val set = root.resolve("t.dtr")
     DtrWrite.write(set.toString, mkFrames(2, 0f))
@@ -98,10 +98,8 @@ class DtrDataSourceSpec extends AnyFunSuite {
       graft.traj.TrajLoad.formatFor("/tmp/x.lh5")
     }
     assert(e.getMessage.contains("HDF5"))
-    val e2 = intercept[IllegalArgumentException] {
-      graft.traj.TrajLoad.formatFor("/tmp/x.ncrst")
-    }
-    assert(e2.getMessage.contains("NetCDF"))
+    // .ncrst is implemented as of round 11 (netcdf-classic source)
+    assert(graft.traj.TrajLoad.formatFor("/tmp/x.ncrst") == "netcdf")
   }
 
   test("streaming read over a collection directory picks up new " +

@@ -148,8 +148,9 @@ class MultiPathSpec extends AnyFunSuite {
     val df = spark.read.format("trr").option("chunks", 1).load(f1, f2)
     assert(df.select("frame_id").distinct().collect()
       .map(_.getLong(0)).sorted.toSeq == (0L until 5L))
-    // trr atom ids are 1-based (GROMACS numbering): atom 1 = array 0
-    val r = df.filter(col("frame_id") === 2 && col("atom_id") === 1)
+    // atom_id is the 0-based file-order ordinal (the shared topology
+    // join key contract across all twelve sources)
+    val r = df.filter(col("frame_id") === 2 && col("atom_id") === 0)
       .collect()(0)
     assert(r.getAs[Float]("x") == 1000.0f)
   }

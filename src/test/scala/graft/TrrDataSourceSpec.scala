@@ -47,7 +47,7 @@ class TrrDataSourceSpec extends AnyFunSuite {
     "ride every row; units are native nm (unit_scale 1.0)") {
     val df = spark.read.format("trr").load(fixture)
     assert(df.count() == 12)
-    val r = df.filter(col("frame_id") === 2 && col("atom_id") === 2)
+    val r = df.filter(col("frame_id") === 2 && col("atom_id") === 1)
       .collect()(0)
     assert(r.getAs[Float]("x") == 21.0f)
     assert(r.getAs[Float]("y") == 21.25f)
@@ -65,15 +65,15 @@ class TrrDataSourceSpec extends AnyFunSuite {
   test("per-frame optional velocity/force blocks: null where the frame " +
     "has none, values where it does") {
     val df = spark.read.format("trr").load(fixture)
-    val f0 = df.filter(col("frame_id") === 0 && col("atom_id") === 1)
+    val f0 = df.filter(col("frame_id") === 0 && col("atom_id") === 0)
       .collect()(0)
     assert(f0.isNullAt(f0.fieldIndex("vx")))
     assert(f0.isNullAt(f0.fieldIndex("fx")))
-    val f1 = df.filter(col("frame_id") === 1 && col("atom_id") === 1)
+    val f1 = df.filter(col("frame_id") === 1 && col("atom_id") === 0)
       .collect()(0)
     assert(f1.getAs[Float]("vx") == 110.0f)
     assert(f1.isNullAt(f1.fieldIndex("fx")))
-    val f3 = df.filter(col("frame_id") === 3 && col("atom_id") === 3)
+    val f3 = df.filter(col("frame_id") === 3 && col("atom_id") === 2)
       .collect()(0)
     assert(f3.getAs[Float]("vx") == 132.0f)
     assert(f3.getAs[Float]("fz") == 232.5f)
@@ -96,7 +96,7 @@ class TrrDataSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 4)
     // frame 3 sits after three frames of three DIFFERENT byte sizes;
     // fixed-stride arithmetic would land mid-record and fail the magic
-    val r = df.filter(col("frame_id") === 3 && col("atom_id") === 1)
+    val r = df.filter(col("frame_id") === 3 && col("atom_id") === 0)
       .collect()(0)
     assert(r.getAs[Float]("x") == 30.0f)
     assert(r.getAs[Float]("vy") == 130.25f)
@@ -143,7 +143,7 @@ class TrrDataSourceSpec extends AnyFunSuite {
     assert(df.select("frame_id").distinct().collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
     // frame 2 (the post-gap frame) still decodes correctly
-    val r = df.filter(col("frame_id") === 2 && col("atom_id") === 1)
+    val r = df.filter(col("frame_id") === 2 && col("atom_id") === 0)
       .collect()(0)
     assert(r.getAs[Float]("x") == 10.0f)
   }
@@ -157,7 +157,7 @@ class TrrDataSourceSpec extends AnyFunSuite {
     val df = spark.read.format("trr").load(dir.toString)
     assert(df.count() == 15)
     assert(df.agg(max("frame_id")).collect()(0).getLong(0) == 4L)
-    val r = df.filter(col("frame_id") === 2 && col("atom_id") === 1)
+    val r = df.filter(col("frame_id") === 2 && col("atom_id") === 0)
       .collect()(0)
     assert(r.getAs[Float]("x") == 1000.0f) // b.trr frame 0
   }
@@ -199,7 +199,7 @@ class TrrDataSourceSpec extends AnyFunSuite {
   test("unit_scale converts coordinates and box, not time/v/f") {
     val r = spark.read.format("trr").option("unit_scale", "10.0")
       .load(fixture)
-      .filter(col("frame_id") === 1 && col("atom_id") === 1).collect()(0)
+      .filter(col("frame_id") === 1 && col("atom_id") === 0).collect()(0)
     assert(r.getAs[Float]("x") == 100.0f)
     assert(r.getAs[Float]("bv1x") == 20.0f)
     assert(r.getAs[Float]("vx") == 110.0f) // velocities untouched
@@ -221,9 +221,9 @@ class TrrDataSourceSpec extends AnyFunSuite {
         fr.copy(xyz = fr.xyz.map(_ + 1000f))))
       q.processAllAvailable()
       assert(spark.table("trr_stream").count() == 9)
-      // global frame 2 = shard 1 local frame 0 (atom ids 1-based)
+      // global frame 2 = shard 1 local frame 0 (atom ids 0-based)
       val r = spark.table("trr_stream")
-        .filter(col("frame_id") === 2 && col("atom_id") === 1)
+        .filter(col("frame_id") === 2 && col("atom_id") === 0)
         .collect()(0)
       assert(r.getAs[Float]("x") == 1000.0f)
     } finally q.stop()

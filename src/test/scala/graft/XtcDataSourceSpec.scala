@@ -95,7 +95,7 @@ class XtcDataSourceSpec extends AnyFunSuite {
     }
     val (a0, b0, c0, al0, be0, ga0) = cryst
     val frames = spark.read.format("xtc").load(refXtc)
-      .filter(col("atom_id") === 1)
+      .filter(col("atom_id") === 0)
       .select("frame_id", "time", "step",
         "bv1x", "bv1y", "bv1z", "bv2x", "bv2y", "bv2z",
         "bv3x", "bv3y", "bv3z")
@@ -223,7 +223,7 @@ class XtcDataSourceSpec extends AnyFunSuite {
     assert(rows.length == 3 * 500)
     rows.foreach { r =>
       val f = r.getAs[Long]("frame_id").toInt
-      val a = r.getAs[Int]("atom_id") - 1
+      val a = r.getAs[Int]("atom_id")
       val p = precs(f)
       val src = frames(f).xyz
       assert(r.getAs[Float]("x") == quant(src(3 * a), p),
