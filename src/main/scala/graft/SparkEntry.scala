@@ -22,7 +22,10 @@ object SparkEntry {
         Some(multimodal.MultimodalPipeline.multimodalFeaturesSql)) :+
       QueryDef("q_multimodal_image",
         multimodal.MultimodalPipeline.multimodalImage,
-        Some(multimodal.MultimodalPipeline.multimodalImageSql))
+        Some(multimodal.MultimodalPipeline.multimodalImageSql)) :+
+      QueryDef("q_multimodal_audio",
+        multimodal.MultimodalPipeline.multimodalAudio,
+        Some(multimodal.MultimodalPipeline.multimodalAudioSql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

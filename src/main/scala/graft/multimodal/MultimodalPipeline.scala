@@ -50,12 +50,14 @@ object MultimodalPipeline {
       byte_len: Long, header: Long, f0_sum: Long, f0_len: Long,
       feature: Array[Float])
 
-  /** STUB — stands in for a real AUDIO/VIDEO decoder only (those codec
-    * libs are unavailable here; images decode for real — see
-    * [[imageFeatures]]). Deterministic fake: 4 "channel features" =
-    * mean byte value of each quarter of the payload. Replace the body
-    * with a codec call (e.g. javacv) in a real deployment; the
-    * signature and batch shape are what production code keeps. */
+  /** STUB — stands in for a real VIDEO decoder only (video codecs are
+    * genuinely unavailable here; images decode for real via
+    * `javax.imageio` — [[imageFeatures]] — and audio via the JDK's
+    * `javax.sound.sampled` — [[audioFeatures]]). Deterministic fake: 4
+    * "channel features" = mean byte value of each quarter of the
+    * payload. Replace the body with a codec call (e.g. javacv) in a
+    * real deployment; the signature and batch shape are what
+    * production code keeps. */
   def decodeStub(payload: Array[Byte]): Array[Float] = {
     if (payload.isEmpty) return Array(0f, 0f, 0f, 0f)
     val q = math.max(payload.length / 4, 1)
@@ -96,8 +98,36 @@ object MultimodalPipeline {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic WAV for `doc_id`: 16-bit mono PCM at
+    * 8 kHz, `n = 200 + id%100` samples with
+    * `s(i) = (id·31 + i·17 + 7) mod 65536 − 32768`, encoded with the
+    * JDK's own `javax.sound.sampled` WAVE writer. PCM is lossless, so
+    * a decoder must reproduce these exact int16 values — which lets
+    * the DuckDB oracle check the decode by recomputing the same
+    * arithmetic (the audio analog of [[imagePayload]]). */
+  def audioPayload(docId: Long): Array[Byte] = {
+    val n = 200 + (docId % 100).toInt
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val s = ((docId * 31 + i * 17 + 7) % 65536 - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte // PCM WAVE data is little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Assets view: image-typed docs carry a real PNG payload
-    * ([[imagePayload]]); audio/video carry the documents' text bytes as
+    * ([[imagePayload]]), audio-typed docs a real WAV
+    * ([[audioPayload]]); video docs carry the documents' text bytes as
     * opaque stand-in payloads. media_type derived deterministically
     * from doc_id. */
   def assets(s: SparkSession, d: String): Dataset[Asset] = {
@@ -108,9 +138,11 @@ object MultimodalPipeline {
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
         encode(col("text"), "UTF-8").as("payload"))
       .as[Asset]
-      .map(a =>
-        if (a.media_type == "image") a.copy(payload = imagePayload(a.doc_id))
-        else a)
+      .map(a => a.media_type match {
+        case "image" => a.copy(payload = imagePayload(a.doc_id))
+        case "audio" => a.copy(payload = audioPayload(a.doc_id))
+        case _ => a
+      })
   }
 
   /** Per-image decode product: integer-exact pixel stats (the
@@ -154,12 +186,64 @@ object MultimodalPipeline {
     }
   }
 
+  /** Per-audio decode product: integer-exact sample stats (the
+    * oracle-checkable part) + the float feature a production pipeline
+    * keeps (mean amplitude, sample count, rate, peak). */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Long,
+      n_samples: Long, sample_sum: Long, s_min: Long, s_max: Long,
+      feature: Array[Float])
+
+  /** REAL partition-wise audio decode via the JDK's
+    * `javax.sound.sampled` — no external codec needed for WAV/PCM.
+    * The decoder yields the stream's own declared format; samples
+    * convert per that format's endianness, so any conforming PCM16
+    * mono WAV decodes, not just this repo's writer. */
+  def audioFeatures(ds: Dataset[Asset]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { a =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"doc ${a.doc_id}: expected 16-bit mono signed PCM, got $fmt")
+        val bytes = ais.readAllBytes()
+        ais.close()
+        val n = bytes.length / 2
+        var sum = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        val le = !fmt.isBigEndian
+        var i = 0
+        while (i < n) {
+          val b0 = bytes(2 * i) & 0xff
+          val b1 = bytes(2 * i + 1) & 0xff
+          val s = (if (le) (b1 << 8) | b0 else (b0 << 8) | b1)
+            .toShort.toLong
+          sum += s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          i += 1
+        }
+        if (n == 0) { mn = 0L; mx = 0L }
+        AudioFeatures(a.doc_id, fmt.getSampleRate.toLong, n.toLong, sum,
+          mn, mx,
+          Array(if (n == 0) 0f else sum.toFloat / n, n.toFloat,
+            fmt.getSampleRate,
+            math.max(math.abs(mn), math.abs(mx)).toFloat))
+      }
+    }
+  }
+
   /** Partition-wise decode: one decoder context per partition, rows
     * streamed through it — the batched-UDF execution shape. Image rows
     * get the real `ImageIO` decode for their float feature (mean
-    * channel values + pixel count); audio/video go through the
-    * documented stub. The integer byte stats are payload arithmetic in
-    * both cases. */
+    * channel values + pixel count), audio rows the real `javax.sound`
+    * decode (mean amplitude, count, rate, peak); video goes through
+    * the documented stub. The integer byte stats are payload
+    * arithmetic in all cases. */
   def features(ds: Dataset[Asset]): Dataset[Features] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
@@ -190,6 +274,28 @@ object MultimodalPipeline {
             }
             val n = (w * h).toFloat
             Array(rs / n, gs / n, bs / n, n)
+          } else if (a.media_type == "audio") {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(a.payload))
+            val fmt = ais.getFormat
+            val bytes = ais.readAllBytes()
+            ais.close()
+            val n = bytes.length / 2
+            var sum = 0L
+            var peak = 0L
+            val le = !fmt.isBigEndian
+            var i = 0
+            while (i < n) {
+              val b0 = bytes(2 * i) & 0xff
+              val b1 = bytes(2 * i + 1) & 0xff
+              val v = (if (le) (b1 << 8) | b0 else (b0 << 8) | b1)
+                .toShort.toLong
+              sum += v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              i += 1
+            }
+            Array(if (n == 0) 0f else sum.toFloat / n, n.toFloat,
+              fmt.getSampleRate, peak.toFloat)
           } else decodeStub(a.payload)
         val header = if (a.payload.length >= 4)
           ((a.payload(0) & 0xffL) << 24) | ((a.payload(1) & 0xffL) << 16) |
@@ -248,15 +354,16 @@ object MultimodalPipeline {
   }
 
   /** Registered query (stub path): decode → per-media-type aggregate
-    * over the integer-exact decode stats for the AUDIO/VIDEO assets
-    * (DuckDB reproduces them from the text bytes — see the oracle
-    * below). Image assets carry PNG payloads whose byte stats DuckDB
-    * cannot re-derive; they are covered by the stronger
-    * [[multimodalImage]] pixel-level oracle instead. The float feature
-    * vector is spec-tested (MultimodalSpec), not oracle-hashed. */
+    * over the integer-exact decode stats for the VIDEO assets (DuckDB
+    * reproduces them from the text bytes — see the oracle below).
+    * Image and audio assets carry real PNG/WAV payloads whose byte
+    * stats DuckDB cannot re-derive; they are covered by the stronger
+    * [[multimodalImage]] / [[multimodalAudio]] decode-level oracles
+    * instead. The float feature vector is spec-tested
+    * (MultimodalSpec), not oracle-hashed. */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
     features(assets(s, d)).toDF()
-      .where(col("media_type") =!= "image")
+      .where(col("media_type") === "video")
       .groupBy("media_type")
       .agg(count(lit(1)).as("n_assets"),
         sum("byte_len").as("total_bytes"),
@@ -268,12 +375,10 @@ object MultimodalPipeline {
     * text characters (ASCII corpus ⇒ ord(char) = payload byte). */
   val multimodalFeaturesSql: String =
     """WITH a AS (
-      |  SELECT doc_id,
-      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-      |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  SELECT doc_id, 'video' AS media_type,
       |    text, length(text) AS bl,
       |    greatest(length(text) // 4, 1) AS q
-      |  FROM documents WHERE doc_id % 3 <> 0),
+      |  FROM documents WHERE doc_id % 3 = 2),
       |hdr AS (
       |  SELECT doc_id, media_type, bl, q, text,
       |    CASE WHEN bl >= 4 THEN
@@ -342,4 +447,45 @@ object MultimodalPipeline {
       |  CAST(sum(g) AS BIGINT) AS g_sum,
       |  CAST(sum(b) AS BIGINT) AS b_sum
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Audio-typed assets only (real WAV payloads, one per audio doc). */
+  def audioAssets(s: SparkSession, d: String): Dataset[Asset] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).where(col("doc_id") % 3 === 1)
+      .as[Long]
+      .map(id => Asset(id, "audio", audioPayload(id)))
+  }
+
+  /** Registered query (real-decode path, audio): generate WAV
+    * payloads, decode them with `javax.sound.sampled`, emit per-doc
+    * integer-exact sample stats. The DuckDB oracle recomputes the same
+    * stats from the PCM formula ([[audioPayload]]) without ever seeing
+    * a WAV — a green row proves the encode → decode → stats
+    * round-trip sample-exactly (the audio analog of
+    * [[multimodalImage]]). */
+  def multimodalAudio(s: SparkSession, d: String): DataFrame =
+    audioFeatures(audioAssets(s, d)).toDF()
+      .select("doc_id", "sample_rate", "n_samples", "sample_sum",
+        "s_min", "s_max")
+      .orderBy("doc_id")
+
+  /** DuckDB twin of [[multimodalAudio]]: int16 sample values re-derived
+    * arithmetically from (doc_id, i); the static 0..299 range is the
+    * max sample count, filtered per doc to its true n. */
+  val multimodalAudioSql: String =
+    """WITH au AS (
+      |  SELECT doc_id, 200 + doc_id % 100 AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |ix AS (SELECT unnest(range(0, 300)) AS i),
+      |s AS (
+      |  SELECT doc_id, n,
+      |    (doc_id * 31 + i * 17 + 7) % 65536 - 32768 AS v
+      |  FROM au, ix WHERE i < n)
+      |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(max(n) AS BIGINT) AS n_samples,
+      |  CAST(sum(v) AS BIGINT) AS sample_sum,
+      |  CAST(min(v) AS BIGINT) AS s_min,
+      |  CAST(max(v) AS BIGINT) AS s_max
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -44,10 +44,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.header > 0)
     val agg = MultimodalPipeline.multimodalFeatures(spark, SparkTestBase.sf)
       .collect()
-    // image rows graduated to the real-decode q_multimodal_image query;
-    // the stub aggregate covers the two genuinely codec-less types
-    assert(agg.map(_.getAs[String]("media_type")).toSet ==
-      Set("audio", "video"))
+    // image/audio rows graduated to the real-decode q_multimodal_image
+    // / q_multimodal_audio queries; the stub aggregate covers the one
+    // genuinely codec-less type
+    assert(agg.map(_.getAs[String]("media_type")).toSet == Set("video"))
+  }
+
+  test("real audio decode: hand-computed sample stats on a known WAV") {
+    import spark.implicits._
+    // four hand-chosen int16 samples through the JDK's own WAVE writer
+    val samples = Array[Short](0, 1000, -32768, 32767)
+    val pcm = new Array[Byte](8)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val ds = Seq(MultimodalPipeline.Asset(5L, "audio", bos.toByteArray))
+      .toDS()
+    val f = MultimodalPipeline.audioFeatures(ds).collect().head
+    assert(f.sample_rate == 8000L && f.n_samples == 4L)
+    assert(f.sample_sum == 0L + 1000 - 32768 + 32767) // 999
+    assert(f.s_min == -32768L && f.s_max == 32767L)
+    assert(f.feature.toSeq == Seq(999f / 4, 4f, 8000f, 32768f))
+  }
+
+  test("WAV payload round-trips: javax.sound decode equals the PCM " +
+    "formula; registered audio query matches per doc") {
+    for (id <- Seq(1L, 4L, 97L, 54322L)) {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(
+          MultimodalPipeline.audioPayload(id)))
+      val bytes = ais.readAllBytes(); ais.close()
+      val n = 200 + (id % 100).toInt
+      assert(bytes.length == 2 * n)
+      for (i <- 0 until n) {
+        val got = (((bytes(2 * i + 1) & 0xff) << 8) |
+          (bytes(2 * i) & 0xff)).toShort.toLong
+        assert(got == (id * 31 + i * 17 + 7) % 65536 - 32768,
+          s"doc $id sample $i")
+      }
+    }
+    val got = MultimodalPipeline.multimodalAudio(spark, SparkTestBase.sf)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val n = 200 + (id % 100).toInt
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      for (i <- 0 until n) {
+        val v = id * 31 + i * 17 + 7
+        val s = v % 65536 - 32768
+        sum += s; mn = math.min(mn, s); mx = math.max(mx, s)
+      }
+      assert(row.getAs[Long]("n_samples") == n, s"doc $id n")
+      assert(row.getAs[Long]("sample_sum") == sum, s"doc $id sum")
+      assert(row.getAs[Long]("s_min") == mn && row.getAs[Long]("s_max")
+        == mx, s"doc $id min/max")
+    }
   }
 
   test("real image decode: hand-computed pixel stats on a known 2x2 PNG") {
