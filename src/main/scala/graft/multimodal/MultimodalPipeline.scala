@@ -20,22 +20,25 @@ import org.apache.spark.sql.functions._
   * `q_multimodal_image` hash-checks the full encode → decode → stats
   * round-trip end to end.
   *
-  * AUDIO/VIDEO stay on `decodeStub` — the container genuinely lacks
-  * audio/video codec libraries — so the contract deliverable for those
-  * two types is the Spark-side plumbing: binary column + typed metadata
-  * schema, a `Dataset[Asset] → Dataset[Features]` mapPartitions
-  * transform (the Scala analog of a batched `mapInPandas` decode: one
-  * decoder init per partition, streamed rows, no driver
-  * materialization), and a downstream aggregation that stays fully
-  * relational.
+  * The AUDIO path decodes for real too: `javax.sound.sampled` ships in
+  * the JDK, so audio assets carry genuine WAV/PCM16 payloads
+  * ([[audioPayload]]) and [[audioFeatures]] decodes them
+  * partition-wise with integer-exact sample stats, hash-checked by the
+  * registered `q_multimodal_audio`. Only VIDEO stays on `decodeStub` —
+  * the JDK genuinely has no video codec — so the contract deliverable
+  * for that type is the Spark-side plumbing: binary column + typed
+  * metadata schema, a `Dataset[Asset] → Dataset[Features]`
+  * mapPartitions transform (the Scala analog of a batched
+  * `mapInPandas` decode: one decoder init per partition, streamed
+  * rows, no driver materialization), and a downstream aggregation that
+  * stays fully relational.
   *
   * Oracle checkability of the stub path: alongside the float feature
   * vector, the transform emits integer-exact decode stats (byte_len,
   * big-endian 4-byte header, first-quarter byte sum and count). Those
   * are plain arithmetic over the payload bytes, which DuckDB reproduces
   * on the text source (corpus is ASCII, so character ops = byte ops),
-  * making the registered `q_multimodal_features` (audio/video)
-  * hash-checkable.
+  * making the registered `q_multimodal_features` (video) hash-checkable.
   *
   * At 100 TB: payloads live in the fact table, features are a narrow
   * projection of it; the only shuffle is the final keyed aggregate.
@@ -105,7 +108,78 @@ object MultimodalPipeline {
     * a decoder must reproduce these exact int16 values — which lets
     * the DuckDB oracle check the decode by recomputing the same
     * arithmetic (the audio analog of [[imagePayload]]). */
-  def audioPayload(docId: Long): Array[Byte] = {
+  def audioPayload(docId: Long): Array[Byte] =
+    audioPayload(docId, wavWriter())
+
+  /** `AudioSystem`'s static entry points route every call through a
+    * synchronized provider-registry lookup (JDK service cache) — at
+    * 32 threads × tens of thousands of rows that lock serializes the
+    * whole stage (measured: the audio query scaled 19× for 10× data
+    * before, 32 workers queueing on one monitor). The dataset paths
+    * therefore resolve the javax.sound SPI providers ONCE per
+    * partition via ServiceLoader and call them directly — same public
+    * API surface, no global lock in the row loop. */
+  private[multimodal] def wavWriter()
+      : javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    while (it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(
+          javax.sound.sampled.AudioFileFormat.Type.WAVE)) return w
+    }
+    throw new IllegalStateException("no WAVE writer provider in this JDK")
+  }
+
+  private[multimodal] def wavReaders()
+      : Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val out = Array.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    while (it.hasNext) out += it.next()
+    out.result()
+  }
+
+  /** Sticky provider selection: the first row probes the providers in
+    * order and REMEMBERS which one accepted — essential because the
+    * JDK ships a MIDI soft-synth AudioFileReader whose rejection probe
+    * itself routes through the synchronized `MidiSystem.getProviders`
+    * registry (profiled: with naive try-each-provider-per-row, all 32
+    * workers sat in that monitor and the audio stage scaled 14× for
+    * 10× data; with the sticky reader it is one WAVE-header parse per
+    * row). One instance per partition. */
+  private[multimodal] final class AudioOpener(
+      readers: Array[javax.sound.sampled.spi.AudioFileReader]) {
+    private var preferred = -1
+    def open(docId: Long, payload: Array[Byte])
+        : javax.sound.sampled.AudioInputStream = {
+      if (preferred >= 0) {
+        try return readers(preferred).getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            preferred = -1 // heterogeneous payloads: fall through
+        }
+      }
+      var i = 0
+      while (i < readers.length) {
+        try {
+          val s = readers(i).getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          preferred = i
+          return s
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+        i += 1
+      }
+      throw new IllegalArgumentException(
+        s"doc $docId: no javax.sound provider decodes this payload")
+    }
+  }
+
+  private[multimodal] def audioPayload(docId: Long,
+      writer: javax.sound.sampled.spi.AudioFileWriter): Array[Byte] = {
     val n = 200 + (docId % 100).toInt
     val pcm = new Array[Byte](2 * n)
     var i = 0
@@ -120,7 +194,7 @@ object MultimodalPipeline {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
+    writer.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
@@ -129,20 +203,31 @@ object MultimodalPipeline {
     * ([[imagePayload]]), audio-typed docs a real WAV
     * ([[audioPayload]]); video docs carry the documents' text bytes as
     * opaque stand-in payloads. media_type derived deterministically
-    * from doc_id. */
-  def assets(s: SparkSession, d: String): Dataset[Asset] = {
+    * from doc_id. `only` restricts to one media type WITH the filter
+    * applied BEFORE the payload-generating map — the typed `.map` is
+    * opaque to Catalyst, so a downstream `.where(media_type)` cannot
+    * push past it and would pay PNG/WAV encoding for rows it then
+    * discards (measured at 10×: the video-only aggregate spent 80 %
+    * of its time encoding other types' payloads). */
+  def assets(s: SparkSession, d: String,
+      only: Option[String] = None): Dataset[Asset] = {
     import s.implicits._
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
         encode(col("text"), "UTF-8").as("payload"))
-      .as[Asset]
-      .map(a => a.media_type match {
-        case "image" => a.copy(payload = imagePayload(a.doc_id))
-        case "audio" => a.copy(payload = audioPayload(a.doc_id))
-        case _ => a
-      })
+    val filtered = only.fold(base)(t => base.where(col("media_type") === t))
+    filtered.as[Asset]
+      .mapPartitions { it =>
+        // WAVE writer resolved once per partition (see wavWriter)
+        lazy val w = wavWriter()
+        it.map(a => a.media_type match {
+          case "image" => a.copy(payload = imagePayload(a.doc_id))
+          case "audio" => a.copy(payload = audioPayload(a.doc_id, w))
+          case _ => a
+        })
+      }
   }
 
   /** Per-image decode product: integer-exact pixel stats (the
@@ -201,9 +286,10 @@ object MultimodalPipeline {
   def audioFeatures(ds: Dataset[Asset]): Dataset[AudioFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
+      // once per partition, sticky across rows (see AudioOpener)
+      val opener = new AudioOpener(wavReaders())
       it.map { a =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(a.payload))
+        val ais = opener.open(a.doc_id, a.payload)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           fmt.getEncoding ==
@@ -250,6 +336,7 @@ object MultimodalPipeline {
       // per-partition decoder init (codec contexts are not
       // serializable; never construct them on the driver)
       javax.imageio.ImageIO.setUseCache(false)
+      lazy val audioOpener = new AudioOpener(wavReaders())
       it.map { a =>
         val f =
           if (a.media_type == "image") {
@@ -275,8 +362,7 @@ object MultimodalPipeline {
             val n = (w * h).toFloat
             Array(rs / n, gs / n, bs / n, n)
           } else if (a.media_type == "audio") {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(a.payload))
+            val ais = audioOpener.open(a.doc_id, a.payload)
             val fmt = ais.getFormat
             val bytes = ais.readAllBytes()
             ais.close()
@@ -362,8 +448,7 @@ object MultimodalPipeline {
     * instead. The float feature vector is spec-tested
     * (MultimodalSpec), not oracle-hashed. */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
-    features(assets(s, d)).toDF()
-      .where(col("media_type") === "video")
+    features(assets(s, d, only = Some("video"))).toDF()
       .groupBy("media_type")
       .agg(count(lit(1)).as("n_assets"),
         sum("byte_len").as("total_bytes"),

@@ -1,0 +1,22 @@
+#!/usr/bin/env python3
+"""Min-merge per-query seconds across repeated same-code Bench runs
+(each already min-of-2 internally) into one BENCH_FULL-shaped JSON.
+Co-tenant interference on this host is sustained (minutes), so a
+single run's interleaved min-of-2 cannot shed it; the min across
+runs spread over a longer window can. Usage:
+  min_merge_bench.py out.json run1.json run2.json [...]"""
+import json
+import sys
+
+runs = [json.load(open(p)) for p in sys.argv[2:]]
+base = dict(runs[0])
+qs = {}
+for q in runs[0]["queries"]:
+    qs[q] = min(r["queries"][q] for r in runs if q in r["queries"])
+base["queries"] = qs
+base["value"] = sum(qs.values())
+base["min_of_runs"] = len(runs)
+base["loadavg_runs"] = [
+    [r.get("loadavg_start"), r.get("loadavg_end")] for r in runs]
+json.dump(base, open(sys.argv[1], "w"), indent=1)
+print(f"merged {len(runs)} runs -> total {base['value']:.1f}s")
