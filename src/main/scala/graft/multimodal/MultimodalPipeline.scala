@@ -153,23 +153,27 @@ object MultimodalPipeline {
     private var preferred = -1
     def open(docId: Long, payload: Array[Byte])
         : javax.sound.sampled.AudioInputStream = {
+      var skip = -1
       if (preferred >= 0) {
         try return readers(preferred).getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
         catch {
           case _: javax.sound.sampled.UnsupportedAudioFileException =>
-            preferred = -1 // heterogeneous payloads: fall through
+            skip = preferred // just rejected THIS payload: don't re-probe
+            preferred = -1
         }
       }
       var i = 0
       while (i < readers.length) {
-        try {
-          val s = readers(i).getAudioInputStream(
-            new java.io.ByteArrayInputStream(payload))
-          preferred = i
-          return s
-        } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        if (i != skip) {
+          try {
+            val s = readers(i).getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            preferred = i
+            return s
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+          }
         }
         i += 1
       }
@@ -236,6 +240,70 @@ object MultimodalPipeline {
   final case class ImageFeatures(doc_id: Long, width: Long, height: Long,
       r_sum: Long, g_sum: Long, b_sum: Long, feature: Array[Float])
 
+
+  /** Shared image decode kernel: pixel stats every image consumer
+    * agrees on (one implementation — imageFeatures and features()
+    * previously carried drifting copies). */
+  private[multimodal] def imagePixelStats(docId: Long,
+      payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null,
+      s"doc $docId: payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        rs += (rgb >> 16) & 0xff
+        gs += (rgb >> 8) & 0xff
+        bs += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rs, gs, bs)
+  }
+
+  /** Shared audio decode kernel: PCM16-mono validation + sample stats
+    * (rate, count, sum, min, max). Samples convert per the stream's
+    * own declared endianness, so any conforming PCM16 mono WAV
+    * decodes, not just this repo's writer; non-PCM16 payloads fail
+    * loudly instead of yielding silently-wrong numbers. */
+  private[multimodal] def audioSampleStats(opener: AudioOpener,
+      docId: Long, payload: Array[Byte])
+      : (Long, Int, Long, Long, Long) = {
+    val ais = opener.open(docId, payload)
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"doc $docId: expected 16-bit mono signed PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    ais.close()
+    val n = bytes.length / 2
+    var sum = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    val le = !fmt.isBigEndian
+    var i = 0
+    while (i < n) {
+      val b0 = bytes(2 * i) & 0xff
+      val b1 = bytes(2 * i + 1) & 0xff
+      val s = (if (le) (b1 << 8) | b0 else (b0 << 8) | b1)
+        .toShort.toLong
+      sum += s
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      i += 1
+    }
+    if (n == 0) { mn = 0L; mx = 0L }
+    (fmt.getSampleRate.toLong, n, sum, mn, mx)
+  }
+
   /** REAL partition-wise image decode via the JDK's `javax.imageio` —
     * no external codec needed for PNG/BMP/GIF. One decoder-context
     * setup per partition (`setUseCache(false)`: in-memory decode, no
@@ -245,25 +313,7 @@ object MultimodalPipeline {
     ds.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(a.payload))
-        require(img != null,
-          s"doc ${a.doc_id}: payload is not a decodable image")
-        val w = img.getWidth
-        val h = img.getHeight
-        var rs = 0L; var gs = 0L; var bs = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            rs += (rgb >> 16) & 0xff
-            gs += (rgb >> 8) & 0xff
-            bs += rgb & 0xff
-            x += 1
-          }
-          y += 1
-        }
+        val (w, h, rs, gs, bs) = imagePixelStats(a.doc_id, a.payload)
         val n = (w * h).toFloat
         ImageFeatures(a.doc_id, w.toLong, h.toLong, rs, gs, bs,
           Array(rs / n, gs / n, bs / n, n))
@@ -289,35 +339,11 @@ object MultimodalPipeline {
       // once per partition, sticky across rows (see AudioOpener)
       val opener = new AudioOpener(wavReaders())
       it.map { a =>
-        val ais = opener.open(a.doc_id, a.payload)
-        val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-          fmt.getEncoding ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          s"doc ${a.doc_id}: expected 16-bit mono signed PCM, got $fmt")
-        val bytes = ais.readAllBytes()
-        ais.close()
-        val n = bytes.length / 2
-        var sum = 0L
-        var mn = Long.MaxValue
-        var mx = Long.MinValue
-        val le = !fmt.isBigEndian
-        var i = 0
-        while (i < n) {
-          val b0 = bytes(2 * i) & 0xff
-          val b1 = bytes(2 * i + 1) & 0xff
-          val s = (if (le) (b1 << 8) | b0 else (b0 << 8) | b1)
-            .toShort.toLong
-          sum += s
-          if (s < mn) mn = s
-          if (s > mx) mx = s
-          i += 1
-        }
-        if (n == 0) { mn = 0L; mx = 0L }
-        AudioFeatures(a.doc_id, fmt.getSampleRate.toLong, n.toLong, sum,
-          mn, mx,
+        val (rate, n, sum, mn, mx) =
+          audioSampleStats(opener, a.doc_id, a.payload)
+        AudioFeatures(a.doc_id, rate, n.toLong, sum, mn, mx,
           Array(if (n == 0) 0f else sum.toFloat / n, n.toFloat,
-            fmt.getSampleRate,
+            rate.toFloat,
             math.max(math.abs(mn), math.abs(mx)).toFloat))
       }
     }
@@ -340,48 +366,14 @@ object MultimodalPipeline {
       it.map { a =>
         val f =
           if (a.media_type == "image") {
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(a.payload))
-            require(img != null,
-              s"doc ${a.doc_id}: payload is not a decodable image")
-            val w = img.getWidth
-            val h = img.getHeight
-            var rs = 0L; var gs = 0L; var bs = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                rs += (rgb >> 16) & 0xff
-                gs += (rgb >> 8) & 0xff
-                bs += rgb & 0xff
-                x += 1
-              }
-              y += 1
-            }
+            val (w, h, rs, gs, bs) = imagePixelStats(a.doc_id, a.payload)
             val n = (w * h).toFloat
             Array(rs / n, gs / n, bs / n, n)
           } else if (a.media_type == "audio") {
-            val ais = audioOpener.open(a.doc_id, a.payload)
-            val fmt = ais.getFormat
-            val bytes = ais.readAllBytes()
-            ais.close()
-            val n = bytes.length / 2
-            var sum = 0L
-            var peak = 0L
-            val le = !fmt.isBigEndian
-            var i = 0
-            while (i < n) {
-              val b0 = bytes(2 * i) & 0xff
-              val b1 = bytes(2 * i + 1) & 0xff
-              val v = (if (le) (b1 << 8) | b0 else (b0 << 8) | b1)
-                .toShort.toLong
-              sum += v
-              if (math.abs(v) > peak) peak = math.abs(v)
-              i += 1
-            }
+            val (rate, n, sum, mn, mx) =
+              audioSampleStats(audioOpener, a.doc_id, a.payload)
             Array(if (n == 0) 0f else sum.toFloat / n, n.toFloat,
-              fmt.getSampleRate, peak.toFloat)
+              rate.toFloat, math.max(math.abs(mn), math.abs(mx)).toFloat)
           } else decodeStub(a.payload)
         val header = if (a.payload.length >= 4)
           ((a.payload(0) & 0xffL) << 24) | ((a.payload(1) & 0xffL) << 16) |

@@ -412,6 +412,9 @@ class NetcdfScan(paths: Seq[String], chunks: Int, unitScale: Double,
           finally raf.close()
         val lo = math.max(off, frameLo) - off
         var hi = math.min(off + prof.frames, frameHi) - off
+        // a 0-atom file is format-legal but contributes no rows: plan
+        // nothing (also keeps the limit arithmetic division-safe)
+        if (prof.nAtoms == 0) hi = lo
         if (lo < hi && budget != Long.MaxValue) {
           val maxFrames = (budget + prof.nAtoms - 1) / prof.nAtoms
           hi = math.min(hi, lo + maxFrames)
@@ -465,7 +468,9 @@ class NetcdfPartitionReader(unitScale: Double, required: StructType,
   private var haveCell = false
   private var time = 0.0
   private var frame = range.startFrame - 1
-  private var emit = 0
+  // start "exhausted" so the first next() loads frame 0 (also makes
+  // the 0-atom case loop through frames without emitting)
+  private var emit = prof.nAtoms
   private var current: InternalRow = _
 
   private val ordinals: Array[Int] = {
@@ -521,7 +526,9 @@ class NetcdfPartitionReader(unitScale: Double, required: StructType,
   }
 
   override def next(): Boolean = {
-    if (current == null || emit >= prof.nAtoms) {
+    // loop form: 0-atom frames yield no rows (the planner already
+    // skips 0-atom files; this keeps the reader safe regardless)
+    while (emit >= prof.nAtoms) {
       if (!loadFrame()) return false
     }
     val a = emit

@@ -319,7 +319,20 @@ object XtcFormat {
     * with its predecessor (the format's water-molecule optimization —
     * decode must un-swap by emitting the previous coordinate first). */
   def decompress(meta: XtcFrameMeta, blob: Array[Byte], out: Array[Float],
-      path: String, frame: Long): Unit = {
+      path: String, frame: Long): Unit =
+    try decompressImpl(meta, blob, out, path, frame)
+    catch {
+      // a declared nBytes smaller than the atoms' bit demand runs the
+      // reader off the blob: surface it as the same parse-error
+      // contract every other malformed-input path here upholds
+      case _: ArrayIndexOutOfBoundsException =>
+        fail(path, frame,
+          s"compressed stream truncated mid-decode (${meta.nBytes} bytes" +
+            s" for ${meta.nAtoms} atoms)")
+    }
+
+  private def decompressImpl(meta: XtcFrameMeta, blob: Array[Byte],
+      out: Array[Float], path: String, frame: Long): Unit = {
     val n = meta.nAtoms
     val sizeInt = new Array[Int](3)
     val bitSizeInt = new Array[Int](3)
@@ -415,6 +428,8 @@ object XtcFormat {
         o += 3
       }
       smallIdx += isSmaller
+      if (smallIdx < FirstIdx || smallIdx >= MagicInts.length)
+        fail(path, frame, s"smallidx walked to $smallIdx — corrupt stream")
       if (isSmaller < 0) {
         small = smaller
         smaller =
@@ -423,8 +438,6 @@ object XtcFormat {
         smaller = small
         small = MagicInts(smallIdx) / 2
       }
-      if (smallIdx < FirstIdx || smallIdx >= MagicInts.length)
-        fail(path, frame, s"smallidx walked to $smallIdx — corrupt stream")
       sizeSmall(0) = MagicInts(smallIdx)
       sizeSmall(1) = sizeSmall(0); sizeSmall(2) = sizeSmall(0)
     }
@@ -774,7 +787,9 @@ class XtcPartitionReader(unitScale: Double, required: StructType,
   }
 
   override def next(): Boolean = {
-    if (current == null || emit >= nAtoms) {
+    // loop: a 0-atom frame yields no rows but still advances (the
+    // initial nAtoms = 0 also forces the first load through here)
+    while (emit >= nAtoms) {
       if (!loadFrame()) return false
     }
     val a = emit

@@ -29,8 +29,12 @@ object XtcWrite {
   def write(path: String, frames: Seq[Frame]): Unit = {
     require(frames.nonEmpty, "xtc write requires at least one frame")
     val out = new DataOutputStream(FsIO.createStream(path))
-    try frames.zipWithIndex.foreach { case (fr, i) =>
-      out.write(encodeFrame(fr, i))
+    // index via a counter, not zipWithIndex: callers stream frames
+    // through virtual IndexedSeqs (RefWorkloadBench generates 340 MB
+    // of frames lazily) and zipWithIndex would materialize them all
+    try {
+      var i = 0
+      frames.foreach { fr => out.write(encodeFrame(fr, i)); i += 1 }
     } finally out.close()
   }
 

@@ -110,6 +110,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("features() rejects non-PCM16 audio loudly instead of emitting " +
+    "silently-wrong numbers (shared kernel with audioFeatures)") {
+    import spark.implicits._
+    // an 8-bit mono WAV: conforming audio the PCM16 stats cannot read
+    val pcm8 = Array.tabulate[Byte](16)(i => (i * 3).toByte)
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+      false, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm8), fmt8, 16L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val ds = Seq(MultimodalPipeline.Asset(9L, "audio", bos.toByteArray))
+      .toDS()
+    val e = intercept[Exception] {
+      MultimodalPipeline.features(ds).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage)
+      .getOrElse("")
+    assert(msg.contains("16-bit mono signed PCM"), msg)
+  }
+
   test("real image decode: hand-computed pixel stats on a known 2x2 PNG") {
     import spark.implicits._
     // pixels chosen by hand: (0,0)=#010203 (1,0)=#FF0080

@@ -177,6 +177,16 @@ class NetcdfDataSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a 0-atom file plans zero rows — no phantom row, no " +
+    "divide-by-zero under a pushed limit") {
+    val f = Files.createTempFile("zeroatom", ".nc")
+    NetcdfWrite.write(f.toString, (0 until 3).map(i =>
+      NetcdfWrite.Frame(Array.empty[Float], time = i * 1.0)))
+    val df = spark.read.format("netcdf").load(f.toString)
+    assert(df.count() == 0)
+    assert(df.limit(5).count() == 0)
+  }
+
   test("HDF5 containers and CDF-5 are rejected with clear messages; " +
     "junk magic errors") {
     val h5 = Files.createTempFile("fake", ".nc")

@@ -345,6 +345,45 @@ class XtcDataSourceSpec extends AnyFunSuite {
     assert(n == 2, s"expected 2 whole frames, got $n")
   }
 
+  test("0-atom frames yield no rows (no phantom atom, no crash); a " +
+    "truncated compressed blob fails with frame context, not a raw " +
+    "index error") {
+    val dir = Files.createTempDirectory("xtcedge")
+    val empty = dir.resolve("empty.xtc").toString
+    XtcWrite.write(empty, Seq(
+      XtcWrite.Frame(Array.empty[Float], step = 0),
+      XtcWrite.Frame(waterish(20, seed = 3), step = 1),
+      XtcWrite.Frame(Array.empty[Float], step = 2)))
+    val df = spark.read.format("xtc").load(empty)
+    assert(df.count() == 20) // only the middle frame contributes rows
+    assert(df.select(countDistinct("frame_id")).collect()(0)
+      .getLong(0) == 1)
+    assert(df.agg(max("frame_id")).collect()(0).getLong(0) == 1L)
+
+    // truncated blob: shrink the declared frame's data mid-stream but
+    // keep the container structurally valid (nbytes smaller than the
+    // bit demand) by patching nbytes down and re-padding
+    val good = dir.resolve("short.xtc")
+    XtcWrite.write(good.toString, Seq(XtcWrite.Frame(
+      waterish(40, seed = 5))))
+    val bytes = Files.readAllBytes(good)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val nBytes = bb.getInt(88) // after 56B header + prec + 6 ints + idx
+    bb.putInt(88, math.max(4, nBytes / 4))
+    val cut = dir.resolve("cut.xtc")
+    // keep the file length consistent with the smaller declared blob
+    Files.write(cut, java.util.Arrays.copyOf(bytes,
+      92 + (math.max(4, nBytes / 4) + 3) / 4 * 4))
+    val e = intercept[Exception] {
+      spark.read.format("xtc").load(cut.toString)
+        .select("x").collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage)
+      .getOrElse("")
+    assert(msg.contains("truncated mid-decode") || msg.contains("xtc"),
+      msg)
+  }
+
   test("BitWriter/BitReader round-trip random widths and mixed-radix " +
     "triples (the grammar's two primitives)") {
     val rnd = new Random(42)
