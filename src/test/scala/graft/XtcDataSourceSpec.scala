@@ -178,6 +178,42 @@ class XtcDataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("topology"), e.getMessage)
   }
 
+  test("the reference's flagship idiom end to end: " +
+    "compute_center_of_mass(load(test.xtc, top=test.pdb)) — frame-0 " +
+    "COM matches a mass-weighted mean computed from the PDB text") {
+    assume(Files.exists(Paths.get(refXtc)) && Files.exists(Paths.get(refPdb)))
+    val traj = graft.traj.TrajLoad.load(spark, refXtc,
+      options = Map("top" -> refPdb))
+    val topo = graft.traj.TrajLoad.topology(spark, refPdb)
+    val com = graft.traj.TrajQueries.comOfLoaded(traj, topo).collect()
+    assert(com.length == 101, s"expected 101 frames, got ${com.length}")
+    com.foreach(r => assert(r.getAs[Long]("n_atoms") == 2722))
+    // independent frame-0 oracle: coordinates from the PDB TEXT (the
+    // pre-quantization values, Å → nm) weighted by the topology's
+    // masses — the xtc decode path never touches these numbers
+    val masses = topo.select("atom_id", "mass").collect()
+      .map(r => r.getAs[Int]("atom_id") -> r.getAs[Double]("mass")).toMap
+    val src = scala.io.Source.fromFile(refPdb)
+    val coords =
+      try src.getLines().filter(_.startsWith("ATOM")).map { l =>
+        (l.substring(30, 38).trim.toDouble / 10.0,
+          l.substring(38, 46).trim.toDouble / 10.0,
+          l.substring(46, 54).trim.toDouble / 10.0)
+      }.toArray
+      finally src.close()
+    var mx = 0.0; var my = 0.0; var mz = 0.0; var mt = 0.0
+    coords.zipWithIndex.foreach { case ((x, y, z), i) =>
+      val m = masses(i)
+      mx += m * x; my += m * y; mz += m * z; mt += m
+    }
+    val f0 = com.find(_.getAs[Long]("frame_id") == 0L).get
+    assert(math.abs(f0.getAs[Double]("com_x") - mx / mt) < 1e-3,
+      s"com_x ${f0.getAs[Double]("com_x")} vs ${mx / mt}")
+    assert(math.abs(f0.getAs[Double]("com_y") - my / mt) < 1e-3)
+    assert(math.abs(f0.getAs[Double]("com_z") - mz / mt) < 1e-3)
+    assert(math.abs(f0.getAs[Double]("total_mass") - mt) < 1e-6)
+  }
+
   // ---------------------------------------------------------------
   // writer round-trip: every grammar path
   // ---------------------------------------------------------------
