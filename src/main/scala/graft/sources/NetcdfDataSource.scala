@@ -180,14 +180,26 @@ private[sources] object NetcdfFormat {
     val recSize =
       if (recVars.size == 1) recVars.head.slabBytes
       else recVars.map(v => (v.slabBytes + 3) / 4 * 4).sum
-    val numRecs: Long =
-      if (numRecsRaw >= 0) numRecsRaw.toLong
-      else if (recVars.isEmpty || recSize == 0) 0L
+    val numRecs: Long = {
+      val declared =
+        if (numRecsRaw >= 0) numRecsRaw.toLong
+        else if (recVars.isEmpty || recSize == 0) 0L
+        else Long.MaxValue // STREAMING sentinel: length-derived below
+      if (recVars.isEmpty || recSize == 0) math.max(declared, 0L)
       else {
-        // STREAMING sentinel: derive from the file length
+        // clamp to what the file's length actually holds: a torn tail
+        // (interrupted writer, partial copy) then reads as the whole
+        // records present instead of failing mid-slab at runtime —
+        // and the STREAMING sentinel (-1) resolves the same way
         val dataStart = recVars.map(_.begin).min
-        (fileLen - dataStart) / recSize
+        val byLen = math.max(0L, (fileLen - dataStart) / recSize)
+        if (declared != Long.MaxValue && byLen < declared)
+          org.slf4j.LoggerFactory.getLogger("graft.sources.netcdf").warn(
+            s"netcdf $path: header declares $declared records but the " +
+              s"file length holds $byLen — reading $byLen")
+        math.min(declared, byLen)
       }
+    }
     NcHeader(version, numRecs, dims, vars, recSize)
   }
 

@@ -177,6 +177,26 @@ class NetcdfDataSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a torn tail clamps to the whole records present instead of " +
+    "failing mid-slab") {
+    val f = Files.createTempFile("torn", ".nc")
+    NetcdfWrite.write(f.toString, mkFrames(4))
+    val bytes = Files.readAllBytes(f)
+    val cut = Files.createTempFile("tornc", ".nc")
+    // cut into the last record: 3 complete frames remain
+    Files.write(cut, java.util.Arrays.copyOf(bytes, bytes.length - 17))
+    val df = spark.read.format("netcdf").load(cut.toString)
+    assert(df.count() == 9)
+    assert(df.select(countDistinct("frame_id")).collect()(0)
+      .getLong(0) == 3)
+    // the surviving frames decode identically to the intact file
+    val whole = spark.read.format("netcdf").load(f.toString)
+      .filter(col("frame_id") < 3).orderBy("frame_id", "atom_id")
+      .collect()
+    val torn = df.orderBy("frame_id", "atom_id").collect()
+    whole.zip(torn).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("a 0-atom file plans zero rows — no phantom row, no " +
     "divide-by-zero under a pushed limit") {
     val f = Files.createTempFile("zeroatom", ".nc")
