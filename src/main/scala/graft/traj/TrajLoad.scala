@@ -48,6 +48,9 @@ object TrajLoad {
     ".restrt.gz" -> "inpcrd",
     ".restrt" -> "inpcrd",
     ".binpos" -> "binpos",
+    ".hdf5" -> "hdf5",
+    ".h5" -> "hdf5",
+    ".lh5" -> "hdf5",
     ".arc.gz" -> "arc",
     ".arc" -> "arc",
     // Desmond frame-set: a .dtr DIRECTORY, or a .stk text file listing
@@ -60,11 +63,9 @@ object TrajLoad {
     * the unknown-extension error so a user porting a workload learns
     * the status in one message. */
   val KnownUnsupported: Map[String, String] = Map(
-    ".hdf5" -> "needs an HDF5 codec not present in this environment",
-    ".h5" -> "needs an HDF5 codec not present in this environment",
-    ".lh5" -> ("legacy MSMBuilder HDF5 — needs an HDF5 codec not " +
-      "present in this environment"),
-    ".tng" -> "needs the TNG codec not present in this environment")
+    ".tng" -> ("GROMACS TNG container — a general block tree with " +
+      "per-block codecs (TNG-MF1 compression, digests, signatures); " +
+      "no clean-room subset small enough to be trustworthy here yet"))
 
   private def extensionOf(name: String): Option[(String, String)] = {
     val lower = name.toLowerCase

@@ -694,6 +694,50 @@ object TrajQueries {
        |FROM read_parquet('$NcFixtureDir/twin.parquet')
        |ORDER BY frame_id, atom_id""".stripMargin
 
+  /** The round-12 HDF5 source under the oracle gate: scan the
+    * committed `fixtures/traj_h5/traj.h5` (mdtraj convention,
+    * superblock v0 / chunked+gzip coordinates, written by
+    * [[graft.sources.Hdf5Write]]) through the full DSv2 read path;
+    * the DuckDB oracle reads `twin.parquet`, computed by
+    * `graft.tools.H5Fixture` from the same closed-form source
+    * independently of the reader. Deflate is lossless over float32
+    * stored verbatim, so the contract is exact equality — any chunk
+    * mis-addressing, wrong inflate, or row-order slip hash-fails. */
+  def trajH5Scan(s: SparkSession, d: String): DataFrame = {
+    s.read.format("hdf5").option("chunks", 2)
+      .load(s"$H5FixtureDir/traj.h5")
+      .select("frame_id", "time", "atom_id", "x", "y", "z",
+        "box_a", "box_b", "box_c", "box_alpha", "box_beta", "box_gamma")
+      .orderBy("frame_id", "atom_id")
+  }
+
+  private val H5FixtureDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures") +
+      "/traj_h5"
+
+  private def trajH5ScanSql =
+    s"""SELECT frame_id, time, atom_id, x, y, z, box_a, box_b, box_c,
+       |  box_alpha, box_beta, box_gamma
+       |FROM read_parquet('$H5FixtureDir/twin.parquet')
+       |ORDER BY frame_id, atom_id""".stripMargin
+
+  /** The legacy MSMBuilder `.lh5` profile under the same gate: int16
+    * fixed-point XYZList. The twin carries round(nm×1000)/1000 —
+    * the format's own lossy quantization contract, computed in
+    * closed form independent of encoder AND decoder (the XTC fixture
+    * discipline). */
+  def trajLh5Scan(s: SparkSession, d: String): DataFrame = {
+    s.read.format("hdf5").option("chunks", 2)
+      .load(s"$H5FixtureDir/traj.lh5")
+      .select("frame_id", "atom_id", "x", "y", "z")
+      .orderBy("frame_id", "atom_id")
+  }
+
+  private def trajLh5ScanSql =
+    s"""SELECT frame_id, atom_id, x, y, z
+       |FROM read_parquet('$H5FixtureDir/twin_lh5.parquet')
+       |ORDER BY frame_id, atom_id""".stripMargin
+
   private def trajComLoadedSql = {
     def com(c: String) =
       s"""round(CAST(sum(CAST($c AS DECIMAL(18,6)) * mass) AS DOUBLE)
@@ -1115,6 +1159,8 @@ object TrajQueries {
     QueryDef("q_traj_com_loaded", trajComLoaded, Some(trajComLoadedSql)),
     QueryDef("q_traj_xtc_scan", trajXtcScan, Some(trajXtcScanSql)),
     QueryDef("q_traj_nc_scan", trajNcScan, Some(trajNcScanSql)),
+    QueryDef("q_traj_h5_scan", trajH5Scan, Some(trajH5ScanSql)),
+    QueryDef("q_traj_lh5_scan", trajLh5Scan, Some(trajLh5ScanSql)),
     QueryDef("q_traj_com_wide", trajComWide, Some(trajComSql)),
     QueryDef("q_traj_com_residue", trajComResidue, Some(trajComResidueSql)),
     QueryDef("q_traj_com_chain", trajComChain, Some(trajComChainSql)),

@@ -86,7 +86,7 @@ class DtrDataSourceSpec extends AnyFunSuite {
     assert(df.limit(3).rdd.getNumPartitions == 1)
   }
 
-  test("TrajLoad dispatches .dtr directories and .stk lists; lh5 " +
+  test("TrajLoad dispatches .dtr directories and .stk lists; tng " +
     "gives the explanatory unsupported error") {
     val root = Files.createTempDirectory("dtrdisp")
     val set = root.resolve("t.dtr")
@@ -95,9 +95,9 @@ class DtrDataSourceSpec extends AnyFunSuite {
     val df = graft.traj.TrajLoad.load(spark, set.toString)
     assert(df.count() == 6)
     val e = intercept[IllegalArgumentException] {
-      graft.traj.TrajLoad.formatFor("/tmp/x.lh5")
+      graft.traj.TrajLoad.formatFor("/tmp/x.tng")
     }
-    assert(e.getMessage.contains("HDF5"))
+    assert(e.getMessage.contains("TNG"))
     // .ncrst is implemented as of round 11 (netcdf-classic source)
     assert(graft.traj.TrajLoad.formatFor("/tmp/x.ncrst") == "netcdf")
   }

@@ -60,8 +60,12 @@ class TrajLoadSpec extends AnyFunSuite {
     assert(TrajLoad.formatFor("/tmp/a.stk") == "dtr")
     // .xtc is implemented as of round 11 (clean-room codec)
     assert(TrajLoad.formatFor("/tmp/a.xtc") == "xtc")
+    // .h5/.hdf5/.lh5 are implemented as of round 12 (clean-room
+    // container parser); only .tng remains adjudicated-out
+    assert(TrajLoad.formatFor("/tmp/a.h5") == "hdf5")
+    assert(TrajLoad.formatFor("/tmp/a.lh5") == "hdf5")
     val e3 = intercept[IllegalArgumentException](
-      TrajLoad.formatFor("/tmp/a.h5"))
-    assert(e3.getMessage.contains("HDF5"))
+      TrajLoad.formatFor("/tmp/a.tng"))
+    assert(e3.getMessage.contains("TNG"))
   }
 }
