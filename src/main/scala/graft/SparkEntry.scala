@@ -23,6 +23,9 @@ object SparkEntry {
       QueryDef("q_multimodal_image",
         multimodal.MultimodalPipeline.multimodalImage,
         Some(multimodal.MultimodalPipeline.multimodalImageSql)) :+
+      QueryDef("q_multimodal_video",
+        multimodal.MultimodalPipeline.multimodalVideo,
+        Some(multimodal.MultimodalPipeline.multimodalVideoSql)) :+
       QueryDef("q_multimodal_audio",
         multimodal.MultimodalPipeline.multimodalAudio,
         Some(multimodal.MultimodalPipeline.multimodalAudioSql))

@@ -24,21 +24,20 @@ import org.apache.spark.sql.functions._
   * the JDK, so audio assets carry genuine WAV/PCM16 payloads
   * ([[audioPayload]]) and [[audioFeatures]] decodes them
   * partition-wise with integer-exact sample stats, hash-checked by the
-  * registered `q_multimodal_audio`. Only VIDEO stays on `decodeStub` —
-  * the JDK genuinely has no video codec — so the contract deliverable
-  * for that type is the Spark-side plumbing: binary column + typed
-  * metadata schema, a `Dataset[Asset] → Dataset[Features]`
-  * mapPartitions transform (the Scala analog of a batched
-  * `mapInPandas` decode: one decoder init per partition, streamed
-  * rows, no driver materialization), and a downstream aggregation that
-  * stays fully relational.
+  * registered `q_multimodal_audio`.
   *
-  * Oracle checkability of the stub path: alongside the float feature
-  * vector, the transform emits integer-exact decode stats (byte_len,
-  * big-endian 4-byte header, first-quarter byte sum and count). Those
-  * are plain arithmetic over the payload bytes, which DuckDB reproduces
-  * on the text source (corpus is ASCII, so character ops = byte ops),
-  * making the registered `q_multimodal_features` (video) hash-checkable.
+  * The VIDEO path decodes for real as of round 12: video assets carry
+  * genuine AVI containers ([[aviPayload]] — a spec-conformant RIFF
+  * tree whose `00dc` chunks are per-frame images) and
+  * [[videoFrameStats]]/[[decodeAviFrames]] walk the container and
+  * decode every frame with `ImageIO`. The oracle-gated queries ride
+  * the lossless `MPNG` frame codec (exact pixel arithmetic for
+  * DuckDB); the same decoder's Motion-JPEG path (`MJPG` fourcc, plain
+  * JPEG frame chunks) is spec-checked structurally and against
+  * channel-mean tolerances, because a lossy codec's exact pixel
+  * output is decoder-implementation-defined and thus cannot sit under
+  * an arithmetic hash gate. All three media types now decode for
+  * real; no decode stub remains.
   *
   * At 100 TB: payloads live in the fact table, features are a narrow
   * projection of it; the only shuffle is the final keyed aggregate.
@@ -53,22 +52,130 @@ object MultimodalPipeline {
       byte_len: Long, header: Long, f0_sum: Long, f0_len: Long,
       feature: Array[Float])
 
-  /** STUB — stands in for a real VIDEO decoder only (video codecs are
-    * genuinely unavailable here; images decode for real via
-    * `javax.imageio` — [[imageFeatures]] — and audio via the JDK's
-    * `javax.sound.sampled` — [[audioFeatures]]). Deterministic fake: 4
-    * "channel features" = mean byte value of each quarter of the
-    * payload. Replace the body with a codec call (e.g. javacv) in a
-    * real deployment; the signature and batch shape are what
-    * production code keeps. */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    if (payload.isEmpty) return Array(0f, 0f, 0f, 0f)
-    val q = math.max(payload.length / 4, 1)
-    (0 until 4).map { i =>
-      val slice = payload.slice(i * q, math.min((i + 1) * q, payload.length))
-      if (slice.isEmpty) 0f
-      else slice.map(b => (b & 0xff).toFloat).sum / slice.length
-    }.toArray
+  /** Deterministic synthetic AVI for `doc_id`: a real RIFF/AVI
+    * container (`hdrl` with avih + one `vids` stream, then a `movi`
+    * list of `00dc` frame chunks) holding `n = 2 + id%3` frames of
+    * `w × h` (w = 8 + id%5, h = 8 + id%4) whose pixel (x, y) in frame
+    * f has channels `r = (id·7 + f·19 + 3x + 5y) mod 256`,
+    * `g = (id·11 + f·23 + x + 2y) mod 256`,
+    * `b = (id·13 + f·29 + 2x + y) mod 256`.
+    *
+    * Frame codec: PNG by default (fourcc `MPNG` — lossless, so the
+    * decode is arithmetic-exact and DuckDB can oracle-check the pixel
+    * stats), or real Motion-JPEG (`mjpeg = true`, fourcc `MJPG`,
+    * plain JPEG bytes per `00dc` chunk — the classic MJPEG-in-AVI
+    * shape) for the spec's codec-path coverage. JPEG pixel output is
+    * decoder-implementation-defined (IDCT choice), so an EXACT
+    * arithmetic oracle over MJPEG pixels is impossible in principle —
+    * which is why the oracle-gated queries ride the lossless
+    * variant and the MJPEG path is spec-checked structurally +
+    * within a pixel tolerance. */
+  def aviPayload(docId: Long, mjpeg: Boolean = false): Array[Byte] = {
+    val n = 2 + (docId % 3).toInt
+    val w = 8 + (docId % 5).toInt
+    val h = 8 + (docId % 4).toInt
+    val fmt = if (mjpeg) "jpg" else "png"
+    val frames = (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((docId * 7 + f * 19 + x * 3 + y * 5) % 256).toInt
+          val g = ((docId * 11 + f * 23 + x + y * 2) % 256).toInt
+          val b = ((docId * 13 + f * 29 + x * 2 + y) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    buildAvi(w, h, if (mjpeg) "MJPG" else "MPNG", frames)
+  }
+
+  /** Minimal spec-conformant AVI assembly: RIFF('AVI ') → LIST(hdrl:
+    * avih + LIST(strl: strh('vids') + strf(BITMAPINFOHEADER))) →
+    * LIST(movi: one even-padded `00dc` chunk per frame). All sizes
+    * little-endian; no idx1 (optional for sequential readers). */
+  private[multimodal] def buildAvi(w: Int, h: Int, fourcc: String,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte)
+                else Array.emptyByteArray
+      id.getBytes("ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", tpe.getBytes("ASCII") ++ body)
+    val maxFrame = frames.map(_.length).max
+    val avih = le32(40000) ++ le32(maxFrame * 25) ++ le32(0) ++
+      le32(0x10) ++ le32(frames.length) ++ le32(0) ++ le32(1) ++
+      le32(maxFrame) ++ le32(w) ++ le32(h) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = "vids".getBytes("ASCII") ++ fourcc.getBytes("ASCII") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(25) ++
+      le32(0) ++ le32(frames.length) ++ le32(maxFrame) ++
+      le32(-1) ++ le32(0) ++ le32(0) ++ le32((h << 16) | w)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++
+      Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++
+      fourcc.getBytes("ASCII") ++ le32(w * h * 3) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** REAL partition-wise video decode: walk the RIFF chunk tree to
+    * the `movi` list and `ImageIO.read` every `00dc`/`00db` frame
+    * chunk — PNG and JPEG (MJPEG) frames both decode through the
+    * JDK's own codecs, no external library. Fails loudly on non-AVI
+    * payloads and undecodable frames. */
+  def decodeAviFrames(docId: Long, payload: Array[Byte])
+      : Seq[java.awt.image.BufferedImage] = {
+    def u32(at: Int): Int =
+      (payload(at) & 0xff) | ((payload(at + 1) & 0xff) << 8) |
+        ((payload(at + 2) & 0xff) << 16) |
+        ((payload(at + 3) & 0xff) << 24)
+    def fourcc(at: Int): String =
+      new String(payload, at, 4, "ASCII")
+    require(payload.length >= 12 && fourcc(0) == "RIFF" &&
+      fourcc(8) == "AVI ",
+      s"doc $docId: payload is not a RIFF/AVI container")
+    val out = Seq.newBuilder[java.awt.image.BufferedImage]
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val id = fourcc(p)
+        val size = u32(p + 4)
+        val body = p + 8
+        require(size >= 0 && body + size <= to,
+          s"doc $docId: chunk '$id' of $size bytes overruns the " +
+            "container")
+        if (id == "LIST") {
+          val tpe = fourcc(body)
+          walk(body + 4, body + size, inMovi || tpe == "movi")
+        } else if (inMovi && size > 0 &&
+            (id.endsWith("dc") || id.endsWith("db"))) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, body, size))
+          require(img != null,
+            s"doc $docId: frame chunk '$id' is not a decodable image")
+          out += img
+        }
+        p = body + size + (size % 2) // chunks are even-aligned
+      }
+    }
+    walk(12, payload.length, inMovi = false)
+    out.result()
   }
 
   /** Deterministic synthetic PNG for `doc_id`: a `width × height`
@@ -205,14 +312,15 @@ object MultimodalPipeline {
 
   /** Assets view: image-typed docs carry a real PNG payload
     * ([[imagePayload]]), audio-typed docs a real WAV
-    * ([[audioPayload]]); video docs carry the documents' text bytes as
-    * opaque stand-in payloads. media_type derived deterministically
-    * from doc_id. `only` restricts to one media type WITH the filter
-    * applied BEFORE the payload-generating map — the typed `.map` is
-    * opaque to Catalyst, so a downstream `.where(media_type)` cannot
-    * push past it and would pay PNG/WAV encoding for rows it then
-    * discards (measured at 10×: the video-only aggregate spent 80 %
-    * of its time encoding other types' payloads). */
+    * ([[audioPayload]]), video-typed docs a real AVI container
+    * ([[aviPayload]], lossless-frame variant). media_type derived
+    * deterministically from doc_id. `only` restricts to one media
+    * type WITH the filter applied BEFORE the payload-generating map —
+    * the typed `.map` is opaque to Catalyst, so a downstream
+    * `.where(media_type)` cannot push past it and would pay
+    * PNG/WAV/AVI encoding for rows it then discards (measured at 10×:
+    * the video-only aggregate spent 80 % of its time encoding other
+    * types' payloads). */
   def assets(s: SparkSession, d: String,
       only: Option[String] = None): Dataset[Asset] = {
     import s.implicits._
@@ -229,7 +337,7 @@ object MultimodalPipeline {
         it.map(a => a.media_type match {
           case "image" => a.copy(payload = imagePayload(a.doc_id))
           case "audio" => a.copy(payload = audioPayload(a.doc_id, w))
-          case _ => a
+          case _ => a.copy(payload = aviPayload(a.doc_id))
         })
       }
   }
@@ -304,6 +412,34 @@ object MultimodalPipeline {
     (fmt.getSampleRate.toLong, n, sum, mn, mx)
   }
 
+  /** Shared video decode kernel: container walk + per-frame pixel
+    * stats aggregated over all frames. Returns (n_frames, sum_width,
+    * sum_height, r_sum, g_sum, b_sum, n_pixels). */
+  private[multimodal] def videoPixelStats(docId: Long,
+      payload: Array[Byte])
+      : (Int, Long, Long, Long, Long, Long, Long) = {
+    val frames = decodeAviFrames(docId, payload)
+    var sw = 0L; var sh = 0L
+    var rs = 0L; var gs = 0L; var bs = 0L; var px = 0L
+    frames.foreach { img =>
+      val w = img.getWidth; val h = img.getHeight
+      sw += w; sh += h; px += w.toLong * h
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          rs += (rgb >> 16) & 0xff
+          gs += (rgb >> 8) & 0xff
+          bs += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (frames.length, sw, sh, rs, gs, bs, px)
+  }
+
   /** REAL partition-wise image decode via the JDK's `javax.imageio` —
     * no external codec needed for PNG/BMP/GIF. One decoder-context
     * setup per partition (`setUseCache(false)`: in-memory decode, no
@@ -353,9 +489,10 @@ object MultimodalPipeline {
     * streamed through it — the batched-UDF execution shape. Image rows
     * get the real `ImageIO` decode for their float feature (mean
     * channel values + pixel count), audio rows the real `javax.sound`
-    * decode (mean amplitude, count, rate, peak); video goes through
-    * the documented stub. The integer byte stats are payload
-    * arithmetic in all cases. */
+    * decode (mean amplitude, count, rate, peak), video rows the real
+    * RIFF/AVI frame decode (frame count + mean channel values over
+    * all frames). The integer byte stats are payload arithmetic in
+    * all cases. */
   def features(ds: Dataset[Asset]): Dataset[Features] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
@@ -374,7 +511,12 @@ object MultimodalPipeline {
               audioSampleStats(audioOpener, a.doc_id, a.payload)
             Array(if (n == 0) 0f else sum.toFloat / n, n.toFloat,
               rate.toFloat, math.max(math.abs(mn), math.abs(mx)).toFloat)
-          } else decodeStub(a.payload)
+          } else {
+            val (nf, _, _, rs, gs, bs, px0) =
+              videoPixelStats(a.doc_id, a.payload)
+            val px = math.max(px0, 1L).toFloat
+            Array(nf.toFloat, rs / px, gs / px, bs / px)
+          }
         val header = if (a.payload.length >= 4)
           ((a.payload(0) & 0xffL) << 24) | ((a.payload(1) & 0xffL) << 16) |
             ((a.payload(2) & 0xffL) << 8) | (a.payload(3) & 0xffL)
@@ -431,54 +573,125 @@ object MultimodalPipeline {
     }
   }
 
-  /** Registered query (stub path): decode → per-media-type aggregate
-    * over the integer-exact decode stats for the VIDEO assets (DuckDB
-    * reproduces them from the text bytes — see the oracle below).
-    * Image and audio assets carry real PNG/WAV payloads whose byte
-    * stats DuckDB cannot re-derive; they are covered by the stronger
-    * [[multimodalImage]] / [[multimodalAudio]] decode-level oracles
-    * instead. The float feature vector is spec-tested
-    * (MultimodalSpec), not oracle-hashed. */
+  /** Per-video decode product: per-frame integer-exact pixel stats —
+    * the multimodal contract's frame-sample + feature-extract shape,
+    * one row per decoded frame. */
+  final case class VideoFrameStats(doc_id: Long, frame_ix: Int,
+      width: Long, height: Long, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL partition-wise video decode: RIFF walk + per-frame
+    * `ImageIO` decode, one row per frame. Fan-out is bounded by the
+    * container's own frame count — no driver materialization. */
+  def videoFrameStats(ds: Dataset[Asset]): Dataset[VideoFrameStats] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { a =>
+      javax.imageio.ImageIO.setUseCache(false)
+      decodeAviFrames(a.doc_id, a.payload).zipWithIndex.map {
+        case (img, ix) =>
+          val w = img.getWidth; val h = img.getHeight
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              rs += (rgb >> 16) & 0xff
+              gs += (rgb >> 8) & 0xff
+              bs += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          VideoFrameStats(a.doc_id, ix, w.toLong, h.toLong, rs, gs, bs)
+      }
+    }
+  }
+
+  /** Video-typed assets only (real AVI payloads, one per video doc). */
+  def videoAssets(s: SparkSession, d: String): Dataset[Asset] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id")).where(col("doc_id") % 3 === 2)
+      .as[Long]
+      .map(id => Asset(id, "video", aviPayload(id)))
+  }
+
+  /** Registered query (real-decode path, video — container level):
+    * generate AVI payloads, decode every frame, aggregate to one row
+    * per media type. The DuckDB oracle recomputes every pixel from
+    * the frame formula ([[aviPayload]]) without ever seeing an AVI —
+    * a green row proves the container walk + per-frame decode
+    * end to end. The MJPEG variant of the same decoder is spec-checked
+    * (exact pixel output of a lossy codec is decoder-defined, so it
+    * cannot sit under an arithmetic hash gate). */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame =
-    features(assets(s, d, only = Some("video"))).toDF()
-      .groupBy("media_type")
-      .agg(count(lit(1)).as("n_assets"),
-        sum("byte_len").as("total_bytes"),
-        sum("header").as("sum_header"),
-        graft.util.Det.ratio6(sum("f0_sum"), sum("f0_len")).as("avg_f0"))
+    videoFrameStats(videoAssets(s, d)).toDF()
+      .groupBy(lit("video").as("media_type"))
+      .agg(countDistinct(col("doc_id")).as("n_assets"),
+        count(lit(1)).as("n_frames"),
+        sum("width").as("sum_w"), sum("height").as("sum_h"),
+        sum("r_sum").as("r_sum"), sum("g_sum").as("g_sum"),
+        sum("b_sum").as("b_sum"))
       .orderBy("media_type")
 
-  /** DuckDB twin: byte_len/header/first-quarter mean re-derived from the
-    * text characters (ASCII corpus ⇒ ord(char) = payload byte). */
+  /** DuckDB twin: frame grid + channel arithmetic re-derived from
+    * (doc_id, frame, x, y); static 5×12×11 grid = the max
+    * frames×w×h, filtered per doc to its true extent. */
   val multimodalFeaturesSql: String =
-    """WITH a AS (
-      |  SELECT doc_id, 'video' AS media_type,
-      |    text, length(text) AS bl,
-      |    greatest(length(text) // 4, 1) AS q
+    """WITH vid AS (
+      |  SELECT doc_id, 2 + doc_id % 3 AS n,
+      |    8 + doc_id % 5 AS w, 8 + doc_id % 4 AS h
       |  FROM documents WHERE doc_id % 3 = 2),
-      |hdr AS (
-      |  SELECT doc_id, media_type, bl, q, text,
-      |    CASE WHEN bl >= 4 THEN
-      |      ord(substr(text, 1, 1)) * 16777216 + ord(substr(text, 2, 1)) * 65536
-      |      + ord(substr(text, 3, 1)) * 256 + ord(substr(text, 4, 1))
-      |    ELSE 0 END AS header
-      |  FROM a),
-      |pos AS (
-      |  SELECT doc_id, unnest(range(1, least(q, bl) + 1)) AS i, text
-      |  FROM hdr),
-      |f0 AS (
-      |  SELECT doc_id, sum(ord(substr(text, CAST(i AS INT), 1))) AS f0_sum,
-      |    count(*) AS f0_len
-      |  FROM pos GROUP BY doc_id)
-      |SELECT media_type, CAST(count(*) AS BIGINT) AS n_assets,
-      |  CAST(sum(bl) AS BIGINT) AS total_bytes,
-      |  CAST(sum(header) AS BIGINT) AS sum_header,
-      |  """.stripMargin +
-      graft.util.Det.ratio6Sql("sum(coalesce(f0_sum, 0))",
-        "sum(coalesce(f0_len, 0))") +
-      """ AS avg_f0
-      |FROM hdr LEFT JOIN f0 USING (doc_id)
-      |GROUP BY media_type ORDER BY media_type""".stripMargin
+      |fs AS (SELECT unnest(range(0, 5)) AS f),
+      |xs AS (SELECT unnest(range(0, 13)) AS x),
+      |ys AS (SELECT unnest(range(0, 12)) AS y),
+      |frame AS (
+      |  SELECT doc_id, f, w, h,
+      |    sum((doc_id * 7 + f * 19 + x * 3 + y * 5) % 256) AS r_sum,
+      |    sum((doc_id * 11 + f * 23 + x + y * 2) % 256) AS g_sum,
+      |    sum((doc_id * 13 + f * 29 + x * 2 + y) % 256) AS b_sum
+      |  FROM vid, fs, xs, ys WHERE f < n AND x < w AND y < h
+      |  GROUP BY doc_id, f, w, h)
+      |SELECT 'video' AS media_type,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_assets,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(sum(w) AS BIGINT) AS sum_w,
+      |  CAST(sum(h) AS BIGINT) AS sum_h,
+      |  CAST(sum(r_sum) AS BIGINT) AS r_sum,
+      |  CAST(sum(g_sum) AS BIGINT) AS g_sum,
+      |  CAST(sum(b_sum) AS BIGINT) AS b_sum
+      |FROM frame ORDER BY media_type""".stripMargin
+
+  /** Registered query (real-decode path, video — frame level): one
+    * row per decoded frame with integer-exact pixel stats, the video
+    * analog of [[multimodalImage]]. */
+  def multimodalVideo(s: SparkSession, d: String): DataFrame =
+    videoFrameStats(videoAssets(s, d)).toDF()
+      .select("doc_id", "frame_ix", "width", "height",
+        "r_sum", "g_sum", "b_sum")
+      .orderBy("doc_id", "frame_ix")
+
+  /** DuckDB twin of [[multimodalVideo]]: per-frame channel sums
+    * re-derived arithmetically from (doc_id, frame, x, y). */
+  val multimodalVideoSql: String =
+    """WITH vid AS (
+      |  SELECT doc_id, 2 + doc_id % 3 AS n,
+      |    8 + doc_id % 5 AS w, 8 + doc_id % 4 AS h
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |fs AS (SELECT unnest(range(0, 5)) AS f),
+      |xs AS (SELECT unnest(range(0, 13)) AS x),
+      |ys AS (SELECT unnest(range(0, 12)) AS y)
+      |SELECT doc_id, CAST(f AS INT) AS frame_ix,
+      |  CAST(max(w) AS BIGINT) AS width,
+      |  CAST(max(h) AS BIGINT) AS height,
+      |  CAST(sum((doc_id * 7 + f * 19 + x * 3 + y * 5) % 256)
+      |    AS BIGINT) AS r_sum,
+      |  CAST(sum((doc_id * 11 + f * 23 + x + y * 2) % 256)
+      |    AS BIGINT) AS g_sum,
+      |  CAST(sum((doc_id * 13 + f * 29 + x * 2 + y) % 256)
+      |    AS BIGINT) AS b_sum
+      |FROM vid, fs, xs, ys WHERE f < n AND x < w AND y < h
+      |GROUP BY doc_id, f ORDER BY doc_id, frame_ix""".stripMargin
 
   /** Image-typed assets only (real PNG payloads, one per image doc). */
   def imageAssets(s: SparkSession, d: String): Dataset[Asset] = {

@@ -225,12 +225,30 @@ object SimQueries {
   private[graft] def simNeardupLshCapped(s: SparkSession, d: String,
       bits: Int, bucketCap: Int): DataFrame = {
     val (vecs, codePairs) = lshCandidateCodes(s, d, bits)
-    val w = Window.partitionBy(col("bkt"))
-    val members = vecs
-      .withColumn("nseg",
-        greatest(lit(1L), ceil(count(lit(1)).over(w) / lit(bucketCap)))
-          .cast("int"))
-      .withColumn("seg", pmod(hash(col("vec_id")), col("nseg")))
+    // ADAPTIVE (r12, same probe as TextQueries.closePairsFromBanded):
+    // max code population via a map-side-combined count — `vecs` is
+    // checkpointed, so the probe re-reads cached rows and shuffles one
+    // partial count per live code per partition. Sub-cap corpora skip
+    // the per-partition window sort entirely (seg ≡ 0 keeps the cell
+    // geometry downstream unchanged). Memoized per (session, dataset,
+    // bits) via `shared` — both branches are output-identical
+    // (SimhashSkewSpec cosine test pins it), so the memo can only
+    // affect plan choice, never results.
+    val maxBucket = shared(s, d, s"lsh-maxbucket-$bits") {
+      val r = vecs.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).first()
+      java.lang.Long.valueOf(if (r.isNullAt(0)) 0L else r.getLong(0))
+    }.longValue()
+    val members = (if (maxBucket <= bucketCap) {
+      vecs.withColumn("seg", lit(0))
+    } else {
+      val w = Window.partitionBy(col("bkt"))
+      vecs
+        .withColumn("nseg",
+          greatest(lit(1L), ceil(count(lit(1)).over(w) / lit(bucketCap)))
+            .cast("int"))
+        .withColumn("seg", pmod(hash(col("vec_id")), col("nseg")))
+    })
       .groupBy(col("bkt"), col("seg"))
       .agg(collect_list(
         struct(col("vec_id"), col("emb"), col("nrm"))).as("m"))

@@ -6,13 +6,71 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
-  test("decode stub is deterministic and shape-stable") {
-    val f = MultimodalPipeline.decodeStub("abcdefgh".getBytes("UTF-8"))
-    assert(f.length == 4)
-    assert(f.toSeq == MultimodalPipeline
-      .decodeStub("abcdefgh".getBytes("UTF-8")).toSeq)
-    assert(MultimodalPipeline.decodeStub(Array.emptyByteArray).toSeq ==
-      Seq(0f, 0f, 0f, 0f))
+  test("AVI payload round-trips: RIFF walk + lossless frame decode " +
+    "equals the frame formula pixel-exactly") {
+    for (id <- Seq(2L, 5L, 98L, 54323L)) {
+      val frames = MultimodalPipeline.decodeAviFrames(id,
+        MultimodalPipeline.aviPayload(id))
+      val n = 2 + (id % 3).toInt
+      val w = 8 + (id % 5).toInt
+      val h = 8 + (id % 4).toInt
+      assert(frames.length == n, s"doc $id frame count")
+      frames.zipWithIndex.foreach { case (img, f) =>
+        assert(img.getWidth == w && img.getHeight == h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = img.getRGB(x, y) & 0xffffff
+          val want =
+            ((((id * 7 + f * 19 + x * 3 + y * 5) % 256).toInt << 16) |
+              (((id * 11 + f * 23 + x + y * 2) % 256).toInt << 8) |
+              ((id * 13 + f * 29 + x * 2 + y) % 256).toInt)
+          assert(rgb == want, s"doc $id frame $f pixel ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("real MJPEG-in-AVI decode: container structure exact, channel " +
+    "means within lossy-codec tolerance") {
+    for (id <- Seq(2L, 11L, 305L)) {
+      val frames = MultimodalPipeline.decodeAviFrames(id,
+        MultimodalPipeline.aviPayload(id, mjpeg = true))
+      val n = 2 + (id % 3).toInt
+      val w = 8 + (id % 5).toInt
+      val h = 8 + (id % 4).toInt
+      assert(frames.length == n, s"doc $id frame count")
+      frames.zipWithIndex.foreach { case (img, f) =>
+        assert(img.getWidth == w && img.getHeight == h)
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var wr = 0L; var wg = 0L; var wb = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = img.getRGB(x, y)
+          rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff
+          bs += rgb & 0xff
+          wr += (id * 7 + f * 19 + x * 3 + y * 5) % 256
+          wg += (id * 11 + f * 23 + x + y * 2) % 256
+          wb += (id * 13 + f * 29 + x * 2 + y) % 256
+        }
+        val px = (w * h).toDouble
+        // JPEG is lossy but approximately DC-preserving: the per-frame
+        // channel means must land near the formula's
+        assert(math.abs(rs / px - wr / px) < 16, s"doc $id frame $f r")
+        assert(math.abs(gs / px - wg / px) < 16, s"doc $id frame $f g")
+        assert(math.abs(bs / px - wb / px) < 16, s"doc $id frame $f b")
+      }
+    }
+  }
+
+  test("decodeAviFrames rejects non-AVI payloads and truncated " +
+    "containers loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      MultimodalPipeline.decodeAviFrames(1L, "not an avi at all".getBytes)
+    }
+    assert(e1.getMessage.contains("RIFF"))
+    val good = MultimodalPipeline.aviPayload(2L)
+    val torn = java.util.Arrays.copyOf(good, good.length - 7)
+    intercept[IllegalArgumentException] {
+      MultimodalPipeline.decodeAviFrames(2L, torn)
+    }
   }
 
   test("frame sampling and resize keep the partition-wise batch shape") {
@@ -44,10 +102,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.header > 0)
     val agg = MultimodalPipeline.multimodalFeatures(spark, SparkTestBase.sf)
       .collect()
-    // image/audio rows graduated to the real-decode q_multimodal_image
-    // / q_multimodal_audio queries; the stub aggregate covers the one
-    // genuinely codec-less type
+    // image/audio rows live under the per-doc real-decode
+    // q_multimodal_image / q_multimodal_audio queries; this aggregate
+    // is the video container-level rollup (also real decode, r12)
     assert(agg.map(_.getAs[String]("media_type")).toSet == Set("video"))
+    assert(agg.head.getAs[Long]("n_frames") >=
+      2 * agg.head.getAs[Long]("n_assets"))
+  }
+
+  test("registered video query matches the closed-form stats per " +
+    "(doc, frame)") {
+    val got = MultimodalPipeline.multimodalVideo(spark, SparkTestBase.sf)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val f = row.getAs[Int]("frame_ix")
+      val w = 8 + (id % 5).toInt
+      val h = 8 + (id % 4).toInt
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        rs += (id * 7 + f * 19 + x * 3 + y * 5) % 256
+        gs += (id * 11 + f * 23 + x + y * 2) % 256
+        bs += (id * 13 + f * 29 + x * 2 + y) % 256
+      }
+      assert(row.getAs[Long]("width") == w && row.getAs[Long]("height") == h)
+      assert(row.getAs[Long]("r_sum") == rs, s"doc $id frame $f r_sum")
+      assert(row.getAs[Long]("g_sum") == gs, s"doc $id frame $f g_sum")
+      assert(row.getAs[Long]("b_sum") == bs, s"doc $id frame $f b_sum")
+    }
   }
 
   test("real audio decode: hand-computed sample stats on a known WAV") {
