@@ -13,6 +13,89 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected only the sort exchange, got:\n$plan")
   }
 
+  // ---- plan-shape budgets for the five most expensive queries ------
+  // (VERDICT r11 ask #4). Each budget pins the CURRENT exchange/sort/
+  // join counts as a ceiling so a future edit that silently adds a
+  // shuffle fails a test, not a bench review. Counts are over the
+  // executedPlan tree string — the same methodology as the audits in
+  // SCALING.md — and are identical at sf0.001 and sf0.01 (verified
+  // with tools.PlanCount), so the pins are not stats-fragile.
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, SparkTestBase.sf)
+      .queryExecution.executedPlan.toString
+
+  private def counts(name: String): Map[String, Int] = {
+    val p = planOf(name)
+    def c(pat: String) = pat.r.findAllIn(p).length
+    Map("exchanges" -> c("Exchange"), "smj" -> c("SortMergeJoin"),
+      "bhj" -> c("BroadcastHashJoin"), "hashagg" -> c("HashAggregate"),
+      "objagg" -> c("ObjectHashAggregate"), "generate" -> c("Generate"),
+      "window" -> c("Window"))
+  }
+
+  test("q_agg_pricing_summary: TPC-H Q1 shape — ONE #groups-sized " +
+    "shuffle plus the presentation sort, partial+final aggregate, " +
+    "no join") {
+    val c = counts("q_agg_pricing_summary")
+    // floor: groupBy(returnflag, linestatus) needs exactly one hash
+    // exchange; orderBy adds one range exchange. Anything above 2
+    // means a lost map-side partial or an accidental join.
+    assert(c("exchanges") <= 2, c.toString)
+    assert(c("hashagg") == 2, c.toString) // partial + final
+    assert(c("smj") + c("bhj") == 0, c.toString)
+  }
+
+  test("q_dedup_ngram: two-stage blocked join stays at 3 exchanges " +
+    "with broadcast prefilters and NO gram explode in the plan") {
+    val c = counts("q_dedup_ngram")
+    // floor: block-key gather + pair gather + presentation sort. The
+    // integer prefilter rides broadcast joins; gram sets live inside
+    // kernels (no Generate), so no token-sized rows ever shuffle.
+    assert(c("exchanges") <= 3, c.toString)
+    assert(c("generate") == 0, c.toString)
+    assert(c("smj") == 0, c.toString)
+  }
+
+  test("q_lang_id_ngram: profile rides a BROADCAST join (never a " +
+    "shuffled one); only the final doc-aligned left join may " +
+    "sort-merge") {
+    val c = counts("q_lang_id_ngram")
+    // floor: gram checkpoint repartition, profile groupBy + rank,
+    // hit groupBy, best rank, final join + presentation sort. The
+    // load-bearing property is the profile join: top-20-per-language
+    // is a tiny dimension and must broadcast — a shuffled gram join
+    // would move every (doc, gram) row a second time.
+    assert(c("exchanges") <= 7, c.toString)
+    assert(c("bhj") >= 1, c.toString)
+    assert(c("smj") <= 1, c.toString)
+  }
+
+  test("q_span_dedup: fingerprint-keyed plan budget — no sort-merge " +
+    "join, no window, bounded exchanges") {
+    val c = counts("q_span_dedup")
+    // floor: gram fingerprint gather, stats groupBy, occurrence
+    // re-join (broadcast), doc-bounded reassembly, presentation sort.
+    assert(c("exchanges") <= 8, c.toString)
+    assert(c("smj") == 0, c.toString)
+    assert(c("window") == 0, c.toString)
+  }
+
+  test("q_dedup_simhash: the r12 adaptive common path — plain gather " +
+    "kernel plan with NO window and no segment-cell join on a " +
+    "sub-cap corpus") {
+    val p = planOf("q_dedup_simhash")
+    def c(pat: String) = pat.r.findAllIn(p).length
+    // floor: banded gather + distinct + presentation sort. The probe
+    // (memoized, not in this plan) chose the unsegmented branch, so
+    // the per-partition window sort of 9·n banded rows must be GONE —
+    // a regression to the always-window r11 plan fails here.
+    assert(c("Exchange") <= 3, p)
+    assert(c("Window") == 0, p)
+    assert(p.contains("simhash_close_pairs"), p)
+    assert(!p.contains("simhash_close_pairs_x"), p)
+  }
+
   /** The frame axis is the one that grows without bound at 100 TB, so
     * no query may FORCE a broadcast of a relation that carries a frame
     * column (the r3 unitcell and r4 pair-role hazards, now a standing
