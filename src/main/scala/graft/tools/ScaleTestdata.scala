@@ -133,18 +133,32 @@ object ScaleTestdata {
           })
       }
       if (t == "embeddings") {
-        // per-copy circular rotation of the vector: the LSH/PQ
-        // projections are index-dependent, so rotation decorrelates
-        // copies — verbatim replication would give every vector 10
-        // exact duplicates and the near-dup candidate sets a fake
-        // quadratic term
-        out = out.withColumn("embedding", expr(
+        // per-copy circular rotation + per-copy SIGN PATTERN. The
+        // rotation decorrelates the index-dependent LSH/PQ projections;
+        // the sign flip (r12) kills the COSINE similarity between
+        // copies as well: a balanced ±1 pattern makes
+        // cos(v, s·v) ≈ 0, while WITHIN one copy all dot products are
+        // exactly preserved (the signs cancel pairwise), so each copy
+        // keeps the source's cluster structure on fresh codes.
+        // Rotation alone was measured (r12 100x probe) leaving rotated
+        // copies of clustered vectors genuinely near-dup — the answer
+        // set grew ~n² across copies, a replica artifact of the same
+        // class the documents translation exists to prevent. Patterns
+        // compose across replica stages as elementwise products of
+        // independent hashes — distinct for distinct copy pairs — so
+        // x10-of-x10 stays artifact-free. Copy 0 is bit-identical to
+        // the source.
+        val rotated =
           "concat(" +
             "slice(embedding, (CAST(__copy AS INT) * 7) " +
             "% size(embedding) + 1, size(embedding) - " +
             "(CAST(__copy AS INT) * 7) % size(embedding)), " +
             "slice(embedding, 1, (CAST(__copy AS INT) * 7) " +
-            "% size(embedding)))"))
+            "% size(embedding)))"
+        out = out.withColumn("embedding", expr(
+          s"CASE WHEN __copy = 0 THEN embedding ELSE " +
+            s"transform($rotated, (x, i) -> x * CAST(1 - 2 * " +
+            "abs(hash(CAST(__copy AS INT), i) % 2) AS FLOAT)) END"))
       }
       // write the many-files layout real data has: a single output
       // file serializes downstream scans into one task and fakes a
