@@ -61,11 +61,31 @@ object TrajLoad {
   /** Reference-registry extensions (core/dask_traj.py:26-56) that this
     * library deliberately does not read, with the reason — surfaced in
     * the unknown-extension error so a user porting a workload learns
-    * the status in one message. */
+    * the status in one message.
+    *
+    * TNG adjudication (round 12, the dtr-style decision): the
+    * container grammar itself (64-bit block tree: header block,
+    * molecule block, frame-set blocks, each with id/size/MD5/name)
+    * is public and parseable, but GROMACS writes coordinate payloads
+    * with the bespoke TNG-MF1 compression family (BWLZH — Burrows-
+    * Wheeler + stop-bit + Huffman-style stages, Spångberg et al.
+    * 2011), so a useful reader means a full clean-room codec. Unlike
+    * XTC (validated against the reference's own test.xtc/test.pdb
+    * fixture pair) and HDF5 (golden files hand-laid byte-by-byte,
+    * possible because the container is uncompressed structure plus
+    * standard deflate), this environment has no GROMACS, no reference
+    * .tng fixture, and no independent implementation — a TNG codec
+    * here could only ever be validated against itself, which is below
+    * this repo's fixture evidence bar (self-round-trip is not
+    * evidence). Adjudicated fail-fast until an engine-independent
+    * oracle exists; the registry row stays, with this rationale in
+    * the error a porting user sees. */
   val KnownUnsupported: Map[String, String] = Map(
-    ".tng" -> ("GROMACS TNG container — a general block tree with " +
-      "per-block codecs (TNG-MF1 compression, digests, signatures); " +
-      "no clean-room subset small enough to be trustworthy here yet"))
+    ".tng" -> ("GROMACS TNG container — block tree whose coordinate " +
+      "payloads use the bespoke TNG-MF1 (BWLZH) compression; with no " +
+      "reference fixture or independent oracle available, a " +
+      "clean-room codec could only validate against itself, so this " +
+      "row is adjudicated fail-fast rather than shipped unverified"))
 
   private def extensionOf(name: String): Option[(String, String)] = {
     val lower = name.toLowerCase

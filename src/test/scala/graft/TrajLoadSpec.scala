@@ -64,8 +64,17 @@ class TrajLoadSpec extends AnyFunSuite {
     // container parser); only .tng remains adjudicated-out
     assert(TrajLoad.formatFor("/tmp/a.h5") == "hdf5")
     assert(TrajLoad.formatFor("/tmp/a.lh5") == "hdf5")
+    // .tng is ADJUDICATED fail-fast (r12): the error must carry the
+    // full rationale — what blocks it (the TNG-MF1 codec) and why it
+    // is not shipped (no independent oracle to validate against) —
+    // so a porting user learns the status and the reasoning in one
+    // message, the dtr adjudication contract
     val e3 = intercept[IllegalArgumentException](
       TrajLoad.formatFor("/tmp/a.tng"))
-    assert(e3.getMessage.contains("TNG"))
+    assert(e3.getMessage.contains("TNG-MF1"))
+    assert(e3.getMessage.contains("validate against itself"))
+    assert(TrajLoad.KnownUnsupported.keySet == Set(".tng"),
+      "KnownUnsupported should be down to exactly .tng after the " +
+        "round-12 HDF5 family landed")
   }
 }
