@@ -77,6 +77,15 @@ object Hdf5Write {
     b.u16(0); b.u16(size * 8)
   }
 
+  /** Fixed-length NUL-padded ASCII string datatype body (class 3,
+    * version 1) — the shape pytables gives mdtraj's embedded
+    * `topology` JSON dataset. */
+  private def strType(b: Buf, size: Int): Unit = {
+    b.u8(0x13)
+    b.u8(0); b.u8(0); b.u8(0) // NUL-pad, ASCII
+    b.u32(size)
+  }
+
   /** Simple dataspace v1 body, no max dims. */
   private def dataspace(b: Buf, dims: Seq[Long]): Unit = {
     b.u8(1); b.u8(dims.length); b.u8(0); b.zeros(5)
@@ -166,8 +175,13 @@ object Hdf5Write {
     out
   }
 
+  private sealed trait DsKind
+  private case object KindF32 extends DsKind
+  private case object KindI16 extends DsKind
+  private final case class KindStr(len: Int) extends DsKind
+
   private final case class DatasetSpec(name: String, dims: Seq[Long],
-      isInt16: Boolean, stored: Stored)
+      kind: DsKind, stored: Stored)
 
   /** Writes the complete file: superblock v0 + root group (attrs +
     * symbol table) + per-dataset object headers, heap/btree/SNOD and
@@ -215,7 +229,11 @@ object Hdf5Write {
       val msgs = Vector.newBuilder[RawMsg]
       msgs += RawMsg(0x0001, msgBody(dataspace(_, d.dims)))
       msgs += RawMsg(0x0003, msgBody { t =>
-        if (d.isInt16) intType(t, 2) else floatType(t, 4)
+        d.kind match {
+          case KindF32 => floatType(t, 4)
+          case KindI16 => intType(t, 2)
+          case KindStr(len) => strType(t, len)
+        }
       })
       d.stored match {
         case StoredContiguous(data) =>
@@ -364,9 +382,14 @@ object Hdf5Write {
   }
 
   /** mdtraj-convention `.h5`: coordinates chunked+gzip(+shuffle),
-    * time / cells contiguous. */
+    * time / cells contiguous, plus the convention's embedded
+    * `topology` dataset when `topologyJson` is given — a one-element
+    * fixed-length string array holding mdtraj's topology JSON, the
+    * piece that makes a `.h5` trajectory SELF-describing (no `top=`
+    * needed on load; [[Hdf5Topology]] reads it back). */
   def write(path: String, frames: Seq[Frame], chunkFrames: Int = 8,
-      shuffle: Boolean = false): Unit = {
+      shuffle: Boolean = false,
+      topologyJson: Option[String] = None): Unit = {
     require(frames.nonEmpty, "hdf5 write requires at least one frame")
     val n = frames.head.xyz.length / 3
     require(frames.forall(_.xyz.length == 3 * n),
@@ -382,20 +405,25 @@ object Hdf5Write {
     }
     val coordDims = Seq(fCount.toLong, n.toLong, 3L)
     val specs = Vector.newBuilder[DatasetSpec]
-    specs += DatasetSpec("coordinates", coordDims, isInt16 = false,
+    specs += DatasetSpec("coordinates", coordDims, KindF32,
       chunkStore(coords, coordDims, 4, math.min(chunkFrames, fCount),
         shuffle, toBytesF32))
-    specs += DatasetSpec("time", Seq(fCount.toLong), isInt16 = false,
+    specs += DatasetSpec("time", Seq(fCount.toLong), KindF32,
       StoredContiguous(toBytesF32(frames.map(_.time).toArray)))
     if (withCell) {
       specs += DatasetSpec("cell_lengths", Seq(fCount.toLong, 3L),
-        isInt16 = false,
+        KindF32,
         StoredContiguous(toBytesF32(frames.flatMap(_.cellLengths.get)
           .toArray)))
       specs += DatasetSpec("cell_angles", Seq(fCount.toLong, 3L),
-        isInt16 = false,
+        KindF32,
         StoredContiguous(toBytesF32(frames.flatMap(_.cellAngles.get)
           .toArray)))
+    }
+    topologyJson.foreach { json =>
+      val jb = json.getBytes("UTF-8")
+      specs += DatasetSpec("topology", Seq(1L), KindStr(jb.length),
+        StoredContiguous(jb))
     }
     writeFile(path, specs.result(), Seq(
       "conventions" -> "Pande",
@@ -433,7 +461,7 @@ object Hdf5Write {
     }
     val stored = chunkStore(all, dims, 2,
       math.min(chunkFrames, fCount), shuffle = false, toI16Bytes)
-    writeFile(path, Seq(DatasetSpec("XYZList", dims, isInt16 = true,
+    writeFile(path, Seq(DatasetSpec("XYZList", dims, KindI16,
       stored)), Nil)
   }
 }

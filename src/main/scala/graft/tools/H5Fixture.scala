@@ -44,6 +44,30 @@ object H5Fixture {
     cellAngles = Some(Array(90.0f, 90.0f, 120.0f)),
     time = f * 2.0f)
 
+  /** Element of atom `a` — cycles C, N, O, H so the mass column is a
+    * closed-form function of the atom index. */
+  def element(a: Int): String = Seq("C", "N", "O", "H")(a % 4)
+  def mass(a: Int): Double =
+    Seq(12.011, 14.007, 15.999, 1.008)(a % 4)
+
+  /** mdtraj-convention topology JSON: 2 chains × 2 residues × 40
+    * atoms, elements cycling per [[element]]. */
+  def topologyJson: String = {
+    val chains = (0 until 2).map { c =>
+      val residues = (0 until 2).map { r =>
+        val atoms = (0 until 40).map { k =>
+          val idx = c * 80 + r * 40 + k
+          s"""{"index": $idx, "name": "A$idx", """ +
+            s""""element": "${element(idx)}"}"""
+        }.mkString(", ")
+        s"""{"index": ${c * 2 + r}, "name": "RES", """ +
+          s""""resSeq": ${c * 2 + r + 1}, "atoms": [$atoms]}"""
+      }.mkString(", ")
+      s"""{"index": $c, "residues": [$residues]}"""
+    }.mkString(", ")
+    s"""{"chains": [$chains], "bonds": []}"""
+  }
+
   private def onePart(df: org.apache.spark.sql.DataFrame, dest: Path,
       tag: String): Unit = {
     val tmp = Files.createTempDirectory(tag).toString
@@ -59,7 +83,8 @@ object H5Fixture {
     Files.createDirectories(dir)
     val frames = (0 until Frames).map(frame)
     Hdf5Write.write(dir.resolve("traj.h5").toString, frames,
-      chunkFrames = 2, shuffle = true)
+      chunkFrames = 2, shuffle = true,
+      topologyJson = Some(topologyJson))
     Hdf5Write.writeLh5(dir.resolve("traj.lh5").toString,
       frames.map(_.copy(cellLengths = None, cellAngles = None)),
       chunkFrames = 3)
@@ -80,6 +105,15 @@ object H5Fixture {
       lh5Value(f, a, 2))
     onePart(spark.createDataFrame(lh5Rows).toDF("frame_id", "atom_id",
       "x", "y", "z"), dir.resolve("twin_lh5.parquet"), "lh5twin")
+    // twin for the embedded-topology COM query: per-atom coordinates
+    // with the closed-form IUPAC mass of the atom's cycled element
+    val topRows = for {
+      f <- 0 until Frames
+      a <- 0 until Atoms
+    } yield (f.toLong, a, raw(f, a, 0), raw(f, a, 1), raw(f, a, 2),
+      mass(a))
+    onePart(spark.createDataFrame(topRows).toDF("frame_id", "atom_id",
+      "x", "y", "z", "mass"), dir.resolve("twin_top.parquet"), "toptwin")
   }
 
   def main(args: Array[String]): Unit = {

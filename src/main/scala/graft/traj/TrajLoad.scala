@@ -177,9 +177,13 @@ object TrajLoad {
     val lower = FsIO.fileName(path).toLowerCase
     if (lower.endsWith(".pdb") || lower.endsWith(".pdb.gz"))
       graft.sources.PdbTopology.topology(spark, path)
+    else if (lower.endsWith(".h5") || lower.endsWith(".hdf5"))
+      // mdtraj .h5 is SELF-describing: the topology rides inside the
+      // trajectory as the convention's embedded JSON dataset (r12)
+      graft.sources.Hdf5Topology.topology(spark, path)
     else throw new IllegalArgumentException(
       s"trajectory topology: no parser for '$path' — topologies are " +
-        "PDB files (.pdb/.pdb.gz), the shape the reference's own test " +
-        "suite feeds top= with")
+        "PDB files (.pdb/.pdb.gz) or mdtraj .h5 trajectories with the " +
+        "convention's embedded topology dataset")
   }
 }

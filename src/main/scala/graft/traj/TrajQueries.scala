@@ -738,6 +738,31 @@ object TrajQueries {
        |FROM read_parquet('$H5FixtureDir/twin_lh5.parquet')
        |ORDER BY frame_id, atom_id""".stripMargin
 
+  /** The reference's `compute_center_of_mass(load("traj.h5"))` idiom
+    * with the format's SELF-describing topology: the mdtraj `.h5`
+    * convention embeds the topology JSON inside the trajectory, so no
+    * `top=` is passed — [[graft.sources.Hdf5Topology]] reads the
+    * embedded dataset, masses come from the cycled-element closed
+    * form, and the DuckDB oracle recomputes the mass-weighted mean
+    * from `twin_top.parquet` (coordinates + masses derived from the
+    * same closed forms, independent of both the container parser and
+    * the JSON reader). */
+  def trajH5ComTop(s: SparkSession, d: String): DataFrame = {
+    val f = s"$H5FixtureDir/traj.h5"
+    comOfLoaded(s.read.format("hdf5").load(f), TrajLoad.topology(s, f))
+  }
+
+  private def trajH5ComTopSql = {
+    def com(c: String) =
+      s"""round(CAST(sum(CAST($c AS DECIMAL(18,6)) * mass) AS DOUBLE)
+         |    / CAST(sum(mass) AS DOUBLE), 6) AS com_$c""".stripMargin
+    s"""SELECT frame_id, CAST(count(*) AS BIGINT) AS n_atoms,
+       |  ${com("x")}, ${com("y")}, ${com("z")},
+       |  CAST(sum(mass) AS DOUBLE) AS total_mass
+       |FROM read_parquet('$H5FixtureDir/twin_top.parquet')
+       |GROUP BY frame_id ORDER BY frame_id""".stripMargin
+  }
+
   private def trajComLoadedSql = {
     def com(c: String) =
       s"""round(CAST(sum(CAST($c AS DECIMAL(18,6)) * mass) AS DOUBLE)
@@ -1161,6 +1186,7 @@ object TrajQueries {
     QueryDef("q_traj_nc_scan", trajNcScan, Some(trajNcScanSql)),
     QueryDef("q_traj_h5_scan", trajH5Scan, Some(trajH5ScanSql)),
     QueryDef("q_traj_lh5_scan", trajLh5Scan, Some(trajLh5ScanSql)),
+    QueryDef("q_traj_h5_com_top", trajH5ComTop, Some(trajH5ComTopSql)),
     QueryDef("q_traj_com_wide", trajComWide, Some(trajComSql)),
     QueryDef("q_traj_com_residue", trajComResidue, Some(trajComResidueSql)),
     QueryDef("q_traj_com_chain", trajComChain, Some(trajComChainSql)),

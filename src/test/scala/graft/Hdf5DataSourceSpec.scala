@@ -180,6 +180,47 @@ class Hdf5DataSourceSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("embedded topology round-trips: the mdtraj-convention JSON " +
+    "dataset reads back as the PDB-shaped atom dimension with IUPAC " +
+    "masses; files without one fail with guidance") {
+    val f = Files.createTempFile("seltop", ".h5")
+    val json = """{"chains": [{"index": 0, "residues": [
+      |{"index": 0, "name": "ALA", "resSeq": 1, "atoms": [
+      |{"index": 0, "name": "N", "element": "N"},
+      |{"index": 1, "name": "CA", "element": "C"},
+      |{"index": 2, "name": "O", "element": "O"}]}]},
+      |{"index": 1, "residues": [
+      |{"index": 1, "name": "HOH", "resSeq": 2, "atoms": [
+      |{"index": 3, "name": "H1", "element": "H"}]}]}],
+      |"bonds": [[0, 1]]}""".stripMargin
+    Hdf5Write.write(f.toString, mkFrames(2, atoms = 4),
+      topologyJson = Some(json))
+    val topo = graft.traj.TrajLoad.topology(spark, f.toString)
+      .orderBy("atom_id").collect()
+    assert(topo.length == 4)
+    assert(topo(1).getAs[String]("name") == "CA")
+    assert(topo(1).getAs[String]("res_name") == "ALA")
+    assert(topo(1).getAs[String]("chain") == "A")
+    assert(topo(1).getAs[Double]("mass") == 12.011)
+    assert(topo(3).getAs[String]("chain") == "B")
+    assert(topo(3).getAs[Int]("res_seq") == 2)
+    assert(topo(3).getAs[Double]("mass") == 1.008)
+    // a file without the dataset explains itself
+    val bare = Files.createTempFile("notop", ".h5")
+    Hdf5Write.write(bare.toString, mkFrames(1))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Hdf5Topology.topologyJson(bare.toString)
+    }
+    assert(e.getMessage.contains("topology"))
+    // and COM over the self-described pair is mass-weighted, exact
+    val traj = spark.read.format("hdf5").load(f.toString)
+    val com = graft.traj.TrajQueries.comOfLoaded(traj,
+      graft.traj.TrajLoad.topology(spark, f.toString)).collect()
+    assert(com.length == 2)
+    assert(com(0).getAs[Double]("total_mass") ==
+      14.007 + 12.011 + 15.999 + 1.008)
+  }
+
   test("streaming micro-batch read over a shard directory") {
     val dir = Files.createTempDirectory("h5stream")
     Hdf5Write.write(dir.resolve("s0.h5").toString, mkFrames(2))
