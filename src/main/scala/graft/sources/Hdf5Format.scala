@@ -49,7 +49,10 @@ private[graft] object Hdf5Format {
   final case class FloatT(size: Int, be: Boolean) extends DType
   final case class IntT(size: Int, be: Boolean, signed: Boolean)
       extends DType
-  final case class Opaque(size: Int) extends DType
+  /** Anything non-numeric; `cls` keeps the datatype class so callers
+    * can explain WHY a dataset is unreadable (3 = fixed string — the
+    * readable-as-bytes case, 9 = variable-length). */
+  final case class Opaque(size: Int, cls: Int = -1) extends DType
 
   // ---- storage layout -------------------------------------------------
 
@@ -293,7 +296,7 @@ private[graft] object Hdf5Format {
         if (size != 4 && size != 8)
           fail(in.path, s"float datatype of $size bytes")
         FloatT(size, be)
-      case _ => Opaque(size)
+      case c => Opaque(size, c)
     }
   }
 

@@ -32,6 +32,13 @@ object Hdf5Topology {
         Hdf5Format.fail(path, "no embedded 'topology' dataset — this " +
           "file predates the mdtraj convention (or is a legacy .lh5); " +
           "pass an external topology instead"))
+      ds.dtype match {
+        case Hdf5Format.Opaque(_, 9) => Hdf5Format.fail(path,
+          "topology is a VARIABLE-length string dataset (h5py-style, " +
+            "global-heap backed) — only the fixed-length string shape " +
+            "mdtraj/pytables write is supported")
+        case _ => ()
+      }
       val bytes = ds.layout match {
         case Hdf5Format.Contiguous(addr, n) =>
           if (n > 256L * 1024 * 1024)
