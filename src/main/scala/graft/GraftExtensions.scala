@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("rep_stats",
       "rep_stats(text) - (n_words, n_distinct, top_word, top_bigram) repetition counters",
       es => RepStats(es.head)))
+    ext.injectFunction(fn("quality_stats",
+      "quality_stats(text) - (nw, nu, ncl, nsw, npunct) one-pass " +
+        "quality counters",
+      es => QualityStats(es.head)))
     ext.injectFunction(fn("pair_dist_stats",
       "pair_dist_stats(xs, ys, zs) - all-pairs C(n,2) distance sum/min/max/count per frame",
       es => PairDistStats(es)))

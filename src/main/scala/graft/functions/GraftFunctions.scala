@@ -409,6 +409,30 @@ case class RepStats(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+/** One-pass text quality statistics (see [[HashKernels.qualityStats]])
+  * — `quality_stats(text)` → struct(nw, nu, ncl, nsw, npunct). */
+case class QualityStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("nw", LongType, nullable = false),
+    StructField("nu", LongType, nullable = false),
+    StructField("ncl", LongType, nullable = false),
+    StructField("nsw", LongType, nullable = false),
+    StructField("npunct", LongType, nullable = false)))
+  override def prettyName: String = "quality_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.qualityStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.qualityStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** All-pairs distance statistics per frame (see
   * [[GeomKernels.pairDistStats]]) — `pair_dist_stats(xs, ys, zs)`. */
 case class PairDistStats(children: Seq[Expression]) extends Expression {
@@ -642,6 +666,8 @@ object GraftFunctions {
       es => TriclinicMicDist(es), "scala_udf")
     reg.createOrReplaceTempFunction("rep_stats",
       es => RepStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("quality_stats",
+      es => QualityStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pair_dist_stats",
       es => PairDistStats(es), "scala_udf")
     reg.createOrReplaceTempFunction("simhash_close_pairs",

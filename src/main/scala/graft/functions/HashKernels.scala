@@ -727,6 +727,62 @@ object HashKernels {
       parts.length.toLong, wc.size.toLong, topw.toLong, topbg.toLong))
   }
 
+  /** Canonical stopword list shared by the quality-score / lang-id
+    * kernels AND the SQL literal their DuckDB oracles embed — one
+    * definition, so kernel and oracle can never drift. */
+  val Stopwords: Array[String] = Array("the", "a", "query", "row",
+    "stream", "order", "column", "vector", "slow", "part", "table",
+    "join")
+  private val StopwordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Stopwords.foreach(s.add)
+    s
+  }
+
+  /** One-pass text quality statistics (r12): replaces the
+    * three-`split` + `array_distinct` + `regexp_extract_all` plan of
+    * q_quality_score with a single scan per document — (nw, nu, ncl,
+    * nsw, npunct) where nw/nu/nsw follow `split(text, ' ')` semantics
+    * EXACTLY (consecutive spaces yield empty tokens, counted and
+    * deduplicated like any other token — the oracle's string_split
+    * agrees), ncl is the code-point count (Spark `length()`), and
+    * npunct counts code points outside [a-z0-9 ] (the
+    * `regexp_extract_all(text, '[^a-z0-9 ]')` cardinality). The 10×
+    * bench measured the expression-pipeline version at 5.25 s /
+    * 500 k docs — all of it per-row CPU building throwaway token and
+    * match arrays. */
+  def qualityStats(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val len = s.length
+    var ncl = 0L
+    var npunct = 0L
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      ncl += 1
+      if (!((cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') ||
+          cp == ' ')) npunct += 1
+      i += Character.charCount(cp)
+    }
+    val seen = new java.util.HashSet[String]()
+    var nw = 0L
+    var nsw = 0L
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        val w = s.substring(start, i)
+        nw += 1
+        seen.add(w)
+        if (StopwordSet.contains(w)) nsw += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nw, seen.size.toLong, ncl, nsw,
+      npunct))
+  }
+
   /** |A∩B| of two ascending-sorted long arrays via a merge walk. */
   def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0

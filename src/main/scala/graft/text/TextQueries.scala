@@ -859,8 +859,11 @@ object TextQueries {
   /** Common function words used as the stopword inventory (also the
     * lang-ID marker list below) — a real pipeline plugs in a per-language
     * stopword table here. */
-  private val stopwords = "'the','a','query','row','stream','order'," +
-    "'column','vector','slow','part','table','join'"
+  /** SQL literal form of the kernel's canonical stopword list
+    * ([[graft.functions.HashKernels.Stopwords]]) — one definition
+    * shared by the Spark kernels and the DuckDB oracles. */
+  private val stopwords = graft.functions.HashKernels.Stopwords
+    .map(w => s"'$w'").mkString(",")
 
   /** Composite quality score (SURVEY §2.10 quality scoring —
     * length/punctuation/stopword ratios): length saturation + lexical
@@ -875,18 +878,19 @@ object TextQueries {
     * same formula diverged between engines by one last-digit ulp on 1
     * of 50k docs at sf0.1 (round(double, 6) boundary). Bound: needs
     * nw·ncl·min(nw,100)·10⁷ < 2⁶³, i.e. nw·ncl < ~9·10⁹ per doc. */
-  def qualityScore(s: SparkSession, d: String): DataFrame =
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    // all five counters in ONE pass per document (r12): the previous
+    // expression pipeline ran three splits, an array_distinct and a
+    // regexp_extract_all per row — measured 5.25 s / 500 k docs at the
+    // 10× replica, all of it building throwaway token/match arrays
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
-      .withColumn("nw", size(split(col("text"), " ")).cast("long"))
-      .withColumn("nu", size(array_distinct(split(col("text"), " ")))
-        .cast("long"))
-      .withColumn("ncl", length(col("text")).cast("long"))
-      .withColumn("nsw",
-        expr(s"size(filter(split(text, ' '), w -> w IN ($stopwords)))")
-          .cast("long"))
-      .withColumn("npunct",
-        expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))")
-          .cast("long"))
+      .withColumn("qs", expr("quality_stats(text)"))
+      .withColumn("nw", col("qs.nw"))
+      .withColumn("nu", col("qs.nu"))
+      .withColumn("ncl", col("qs.ncl"))
+      .withColumn("nsw", col("qs.nsw"))
+      .withColumn("npunct", col("qs.npunct"))
       .withColumn("qn",
         lit(5L) * col("nw") * col("ncl") * least(col("nw"), lit(100L)) +
           lit(600L) * col("nu") * col("ncl") +
@@ -900,6 +904,7 @@ object TextQueries {
         ratio6(col("qn"), lit(2000L) * col("nw") * col("ncl"))
           .as("quality"))
       .orderBy("doc_id")
+  }
 
   private val qualityScoreSql = {
     val qn = "5*nw*ncl*least(nw,100) + 600*nu*ncl + nw*ncl*least(ncl,500)" +
@@ -928,12 +933,13 @@ object TextQueries {
     * corpus only separates 'es' from the rest, so the classifier is
     * binary; the machinery (tokenize → marker ratio → argmax) is the
     * real product. */
-  def langId(s: SparkSession, d: String): DataFrame =
+  def langId(s: SparkSession, d: String): DataFrame = {
+    // same one-pass kernel as qualityScore (nm ≡ its nsw counter)
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
-      .withColumn("nm",
-        expr(s"size(filter(split(text, ' '), w -> w IN ($stopwords)))")
-          .cast("long"))
-      .withColumn("nw", size(split(col("text"), " ")).cast("long"))
+      .withColumn("qs", expr("quality_stats(text)"))
+      .withColumn("nm", col("qs.nsw"))
+      .withColumn("nw", col("qs.nw"))
       .select(col("doc_id"), col("lang"),
         ratio6(col("nm"), col("nw")).as("score_es"),
         // marker ratio > 1/2 exactly, as an integer compare
@@ -942,6 +948,7 @@ object TextQueries {
       .withColumn("is_match",
         (col("pred_lang") === lit("es")) === (col("lang") === lit("es")))
       .orderBy("doc_id")
+  }
 
   private val langIdSql =
     s"""SELECT doc_id, lang,
