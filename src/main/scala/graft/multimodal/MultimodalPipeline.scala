@@ -99,10 +99,12 @@ object MultimodalPipeline {
 
   /** Minimal spec-conformant AVI assembly: RIFF('AVI ') → LIST(hdrl:
     * avih + LIST(strl: strh('vids') + strf(BITMAPINFOHEADER))) →
-    * LIST(movi: one even-padded `00dc` chunk per frame). All sizes
-    * little-endian; no idx1 (optional for sequential readers). */
+    * LIST(movi: one even-padded `00dc` chunk per frame) → idx1 (one
+    * entry per frame, offsets relative to the `movi` fourcc, the
+    * AVIF_HASINDEX contract the avih flags declare). All sizes
+    * little-endian. */
   private[multimodal] def buildAvi(w: Int, h: Int, fourcc: String,
-      frames: Seq[Array[Byte]]): Array[Byte] = {
+    frames: Seq[Array[Byte]]): Array[Byte] = {
     def le32(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
         ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
@@ -128,9 +130,23 @@ object MultimodalPipeline {
       le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
     val hdrl = list("hdrl", chunk("avih", avih) ++
       list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi = list("movi",
-      frames.flatMap(f => chunk("00dc", f)).toArray)
-    val body = "AVI ".getBytes("ASCII") ++ hdrl ++ movi
+    // movi body + idx1 entries in one walk: entry offsets are
+    // relative to the 'movi' fourcc (the first frame chunk sits at 4)
+    val moviBody = Array.newBuilder[Byte]
+    val idx = Array.newBuilder[Byte]
+    var off = 4
+    frames.foreach { f =>
+      val c = chunk("00dc", f)
+      moviBody ++= c
+      idx ++= "00dc".getBytes("ASCII")
+      idx ++= le32(0x10) // AVIIF_KEYFRAME: every frame is independent
+      idx ++= le32(off)
+      idx ++= le32(f.length)
+      off += c.length
+    }
+    val movi = list("movi", moviBody.result())
+    val body = "AVI ".getBytes("ASCII") ++ hdrl ++ movi ++
+      chunk("idx1", idx.result())
     "RIFF".getBytes("ASCII") ++ le32(body.length) ++ body
   }
 

@@ -57,12 +57,15 @@ private[graft] object Hdf5Format {
   // ---- storage layout -------------------------------------------------
 
   sealed trait Layout
+  /** `addr` is already base-resolved (absolute file offset). */
   final case class Contiguous(addr: Long, nbytes: Long) extends Layout
   final case class Compact(data: Array[Byte]) extends Layout
   /** `chunkDims` excludes the trailing element-size entry the message
-    * carries; rank matches the dataspace. */
-  final case class Chunked(btreeAddr: Long, chunkDims: Array[Int])
-      extends Layout
+    * carries; rank matches the dataspace. `btreeAddr` is
+    * base-resolved; `base` rides along because the B-tree's child
+    * pointers (chunk data addresses) are base-relative too. */
+  final case class Chunked(btreeAddr: Long, chunkDims: Array[Int],
+      base: Long = 0L) extends Layout
 
   final case class Filter(id: Int, clientValues: Array[Int])
   val FilterDeflate = 1
@@ -110,7 +113,9 @@ private[graft] object Hdf5Format {
       else off = if (off == 0) 512 else off * 2
     }
     if (found < 0) fail(in.path, "no HDF5 signature (not an HDF5 file)")
-    val bb = in.at(found + 8, 64)
+    // 72 bytes covers the longest variant (v1 adds 4 K-field bytes
+    // over v0's 64); short reads here mean a truncated superblock
+    val bb = in.at(found + 8, 72)
     val version = u8(bb)
     version match {
       case 0 | 1 =>
@@ -124,7 +129,11 @@ private[graft] object Hdf5Format {
         u16(bb); u16(bb) // group leaf / internal K
         bb.getInt // file consistency flags
         if (version == 1) { u16(bb); u16(bb) } // indexed-storage K
-        val base = bb.getLong
+        val baseField = bb.getLong
+        // libhdf5 records the superblock offset (= user-block size) as
+        // the base; trust the field, but a zero field under a found
+        // user block still means "addresses are superblock-relative"
+        val base = if (baseField != 0) baseField else found
         bb.getLong // free-space address
         bb.getLong // end-of-file address
         bb.getLong // driver info address
@@ -138,7 +147,8 @@ private[graft] object Hdf5Format {
           fail(in.path, s"offset/length sizes $sizeOff/$sizeLen — only " +
             "8/8 is supported")
         u8(bb) // file consistency flags
-        val base = bb.getLong
+        val baseField = bb.getLong
+        val base = if (baseField != 0) baseField else found
         bb.getLong // superblock extension
         bb.getLong // end-of-file
         val rootOh = bb.getLong
@@ -161,15 +171,18 @@ private[graft] object Hdf5Format {
   private val MsgSymbolTable = 0x0011
 
   /** Reads all messages of one object header, following continuation
-    * blocks, for either header version. */
-  private def readMessages(in: In, addr: Long): Seq[Msg] = {
+    * blocks, for either header version. `base` is the superblock's
+    * base address — EVERY address stored in the file (continuation
+    * blocks included) is relative to it. */
+  private def readMessages(in: In, addr: Long, base: Long): Seq[Msg] = {
     val probe = in.at(addr, 4)
     val sig = new Array[Byte](4); probe.get(sig)
-    if (sig.sameElements("OHDR".getBytes("ASCII"))) readMessagesV2(in, addr)
-    else readMessagesV1(in, addr)
+    if (sig.sameElements("OHDR".getBytes("ASCII")))
+      readMessagesV2(in, addr, base)
+    else readMessagesV1(in, addr, base)
   }
 
-  private def readMessagesV1(in: In, addr: Long): Seq[Msg] = {
+  private def readMessagesV1(in: In, addr: Long, base: Long): Seq[Msg] = {
     val head = in.at(addr, 16)
     val version = u8(head)
     if (version != 1)
@@ -204,14 +217,14 @@ private[graft] object Hdf5Format {
         remaining -= 1
         if (tpe == MsgContinuation) {
           val cb = body.duplicate().order(ByteOrder.LITTLE_ENDIAN)
-          blocks = blocks :+ ((cb.getLong, cb.getLong))
+          blocks = blocks :+ ((base + cb.getLong, cb.getLong))
         } else out += Msg(tpe, body)
       }
     }
     out.result()
   }
 
-  private def readMessagesV2(in: In, addr: Long): Seq[Msg] = {
+  private def readMessagesV2(in: In, addr: Long, base: Long): Seq[Msg] = {
     val head = in.at(addr, 16)
     head.getInt // "OHDR"
     val version = u8(head)
@@ -255,7 +268,7 @@ private[graft] object Hdf5Format {
         bb.position(bb.position() + size)
         if (tpe == MsgContinuation) {
           val cb = body.duplicate().order(ByteOrder.LITTLE_ENDIAN)
-          val cAddr = cb.getLong; val cLen = cb.getLong
+          val cAddr = base + cb.getLong; val cLen = cb.getLong
           // strip "OCHK" (4) and checksum (4)
           blocks = blocks :+ ((cAddr + 4, cLen - 8))
         } else if (tpe != 0) out += Msg(tpe, body)
@@ -300,9 +313,10 @@ private[graft] object Hdf5Format {
     }
   }
 
-  private def parseLayout(in: In, m: Msg, path: String)
+  private def parseLayout(in: In, m: Msg, path: String, base: Long)
       : (Layout, Int) = {
     val bb = m.body.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+    def resolve(a: Long): Long = if (a == Undef) a else base + a
     val version = u8(bb)
     version match {
       case 1 | 2 =>
@@ -316,12 +330,13 @@ private[graft] object Hdf5Format {
             val addr = bb.getLong
             val dims = Array.tabulate(rankPlus)(_ => bb.getInt)
             val elem = bb.getInt
-            (Contiguous(addr, dims.map(_.toLong).product * elem), elem)
+            (Contiguous(resolve(addr),
+              dims.map(_.toLong).product * elem), elem)
           case 2 =>
             val addr = bb.getLong
             val dims = Array.tabulate(rankPlus)(_ => bb.getInt)
             val elem = bb.getInt
-            (Chunked(addr, dims), elem)
+            (Chunked(resolve(addr), dims, base), elem)
           case c => fail(path, s"layout class $c")
         }
       case 3 =>
@@ -334,12 +349,12 @@ private[graft] object Hdf5Format {
           case 1 =>
             val addr = bb.getLong
             val n = bb.getLong
-            (Contiguous(addr, n), 0)
+            (Contiguous(resolve(addr), n), 0)
           case 2 =>
             val rankPlus = u8(bb) // rank + 1; last dim entry = elem size
             val addr = bb.getLong
             val dims = Array.tabulate(rankPlus)(_ => bb.getInt)
-            (Chunked(addr, dims.dropRight(1)), dims.last)
+            (Chunked(resolve(addr), dims.dropRight(1), base), dims.last)
           case c => fail(path, s"layout class $c")
         }
       case 4 =>
@@ -495,6 +510,9 @@ private[graft] object Hdf5Format {
   final case class ChunkRef(offsets: Array[Long], addr: Long,
       storedBytes: Int, filterMask: Int)
 
+  /** Chunk refs in ascending dim-0 order (the B-tree's key order;
+    * sorted defensively so [[SlabReader]]'s binary search always
+    * holds). Addresses are base-resolved absolute offsets. */
   def chunkIndex(raf: FsRandom, path: String, ds: Dataset): Seq[ChunkRef] = {
     val in = new In(raf, path)
     val ch = ds.layout match {
@@ -522,13 +540,13 @@ private[graft] object Hdf5Format {
         val stored = body.getInt
         val mask = body.getInt
         val offs = Array.tabulate(rank + 1)(_ => body.getLong)
-        val child = body.getLong
+        val child = ch.base + body.getLong
         if (level == 0)
           Seq(ChunkRef(offs.dropRight(1), child, stored, mask))
         else walk(child)
       }
     }
-    walk(ch.btreeAddr)
+    walk(ch.btreeAddr).sortBy(_.offsets(0))
   }
 
   // ---- filters --------------------------------------------------------
@@ -620,7 +638,7 @@ private[graft] object Hdf5Format {
 
     def visit(name: String, ohAddr: Long, depth: Int): Unit = {
       if (depth > 4) return
-      val msgs = readMessages(in, ohAddr)
+      val msgs = readMessages(in, ohAddr, base)
       val space = msgs.find(_.tpe == MsgDataspace)
       val dtype = msgs.find(_.tpe == MsgDatatype)
       val layout = msgs.find(_.tpe == MsgLayout)
@@ -628,7 +646,7 @@ private[graft] object Hdf5Format {
         case (Some(s), Some(t), Some(l)) =>
           val dims = parseDataspace(in, s)
           val dt = parseDatatype(in, t)
-          val (lay, layElem) = parseLayout(in, l, path)
+          val (lay, layElem) = parseLayout(in, l, path, base)
           // v1/2 layout gives elem size redundantly; cross-check
           if (layElem > 0 && dt.size > 0 && layElem != dt.size &&
               !dt.isInstanceOf[Opaque])
@@ -658,7 +676,8 @@ private[graft] object Hdf5Format {
   final class SlabReader(raf: FsRandom, path: String, ds: Dataset) {
     private val elem = ds.dtype.size
     private val rowElems = ds.rowElems
-    private lazy val chunks: Seq[ChunkRef] = chunkIndex(raf, path, ds)
+    private lazy val chunks: IndexedSeq[ChunkRef] =
+      chunkIndex(raf, path, ds).toIndexedSeq
     private var cachedAddr = -1L
     private var cachedChunk: Array[Byte] = _
 
@@ -721,7 +740,7 @@ private[graft] object Hdf5Format {
         case Compact(data) =>
           convert(data, (lo * rowElems).toInt, (rows * rowElems).toInt,
             out, 0)
-        case Chunked(_, cDims) =>
+        case Chunked(_, cDims, _) =>
           if (cDims.length != ds.rank)
             fail(path, s"dataset ${ds.name}: chunk rank ${cDims.length} " +
               s"!= dataspace rank ${ds.rank}")
@@ -738,7 +757,21 @@ private[graft] object Hdf5Format {
           }
           val cRows = cDims(0)
           val chunkBytes = (cRows * rowElems).toInt * elem
-          chunks.foreach { c =>
+          // binary search for the first chunk intersecting [lo, hi)
+          // — chunkIndex returns refs ascending in dim 0, so the
+          // frame-by-frame partition loop costs O(log chunks + chunks
+          // touched) per call, not a scan of the whole file's index
+          val cs = chunks
+          var sLo = 0
+          var sHi = cs.length
+          while (sLo < sHi) {
+            val mid = (sLo + sHi) >>> 1
+            if (cs(mid).offsets(0) + cRows <= lo) sLo = mid + 1
+            else sHi = mid
+          }
+          var ci = sLo
+          while (ci < cs.length && cs(ci).offsets(0) < hi) {
+            val c = cs(ci)
             val c0 = c.offsets(0)
             val first = math.max(lo, c0)
             val last = math.min(hi, c0 + cRows)
@@ -755,6 +788,7 @@ private[graft] object Hdf5Format {
               convert(cachedChunk, ((first - c0) * rowElems).toInt, n,
                 out, ((first - lo) * rowElems).toInt)
             }
+            ci += 1
           }
       }
       out

@@ -477,8 +477,13 @@ object TextQueries {
         .as("bd"))
       .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
         col("bd.band").as("band"), col("bd.bval").as("bval"))
+    // memo key carries the BANDING SCHEME (bandValAt over k bands),
+    // not just the dataset: the registered query's 9-band bandVal
+    // layout groups different doc sets into buckets, so its statistic
+    // must never be reused here (and vice versa) — a stale cross-
+    // scheme max could silently skip the hot-bucket guard
     closePairsFromBanded(banded, maxHamming,
-      memoKey = Some(s"simhash-$maxHamming-$d"))
+      memoKey = Some(s"simhash-at-k${maxHamming + 1}-$d"))
   }
 
   /** Default per-task member bound for the simhash gather: 8192
@@ -508,16 +513,41 @@ object TextQueries {
     * rows unless a bucket actually exceeds the cap
     * (SimhashSkewSpec pins output identity against the uncapped plan
     * on a corpus engineered to blow the cap). */
-  /** Memoized hot-bucket probes, keyed by (session, dataset dir).
-    * Datasets are immutable within a session (the same contract the
-    * shard-directory streams and the sim-family `shared` cache rely
-    * on), so the statistic is computed once per dataset and every
+  /** Memoized hot-bucket probes, keyed by (session, banding + dataset
+    * dir). Datasets are immutable within a session (the same contract
+    * the shard-directory streams and the sim-family `shared` cache
+    * rely on), so the statistic is computed once per dataset and every
     * later invocation — bench repetitions, repeated interactive
-    * queries — skips the probe job entirely. Values are a few longs;
-    * no eviction needed. */
+    * queries — skips the probe job entirely. A session-end listener
+    * evicts the session's entries so stopped sessions are not
+    * retained (the simCache pattern). */
   private val maxBucketCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       java.lang.Long]
+  private val maxBucketListenerInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  private def memoMaxBucket(s: SparkSession, key: String)
+      (compute: => Long): Long = {
+    val k = (s, key)
+    val cached = maxBucketCache.get(k)
+    if (cached != null) cached.longValue()
+    else {
+      val v = compute
+      if (maxBucketCache.putIfAbsent(k, v) == null &&
+          maxBucketListenerInstalled.add(s))
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler
+                  .SparkListenerApplicationEnd): Unit = {
+              maxBucketCache.keySet.removeIf(_._1 eq s)
+              maxBucketListenerInstalled.remove(s)
+            }
+          })
+      v
+    }
+  }
 
   private[graft] def closePairsFromBanded(banded: DataFrame,
       maxHamming: Int, bucketCap: Int = SimhashBucketCap,
@@ -543,14 +573,7 @@ object TextQueries {
     }
     val maxBucket = memoKey match {
       case Some(k) =>
-        val key = (banded.sparkSession, k)
-        val cached = maxBucketCache.get(key)
-        if (cached != null) cached.longValue()
-        else {
-          val v = computeMaxBucket()
-          maxBucketCache.putIfAbsent(key, v)
-          v
-        }
+        memoMaxBucket(banded.sparkSession, k)(computeMaxBucket())
       case None => computeMaxBucket()
     }
     val pairs = if (maxBucket <= bucketCap) {
@@ -624,7 +647,9 @@ object TextQueries {
         struct(lit(b).as("band"), bandVal(b).as("bval"))): _*)).as("bd"))
       .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
         col("bd.band").as("band"), col("bd.bval").as("bval"))
-    closePairsFromBanded(banded, 8, memoKey = Some(s"simhash-8-$d"))
+    // "reg9" = the registered query's bandVal banding — distinct from
+    // dedupSimhashAt's bandValAt(k) keys by construction
+    closePairsFromBanded(banded, 8, memoKey = Some(s"simhash-reg9-$d"))
   }
 
   /** The pre-r10 join-based plan, kept ONLY as the differential-test

@@ -139,6 +139,22 @@ class Hdf5DataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("a 512-byte user block relocates every chunked structure: " +
+    "stored addresses resolve base-relative end to end") {
+    val f = Files.createTempFile("ublock", ".h5")
+    Hdf5Write.write(f.toString, mkFrames(4), chunkFrames = 2)
+    val orig = Files.readAllBytes(Paths.get(f.toString))
+    val shifted = new Array[Byte](512 + orig.length)
+    System.arraycopy(orig, 0, shifted, 512, orig.length)
+    val g = Files.createTempFile("ublock2", ".h5")
+    Files.write(g, shifted)
+    val r = spark.read.format("hdf5").load(g.toString)
+      .filter(col("frame_id") === 3 && col("atom_id") === 2)
+      .collect()(0)
+    assert(r.getAs[Float]("x") == 32.0f)
+    assert(r.getAs[Float]("box_a") == 2.0f)
+  }
+
   test("multi-file load concatenates with globally contiguous " +
     "frame ids, in argument order") {
     val a = Files.createTempFile("parta", ".h5")

@@ -273,6 +273,35 @@ class Hdf5FormatSpec extends AnyFunSuite {
     } finally raf.close()
   }
 
+  test("user-block file: the same golden bytes behind a 512-byte user " +
+    "block parse identically — every stored address is base-relative") {
+    // per the spec the superblock may sit at any power-of-two offset
+    // ≥ 512; ALL file addresses (layout data, chunk B-tree children,
+    // continuations included) are then relative to that base. The
+    // golden file's stored addresses are unchanged — only the
+    // superblock moves.
+    val shifted = new Array[Byte](512 + 616)
+    System.arraycopy(goldenV0, 0, shifted, 512, 616)
+    val p = writeTemp(shifted, ".h5")
+    val raf = FsIO.openRandom(p.toString)
+    try {
+      val f = Hdf5Format.parse(raf, p.toString)
+      assert(f.datasets.keySet == Set("coordinates", "time"))
+      val c = f.datasets("coordinates")
+      // base-resolved: 512 + the stored 560
+      assert(c.layout == Hdf5Format.Contiguous(512L + 560L, 48L))
+      val slab = new Hdf5Format.SlabReader(raf, p.toString, c)
+        .readSlab(0, 1)
+      assert(slab(0) == 0.0 && slab(4) == 11.0)
+    } finally raf.close()
+    // and through the DSv2 path
+    val spark = SparkTestBase.spark
+    val rows = spark.read.format("hdf5").load(p.toString)
+      .orderBy("frame_id", "atom_id").collect()
+    assert(rows.length == 4)
+    assert(rows(3).getAs[Float]("z") == 112.0f)
+  }
+
   test("fletcher32 matches the hand-computed value on a 2-byte input " +
     "and survives the odd-length zero-pad rule") {
     // one 16-bit BE word 0x0102: sum1 = sum2 = 0x0102
