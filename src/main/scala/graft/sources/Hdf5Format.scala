@@ -40,6 +40,26 @@ private[graft] object Hdf5Format {
   def fail(path: String, what: String): Nothing =
     throw new IllegalArgumentException(s"hdf5 parse error in $path: $what")
 
+  /** Structured-parse exception boundary: corrupted size/rank/length
+    * fields make some decoder read past a buffer limit — rather than
+    * bounds-checking every field read, the public entry points convert
+    * those low-level errors into the parse-error contract here (an
+    * IllegalArgumentException carrying the path). Valid-file behavior
+    * is pinned by the golden-byte and round-trip suites, so this can
+    * never mask a correct-path defect; Hdf5FuzzSpec drives 500 seeded
+    * corruptions through it. */
+  private def guarded[T](path: String)(body: => T): T =
+    try body catch {
+      case e: java.nio.BufferUnderflowException =>
+        fail(path, "truncated or corrupt metadata structure " +
+          s"(${e.getClass.getSimpleName})")
+      case e: IndexOutOfBoundsException =>
+        fail(path, "corrupt structure: field offset out of bounds " +
+          s"(${e.getMessage})")
+      case e: NegativeArraySizeException =>
+        fail(path, s"corrupt structure: negative length (${e.getMessage})")
+    }
+
   // ---- element types --------------------------------------------------
 
   /** Only the numeric scalar types a trajectory carries. `be` = big
@@ -196,11 +216,16 @@ private[graft] object Hdf5Format {
     val out = Vector.newBuilder[Msg]
     var remaining = totalMsgs
     // (block address, block size) queue; continuation bodies are raw
-    // v1 message streams with no signature
+    // v1 message streams with no signature. `visited` guards against
+    // corrupt continuation cycles (a flipped pointer aiming a block
+    // at itself would otherwise loop forever).
     var blocks = List((addr + 16, firstSize.toLong))
+    val visited = scala.collection.mutable.Set.empty[Long]
     while (remaining > 0 && blocks.nonEmpty) {
       val (bAddr, bSize) = blocks.head
       blocks = blocks.tail
+      if (!visited.add(bAddr))
+        fail(in.path, s"object header continuation cycle at $bAddr")
       if (bSize > 64 * 1024 * 1024)
         fail(in.path, s"object header block of $bSize bytes")
       val bb = in.at(bAddr, bSize.toInt)
@@ -245,11 +270,15 @@ private[graft] object Hdf5Format {
     val creationOrder = (flags & 0x04) != 0
     val out = Vector.newBuilder[Msg]
     // (message-bytes address, length) — v2 continuation blocks carry an
-    // OCHK signature and a trailing checksum around the message bytes
+    // OCHK signature and a trailing checksum around the message bytes;
+    // `visited` guards against corrupt continuation cycles
     var blocks = List((p, chunk0))
+    val visited = scala.collection.mutable.Set.empty[Long]
     while (blocks.nonEmpty) {
       val (bAddr, bSize) = blocks.head
       blocks = blocks.tail
+      if (!visited.add(bAddr))
+        fail(in.path, s"object header continuation cycle at $bAddr")
       if (bSize > 64 * 1024 * 1024)
         fail(in.path, s"object header block of $bSize bytes")
       val bb = in.at(bAddr, bSize.toInt)
@@ -467,7 +496,12 @@ private[graft] object Hdf5Format {
       sb.toString
     }
 
+    // cycle guard: a corrupt child pointer aiming back up the tree
+    // would otherwise recurse forever
+    val visited = scala.collection.mutable.Set.empty[Long]
     def walk(nodeAddr: Long): Seq[(String, Long)] = {
+      if (!visited.add(nodeAddr))
+        fail(in.path, s"group B-tree cycle at $nodeAddr")
       val nb = in.at(nodeAddr, 24)
       val sig = new Array[Byte](4); nb.get(sig)
       if (sig.sameElements("SNOD".getBytes("ASCII"))) {
@@ -519,9 +553,17 @@ private[graft] object Hdf5Format {
       case c: Chunked => c
       case _ => fail(path, s"dataset ${ds.name} is not chunked")
     }
-    if (ch.btreeAddr == Undef) return Nil // no chunks ever written
+    if (ch.btreeAddr == Undef) Nil // no chunks ever written
+    else guarded(path) { chunkIndexWalk(in, path, ds, ch) }
+  }
+
+  private def chunkIndexWalk(in: In, path: String, ds: Dataset,
+      ch: Chunked): Seq[ChunkRef] = {
     val rank = ds.rank
+    val visited = scala.collection.mutable.Set.empty[Long]
     def walk(addr: Long): Seq[ChunkRef] = {
+      if (!visited.add(addr))
+        fail(path, s"chunk B-tree cycle at $addr")
       val nb = in.at(addr, 24)
       val sig = new Array[Byte](4); nb.get(sig)
       if (!sig.sameElements("TREE".getBytes("ASCII")))
@@ -631,7 +673,7 @@ private[graft] object Hdf5Format {
     * datasets. Nested group members get "/"-joined names; recursion is
     * capped at depth 4 (trajectory conventions are flat or one level
     * deep). */
-  def parse(raf: FsRandom, path: String): H5File = {
+  def parse(raf: FsRandom, path: String): H5File = guarded(path) {
     val in = new In(raf, path)
     val (rootOh, base) = parseSuperblock(in, raf.length())
     val out = Map.newBuilder[String, Dataset]
@@ -727,7 +769,7 @@ private[graft] object Hdf5Format {
       }
     }
 
-    def readSlab(lo: Long, hi: Long): Array[Double] = {
+    def readSlab(lo: Long, hi: Long): Array[Double] = guarded(path) {
       val rows = (hi - lo).toInt
       val out = new Array[Double]((rows * rowElems).toInt)
       ds.layout match {
@@ -756,7 +798,13 @@ private[graft] object Hdf5Format {
             d += 1
           }
           val cRows = cDims(0)
-          val chunkBytes = (cRows * rowElems).toInt * elem
+          // Long-space size check BEFORE any allocation: corrupt chunk
+          // dims (or a flipped stored-size field) must fail, not OOM
+          val chunkBytesL = cRows.toLong * rowElems * elem
+          if (chunkBytesL <= 0 || chunkBytesL > 256L * 1024 * 1024)
+            fail(path, s"dataset ${ds.name}: chunk of $chunkBytesL " +
+              "bytes (corrupt dims or not a trajectory layout)")
+          val chunkBytes = chunkBytesL.toInt
           // binary search for the first chunk intersecting [lo, hi)
           // — chunkIndex returns refs ascending in dim 0, so the
           // frame-by-frame partition loop costs O(log chunks + chunks
@@ -777,6 +825,11 @@ private[graft] object Hdf5Format {
             val last = math.min(hi, c0 + cRows)
             if (first < last) {
               if (cachedAddr != c.addr) {
+                if (c.storedBytes < 0 ||
+                    c.storedBytes > chunkBytes + (chunkBytes >> 2) + 4096)
+                  fail(path, s"dataset ${ds.name}: stored chunk of " +
+                    s"${c.storedBytes} bytes for a $chunkBytes-byte " +
+                    "chunk — corrupt index entry")
                 val raw = new Array[Byte](c.storedBytes)
                 raf.seek(c.addr)
                 raf.readFully(raw)
