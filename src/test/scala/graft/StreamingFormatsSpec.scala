@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * drives publish-while-streaming through a memory sink and checks
   * global frame ids continue across shards and micro-batches. (xyz,
   * gro, dcd, trr, inpcrd, dtr have their streaming specs in their own
-  * suites — with this plus round 11's xtc and netcdf, all thirteen formats stream.) */
+  * suites — with this plus round 11's xtc/netcdf and round 12's hdf5, all fourteen formats stream.) */
 class StreamingFormatsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
