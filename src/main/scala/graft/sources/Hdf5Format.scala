@@ -799,11 +799,22 @@ private[graft] object Hdf5Format {
           }
           val cRows = cDims(0)
           // Long-space size check BEFORE any allocation: corrupt chunk
-          // dims (or a flipped stored-size field) must fail, not OOM
+          // dims (or a flipped stored-size field) must fail, not OOM.
+          // The bound is PRINCIPLED, not a magic constant: a chunk
+          // cannot meaningfully exceed ~the dataset it stores (edge
+          // chunks round up by one chunk), and a decompressed chunk
+          // must be JVM-array-addressable — so any real chunkshape of
+          // any system size passes, while a corrupt dim claiming
+          // gigabytes beyond the dataset fails cleanly.
+          val totalBytesL = ds.dims.foldLeft(elem.toLong) { (a, d) =>
+            if (a > (1L << 42)) a else a * math.max(d, 1L)
+          }
           val chunkBytesL = cRows.toLong * rowElems * elem
-          if (chunkBytesL <= 0 || chunkBytesL > 256L * 1024 * 1024)
+          if (chunkBytesL <= 0 || chunkBytesL > Int.MaxValue - 8 ||
+              chunkBytesL > 2 * totalBytesL + 4096)
             fail(path, s"dataset ${ds.name}: chunk of $chunkBytesL " +
-              "bytes (corrupt dims or not a trajectory layout)")
+              s"bytes against a $totalBytesL-byte dataset (corrupt " +
+              "dims)")
           val chunkBytes = chunkBytesL.toInt
           // binary search for the first chunk intersecting [lo, hi)
           // — chunkIndex returns refs ascending in dim 0, so the

@@ -19,6 +19,13 @@ import java.util.zip.Deflater
   * plus the convention's root attributes. `.lh5` profile (legacy
   * MSMBuilder): `XYZList(frame, atom, 3) int16` = round(nm × 1000),
   * chunked+gzip.
+  *
+  * Scope note: the file is assembled in memory (addresses are
+  * back-patched), bounding one write to ~2 GB of raw data — ample
+  * for fixtures and the reference-workload bench (340 MB raw). A
+  * fleet-scale HDF5 SINK would emit one self-contained shard file
+  * per task like the other formats' writers; reads at any scale go
+  * through [[Hdf5DataSource]], which has no such bound.
   */
 object Hdf5Write {
 
@@ -399,6 +406,9 @@ object Hdf5Write {
       f.cellAngles.isDefined == withCell),
       "cell blocks must be all-present or all-absent")
     val fCount = frames.size
+    require(fCount.toLong * n * 3 <= Int.MaxValue - 8,
+      s"hdf5 write: $fCount frames x $n atoms exceeds the in-memory " +
+        "assembly bound (see the scope note) — shard the write")
     val coords = new Array[Float](fCount * n * 3)
     frames.zipWithIndex.foreach { case (f, i) =>
       System.arraycopy(f.xyz, 0, coords, i * n * 3, n * 3)

@@ -45,46 +45,44 @@ object RefWorkloadBench {
     * format is echoed in the JSON line. */
   private var Fmt = sys.env.getOrElse("SPARK_GRAFT_REF_FMT", "dcd")
 
+  /** ONE synthetic-coordinate definition for all formats — the
+    * cross-format contract ("n_dists and the reductions agree")
+    * depends on every format reading the same cloud, so the formula
+    * must not exist in per-format copies that could drift. */
+  private def mkXyz(f: Int): Array[Float] = {
+    val xyz = new Array[Float](3 * Atoms)
+    var a = 0
+    while (a < Atoms) {
+      xyz(3 * a) = ((f * 7 + a * 3) % 1000) / 10.0f
+      xyz(3 * a + 1) = ((f * 11 + a * 5) % 1000) / 10.0f
+      xyz(3 * a + 2) = ((f * 13 + a * 17) % 1000) / 10.0f
+      a += 1
+    }
+    xyz
+  }
+
   private def mkFrame(f: Int): graft.sources.DcdWrite.Frame = {
+    val xyz = mkXyz(f)
     val xs = new Array[Float](Atoms)
     val ys = new Array[Float](Atoms)
     val zs = new Array[Float](Atoms)
     var a = 0
     while (a < Atoms) {
-      xs(a) = ((f * 7 + a * 3) % 1000) / 10.0f
-      ys(a) = ((f * 11 + a * 5) % 1000) / 10.0f
-      zs(a) = ((f * 13 + a * 17) % 1000) / 10.0f
+      xs(a) = xyz(3 * a); ys(a) = xyz(3 * a + 1); zs(a) = xyz(3 * a + 2)
       a += 1
     }
     graft.sources.DcdWrite.Frame(xs, ys, zs,
       Some((100.0, 100.0, 100.0, 90.0, 90.0, 90.0)))
   }
 
-  private def mkH5Frame(f: Int): graft.sources.Hdf5Write.Frame = {
-    val xyz = new Array[Float](3 * Atoms)
-    var a = 0
-    while (a < Atoms) {
-      xyz(3 * a) = ((f * 7 + a * 3) % 1000) / 10.0f
-      xyz(3 * a + 1) = ((f * 11 + a * 5) % 1000) / 10.0f
-      xyz(3 * a + 2) = ((f * 13 + a * 17) % 1000) / 10.0f
-      a += 1
-    }
-    graft.sources.Hdf5Write.Frame(xyz,
+  private def mkH5Frame(f: Int): graft.sources.Hdf5Write.Frame =
+    graft.sources.Hdf5Write.Frame(mkXyz(f),
       cellLengths = Some(Array(100f, 100f, 100f)),
       cellAngles = Some(Array(90f, 90f, 90f)),
       time = f.toFloat)
-  }
 
   private def mkXtcFrame(f: Int): graft.sources.XtcWrite.Frame = {
-    val xyz = new Array[Float](3 * Atoms)
-    var a = 0
-    while (a < Atoms) {
-      xyz(3 * a) = ((f * 7 + a * 3) % 1000) / 10.0f
-      xyz(3 * a + 1) = ((f * 11 + a * 5) % 1000) / 10.0f
-      xyz(3 * a + 2) = ((f * 13 + a * 17) % 1000) / 10.0f
-      a += 1
-    }
-    graft.sources.XtcWrite.Frame(xyz,
+    graft.sources.XtcWrite.Frame(mkXyz(f),
       box = Array(100f, 0f, 0f, 0f, 100f, 0f, 0f, 0f, 100f),
       step = f.toLong, time = f.toDouble)
   }
@@ -96,7 +94,8 @@ object RefWorkloadBench {
     while (i < args.length) {
       args(i) match {
         case "--format" =>
-          require(i + 1 < args.length, "--format needs a value: dcd|xtc")
+          require(i + 1 < args.length,
+            "--format needs a value: dcd|xtc|h5")
           Fmt = args(i + 1); i += 2
         case f if f.startsWith("--format=") =>
           Fmt = f.substring("--format=".length); i += 1
@@ -108,6 +107,13 @@ object RefWorkloadBench {
     }
     require(Fmt == "dcd" || Fmt == "xtc" || Fmt == "h5",
       s"--format / SPARK_GRAFT_REF_FMT must be dcd, xtc or h5, got $Fmt")
+    // the h5 writer assembles its file in memory (back-patched
+    // addresses, Hdf5Write scope note), so the SPARK_GRAFT_REF_FRAMES
+    // scale-smoke must ride the streaming dcd/xtc writers
+    require(Fmt != "h5" || Frames.toLong * Atoms * 12 < (1L << 31),
+      s"--format h5 with $Frames frames needs ~" +
+        s"${Frames.toLong * Atoms * 12 / (1 << 20)} MB of in-memory " +
+        "assembly; run the frame scale-smoke with dcd or xtc")
     val dir = workDir.getOrElse("/tmp/graft_refbench")
     new java.io.File(dir).mkdirs()
     val file = s"$dir/ref_$Frames.$Fmt"
