@@ -69,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "quality_stats(text) - (nw, nu, ncl, nsw, npunct) one-pass " +
         "quality counters",
       es => QualityStats(es.head)))
+    ext.injectFunction(fn("token_stats",
+      "token_stats(text) - (ws_tokens, bpeish_tokens, n_chars) " +
+        "one-pass token counters",
+      es => TokenStats(es.head)))
     ext.injectFunction(fn("pair_dist_stats",
       "pair_dist_stats(xs, ys, zs) - all-pairs C(n,2) distance sum/min/max/count per frame",
       es => PairDistStats(es)))

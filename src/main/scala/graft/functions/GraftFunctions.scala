@@ -433,6 +433,28 @@ case class QualityStats(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+/** One-pass token statistics (see [[HashKernels.tokenStats]]) —
+  * `token_stats(text)` → struct(ws_tokens, bpeish_tokens, n_chars). */
+case class TokenStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("ws_tokens", LongType, nullable = false),
+    StructField("bpeish_tokens", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.tokenStats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.tokenStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** All-pairs distance statistics per frame (see
   * [[GeomKernels.pairDistStats]]) — `pair_dist_stats(xs, ys, zs)`. */
 case class PairDistStats(children: Seq[Expression]) extends Expression {
@@ -668,6 +690,8 @@ object GraftFunctions {
       es => RepStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("quality_stats",
       es => QualityStats(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("token_stats",
+      es => TokenStats(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pair_dist_stats",
       es => PairDistStats(es), "scala_udf")
     reg.createOrReplaceTempFunction("simhash_close_pairs",

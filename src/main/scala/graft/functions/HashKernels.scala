@@ -783,6 +783,37 @@ object HashKernels {
       npunct))
   }
 
+  /** One-pass token statistics (r12): (ws_tokens, bpeish_tokens,
+    * n_chars) where ws_tokens follows `split(text, ' ')` semantics
+    * (empty tokens counted), bpeish_tokens is the cardinality of
+    * `regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')` — maximal
+    * letter runs + maximal digit runs + each other non-space code
+    * point — and n_chars is the code-point count. Replaces one split
+    * + one regexp_extract_all materialization per row; unlike
+    * [[qualityStats]] there is no per-row hash set, so this is pure
+    * scanning. */
+  def tokenStats(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val len = s.length
+    var ncl = 0L
+    var bpeish = 0L
+    var ws = 1L // split(" ") yields (delimiter count + 1) tokens
+    var prev = 0 // 0 = other/none, 1 = in letter run, 2 = in digit run
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      ncl += 1
+      if (cp == ' ') { ws += 1; prev = 0 }
+      else if (cp >= 'a' && cp <= 'z') {
+        if (prev != 1) { bpeish += 1; prev = 1 }
+      } else if (cp >= '0' && cp <= '9') {
+        if (prev != 2) { bpeish += 1; prev = 2 }
+      } else { bpeish += 1; prev = 0 }
+      i += Character.charCount(cp)
+    }
+    new GenericInternalRow(Array[Any](ws, bpeish, ncl))
+  }
+
   /** |A∩B| of two ascending-sorted long arrays via a merge walk. */
   def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0
