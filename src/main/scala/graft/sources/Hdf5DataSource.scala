@@ -204,20 +204,19 @@ class Hdf5Scan(paths: Seq[String], chunks: Int, unitScale: Double,
     * planning per shard, the netcdf/DCD shape. */
   override def planInputPartitions(): Array[InputPartition] = {
     val files = MultiPath.expandAll("hdf5", paths, Hdf5Table.Extensions)
-    if (expectAtoms > 0) files.foreach { p =>
-      val prof = H5Profile.parse(p)
-      if (prof.nAtoms != expectAtoms)
-        throw new IllegalArgumentException(
-          s"hdf5 $p: file declares ${prof.nAtoms} atoms but the " +
-            s"topology declares atom count $expectAtoms (option 'top')")
-    }
     val budget0 = if (limit >= 0) limit.toLong else Long.MaxValue
     val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     var off = 0L
     var budget = budget0
     files.foreach { p =>
       if (budget > 0 && off < frameHi) {
+        // single metadata parse per file; the 'top' atom-count
+        // cross-check rides the same profile instead of a second pass
         val prof = H5Profile.parse(p)
+        if (expectAtoms > 0 && prof.nAtoms != expectAtoms)
+          throw new IllegalArgumentException(
+            s"hdf5 $p: file declares ${prof.nAtoms} atoms but the " +
+              s"topology declares atom count $expectAtoms (option 'top')")
         val lo = math.max(off, frameLo) - off
         var hi = math.min(off + prof.frames, frameHi) - off
         if (prof.nAtoms == 0) hi = lo
@@ -261,7 +260,20 @@ class Hdf5PartitionReader(unitScale: Double, required: StructType,
     extends PartitionReader[InternalRow] {
 
   private val raf = FsIO.openRandom(range.filePath)
-  private val prof = {
+
+  /** If any constructor-time parse/slab-read throws (corrupt shard) the
+    * constructor never completes and Spark can't call close() — release
+    * the handle before rethrowing, or each failed task attempt leaks a
+    * descriptor. */
+  private def initGuard[T](body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        try raf.close() catch { case _: Throwable => () }
+        throw e
+    }
+
+  private val prof = initGuard {
     val f = Hdf5Format.parse(raf, range.filePath)
     H5Profile.of(f, range.filePath)
   }
@@ -272,19 +284,21 @@ class Hdf5PartitionReader(unitScale: Double, required: StructType,
     Set("box_a", "box_b", "box_c", "box_alpha", "box_beta", "box_gamma"))
   private val needTime = required.fieldNames.contains("time")
 
-  private val coordReader =
+  private val coordReader = initGuard {
     if (needXyz)
       new Hdf5Format.SlabReader(raf, range.filePath, prof.coords)
     else null
+  }
   private val nFrames = (range.endFrame - range.startFrame).toInt
-  private val times: Array[Double] =
+  private val times: Array[Double] = initGuard {
     if (needTime) prof.time.map { t =>
       new Hdf5Format.SlabReader(raf, range.filePath, t)
         .readSlab(range.startFrame, range.endFrame)
     }.getOrElse(Array.tabulate(nFrames)(i =>
       (range.frameOffset + range.startFrame + i).toDouble))
     else null
-  private val (cellL, cellA) =
+  }
+  private val (cellL, cellA) = initGuard {
     if (needCell) (prof.cellLen, prof.cellAng) match {
       case (Some(l), Some(a)) =>
         (new Hdf5Format.SlabReader(raf, range.filePath, l)
@@ -293,6 +307,7 @@ class Hdf5PartitionReader(unitScale: Double, required: StructType,
           .readSlab(range.startFrame, range.endFrame))
       case _ => (null, null)
     } else (null, null)
+  }
 
   private val scale = prof.coordScale * unitScale
   private var xs: Array[Float] = Array.empty

@@ -620,8 +620,12 @@ private[graft] object Hdf5Format {
           data = out
         case FilterShuffle =>
           val sz = f.clientValues.headOption.getOrElse(elemSize)
-          if (sz > 1 && data.length % sz == 0) {
+          // HDF5 unshuffles the first n*sz bytes and passes any trailing
+          // remainder through verbatim (H5Zshuffle.c) — match that rather
+          // than skipping the whole chunk on a non-multiple length.
+          if (sz > 1 && data.length >= sz) {
             val n = data.length / sz
+            val body = n * sz
             val out = new Array[Byte](data.length)
             var b = 0
             while (b < sz) {
@@ -632,6 +636,8 @@ private[graft] object Hdf5Format {
               }
               b += 1
             }
+            var r = body
+            while (r < data.length) { out(r) = data(r); r += 1 }
             data = out
           }
         case FilterFletcher32 =>
@@ -651,19 +657,28 @@ private[graft] object Hdf5Format {
   }
 
   /** HDF5's fletcher32 over 16-bit big-endian words (trailing odd byte
-    * zero-padded), sums folded mod 65535. */
+    * zero-padded). Sums are reduced by ones'-complement folding
+    * ((x & 0xffff) + (x >>> 16) until < 2^16), exactly as libhdf5's
+    * H5_checksum_fletcher32 does — NOT mod 65535, which would map a
+    * running sum that is a nonzero multiple of 65535 to 0 where HDF5
+    * keeps 0xFFFF, rejecting a valid libhdf5-written chunk. */
   def fletcher32(data: Array[Byte]): Int = {
+    @inline def fold(x: Long): Long = {
+      var v = x
+      while ((v >>> 16) != 0) v = (v & 0xFFFF) + (v >>> 16)
+      v
+    }
     var sum1 = 0L; var sum2 = 0L
     var i = 0
     val n = data.length
     while (i + 1 < n) {
       val w = ((data(i) & 0xFF) << 8) | (data(i + 1) & 0xFF)
       sum1 += w; sum2 += sum1
-      if (sum1 >= 0x7FFF000L) { sum1 %= 65535; sum2 %= 65535 }
+      if (sum1 >= 0x7FFF000L) { sum1 = fold(sum1); sum2 = fold(sum2) }
       i += 2
     }
     if (i < n) { sum1 += (data(i) & 0xFF) << 8; sum2 += sum1 }
-    sum1 %= 65535; sum2 %= 65535
+    sum1 = fold(sum1); sum2 = fold(sum2)
     ((sum2 << 16) | sum1).toInt
   }
 

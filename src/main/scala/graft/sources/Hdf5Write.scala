@@ -42,9 +42,17 @@ object Hdf5Write {
     var len = 0
     private def ensure(n: Int): Unit =
       if (len + n > arr.length) {
-        var cap = arr.length
-        while (len + n > cap) cap *= 2
-        arr = java.util.Arrays.copyOf(arr, cap)
+        val need = len.toLong + n
+        // JVM arrays cap at Int.MaxValue-8; doubling past 2^30 would
+        // overflow Int and crash with a negative-size error — fail with
+        // the real reason instead.
+        require(need <= Int.MaxValue - 8,
+          s"hdf5 write: assembly buffer would need $need bytes, past " +
+            "the JVM array bound — shard the write")
+        var cap = arr.length.toLong
+        while (need > cap) cap *= 2
+        arr = java.util.Arrays.copyOf(arr,
+          math.min(cap, (Int.MaxValue - 8).toLong).toInt)
       }
     def u8(v: Int): Unit = { ensure(1); arr(len) = v.toByte; len += 1 }
     def u16(v: Int): Unit = { u8(v & 0xFF); u8((v >> 8) & 0xFF) }
@@ -406,9 +414,16 @@ object Hdf5Write {
       f.cellAngles.isDefined == withCell),
       "cell blocks must be all-present or all-absent")
     val fCount = frames.size
-    require(fCount.toLong * n * 3 <= Int.MaxValue - 8,
-      s"hdf5 write: $fCount frames x $n atoms exceeds the in-memory " +
-        "assembly bound (see the scope note) — shard the write")
+    // Bound ASSEMBLY BYTES, not element count: the coords float[] is
+    // fCount*n*3*4 bytes and the Buf holds the serialized file on top,
+    // so an element-count guard (~8 GB of floats) would OOM long before
+    // tripping. Keep the whole file comfortably under the JVM array
+    // bound with room for metadata + the stored chunk bytes.
+    val coordBytes = fCount.toLong * n * 3 * 4
+    require(coordBytes * 2 + (1L << 20) <= Int.MaxValue - 8,
+      s"hdf5 write: $fCount frames x $n atoms is $coordBytes coordinate " +
+        "bytes; the single-file in-memory assembly bound is ~1 GB — " +
+        "shard the write")
     val coords = new Array[Float](fCount * n * 3)
     frames.zipWithIndex.foreach { case (f, i) =>
       System.arraycopy(f.xyz, 0, coords, i * n * 3, n * 3)
@@ -452,6 +467,11 @@ object Hdf5Write {
     require(frames.forall(_.xyz.length == 3 * n),
       "all frames must have the same atom count")
     val fCount = frames.size
+    val lh5Bytes = fCount.toLong * n * 3 * 4
+    require(lh5Bytes * 2 + (1L << 20) <= Int.MaxValue - 8,
+      s"lh5 write: $fCount frames x $n atoms is $lh5Bytes staging " +
+        "bytes; the single-file in-memory assembly bound is ~1 GB — " +
+        "shard the write")
     val dims = Seq(fCount.toLong, n.toLong, 3L)
     val all = new Array[Float](fCount * n * 3)
     frames.zipWithIndex.foreach { case (f, i) =>

@@ -311,6 +311,34 @@ class Hdf5FormatSpec extends AnyFunSuite {
     assert(odd == ((0x0500 << 16) | 0x0500))
   }
 
+  test("fletcher32 uses ones'-complement folding, not mod 65535 — a " +
+    "running sum at exactly 65535 keeps 0xFFFF as libhdf5 does") {
+    // single word 0xFFFF: sum1 = sum2 = 65535. HDF5's fold-with-carry
+    // keeps 0xFFFF; a mod-65535 reduction would zero both and reject
+    // any libhdf5-written chunk whose sums land on a multiple of 65535.
+    val one = Hdf5Format.fletcher32(Array[Byte](0xFF.toByte, 0xFF.toByte))
+    assert(one == 0xFFFFFFFF)
+    // two words 0xFFFF 0x0001: sum1 = 65536+... check against a direct
+    // ones'-complement reference model
+    def ref(words: Seq[Int]): Int = {
+      def fold(x: Long): Long = {
+        var v = x; while ((v >>> 16) != 0) v = (v & 0xFFFF) + (v >>> 16); v
+      }
+      var s1 = 0L; var s2 = 0L
+      words.foreach { w => s1 += w; s2 += s1 }
+      ((fold(s2) << 16) | fold(s1)).toInt
+    }
+    val data = Array[Byte](0xFF.toByte, 0xFF.toByte, 0, 1)
+    assert(Hdf5Format.fletcher32(data) == ref(Seq(0xFFFF, 0x0001)))
+    // long pseudo-random buffer: engine vs reference model agree word
+    // for word (exercises the periodic in-loop fold too)
+    val rnd = new scala.util.Random(42)
+    val big = Array.fill[Byte](200000)(rnd.nextInt(256).toByte)
+    val words = big.grouped(2).map(p =>
+      ((p(0) & 0xFF) << 8) | (p(1) & 0xFF)).toSeq
+    assert(Hdf5Format.fletcher32(big) == ref(words))
+  }
+
   test("defilter undoes shuffle+deflate in reverse pipeline order and " +
     "verifies fletcher32") {
     val raw = Array.tabulate[Byte](24)(i => (i * 7 + 1).toByte)
@@ -344,6 +372,20 @@ class Hdf5FormatSpec extends AnyFunSuite {
       Hdf5Format.defilter("t", corrupt, f2, 0, 1, raw.length)
     }
     assert(e.getMessage.contains("fletcher32"))
+  }
+
+  test("shuffle defilter unshuffles the n*sz body and passes a " +
+    "trailing remainder through verbatim (H5Zshuffle semantics)") {
+    // 10 bytes, elem size 4 → body 8 unshuffled, last 2 verbatim
+    val raw = Array.tabulate[Byte](10)(i => (i + 1).toByte)
+    val n = 2 // 8-byte body / 4
+    val shuffled = new Array[Byte](10)
+    for (bI <- 0 until 4; i <- 0 until n)
+      shuffled(bI * n + i) = raw(i * 4 + bI)
+    shuffled(8) = raw(8); shuffled(9) = raw(9)
+    val fs = Seq(Hdf5Format.Filter(Hdf5Format.FilterShuffle, Array(4)))
+    val back = Hdf5Format.defilter("t", shuffled, fs, 0, 4, 10)
+    assert(back.toSeq == raw.toSeq)
   }
 
   test("non-HDF5 bytes and unsupported features fail with clear " +
