@@ -128,4 +128,61 @@ object GeomKernels {
         if (cnt == 0) 0.0 else mx, cnt))
   }
 
+  /** One axis of a wide frame's per-row coordinate sum, accumulated in
+    * scaled BIGINT (coordinates are round(·,6), so ×10⁶ is integral):
+    * Σ round(xyz[i][axis] · 10⁶) over the frame's atoms, HALF_UP away
+    * from zero — the exact arithmetic of the SQL
+    * `aggregate(xyz, 0, (acc, a) -> acc + CAST(round(a[axis]*1e6, 0) AS
+    * BIGINT))` it replaces, but one codegen'd JVM loop per row instead
+    * of an interpreted lambda per ELEMENT (VERDICT r12 #6; the
+    * dot_scaled pattern). */
+  def xyzSumScaled(xyz: org.apache.spark.sql.catalyst.util.ArrayData,
+      axis: Int): Long = {
+    var acc = 0L
+    val n = xyz.numElements()
+    var i = 0
+    while (i < n) {
+      val s = xyz.getArray(i).getDouble(axis) * 1e6
+      acc += roundScaledLong(s)
+      i += 1
+    }
+    acc
+  }
+
+  /** SQL round(x, 0) semantics as a BIGINT — delegates to
+    * [[roundHalfUp]] (floor + tie compare, no `floor(x+0.5)`: that
+    * formulation misrounds 0.49999999999999994, whose +0.5 sum rounds
+    * up to exactly 1.0 in IEEE). */
+  @inline private def roundScaledLong(s: Double): Long =
+    roundHalfUp(s).toLong
+
+  /** One pass over a wide frame's atom MAP for the mass-weighted COM
+    * sums (VERDICT r12 #6, the com_wide analog of [[xyzSumScaled]]):
+    * Σ round(c·mass·10⁹) per axis plus Σ round(mass·10³), all scaled
+    * BIGINT — exactly the four interpreted `aggregate()` folds the r12
+    * trajComWide ran per row, now one codegen'd JVM loop. `masses` is
+    * the broadcast 1-indexed per-atom mass array (atoms are the
+    * physically bounded axis, TrajModel.positions scaladoc). */
+  def comSumsScaled(atoms: org.apache.spark.sql.catalyst.util.MapData,
+      masses: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val keys = atoms.keyArray()
+    val vals = atoms.valueArray()
+    var sxm = 0L; var sym = 0L; var szm = 0L; var sm = 0L
+    val n = atoms.numElements()
+    var i = 0
+    while (i < n) {
+      val aid = keys.getLong(i).toInt
+      val m = masses.getDouble(aid - 1) // element_at is 1-based
+      val st = vals.getStruct(i, 3)
+      sxm += roundScaledLong(st.getDouble(0) * m * 1e9)
+      sym += roundScaledLong(st.getDouble(1) * m * 1e9)
+      szm += roundScaledLong(st.getDouble(2) * m * 1e9)
+      sm += roundScaledLong(m * 1e3)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sxm, sym, szm, sm))
+  }
+
 }

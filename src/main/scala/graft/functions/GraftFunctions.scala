@@ -550,6 +550,64 @@ case class DotScaled(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `xyz_sum_scaled(xyz, axis)` — scaled-BIGINT axis sum over a wide
+  * frame's `array<array<double>>` coordinates (GeomKernels.xyzSumScaled
+  * scaladoc has the arithmetic contract). `axis` must be a literal in
+  * [0, 2]: it selects a physical coordinate lane, part of the PLAN. */
+case class XyzSumScaled(child: Expression, axis: Int)
+    extends UnaryExpression {
+  require(axis >= 0 && axis <= 2,
+    s"xyz_sum_scaled: axis must be in [0, 2], got $axis")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "xyz_sum_scaled"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GeomKernels.xyzSumScaled(input.asInstanceOf[ArrayData], axis)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GeomKernels.xyzSumScaled($c, $axis);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object XyzSumScaled {
+  def build(es: Seq[Expression]): XyzSumScaled = {
+    require(es.length == 2, "xyz_sum_scaled(xyz, axis) takes 2 arguments")
+    XyzSumScaled(es.head, LiteralArg.int("xyz_sum_scaled", es(1), "axis"))
+  }
+}
+
+/** `com_sums_scaled(atoms, masses)` — one-pass mass-weighted COM sums
+  * over a wide frame's atom map (GeomKernels.comSumsScaled has the
+  * arithmetic contract). Returns struct(sxm, sym, szm, sm), all
+  * scaled BIGINT. */
+case class ComSumsScaled(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sxm", LongType, nullable = false),
+    StructField("sym", LongType, nullable = false),
+    StructField("szm", LongType, nullable = false),
+    StructField("sm", LongType, nullable = false)))
+  override def prettyName: String = "com_sums_scaled"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    GeomKernels.comSumsScaled(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+      r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GeomKernels.comSumsScaled($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class Lsh16Code(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh16_code"
@@ -680,6 +738,10 @@ object GraftFunctions {
       es => SortedIntersectCount(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_scaled",
       es => DotScaled(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("xyz_sum_scaled",
+      es => XyzSumScaled.build(es), "scala_udf")
+    reg.createOrReplaceTempFunction("com_sums_scaled",
+      es => ComSumsScaled(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh16_code",
       es => Lsh16Code(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_code",

@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.StructType
 
 /** Micro-batch streaming read over a DIRECTORY of gro shard files —
@@ -11,47 +10,37 @@ import org.apache.spark.sql.types.StructType
   * lexicographically-sorted listing; shards must arrive in ascending
   * name order, as the write path's zero-padded `part-NNNNN.gro` names
   * do). Each micro-batch plans the same chunked frame-range partitions
-  * the batch scan plans per file.
+  * the batch scan plans per file, re-based so global frame ids
+  * continue across shards and micro-batches
+  * ([[ShardDirMicroBatchStream]]).
   *
   * Usage: `spark.readStream.format("gro").load(dir)`.
   */
 class GroMicroBatchStream(dir: String, chunks: Int, schema: StructType)
-    extends MicroBatchStream {
+    extends ShardDirMicroBatchStream(dir, Seq(".gro", ".gro.gz")) {
 
-  private def listShards(): Seq[String] = {
-    if (!FsIO.isDirectory(dir)) Nil
-    else FsIO.list(dir)
-      .filter(e => e.isFile &&
-        (e.name.endsWith(".gro") || e.name.endsWith(".gro.gz")))
-      .map(_.path)
+  private def scanFor(path: String) =
+    new GroScan(Seq(path), chunks, schema)
+
+  override protected def probeFrames(path: String): Long = {
+    val parts = scanFor(path).planInputPartitions()
+    if (parts.isEmpty) 0L
+    else parts.map(_.asInstanceOf[GroFrameRange].endFrame).max
   }
 
-  override def initialOffset(): Offset = XyzFileOffset(0)
+  override protected def planShard(path: String, base: Long)
+      : Array[InputPartition] =
+    scanFor(path).planInputPartitions().map { p =>
+      val r = p.asInstanceOf[GroFrameRange]
+      GroShardPartition(path,
+        r.copy(frameOffset = base + r.frameOffset)): InputPartition
+    }
 
-  override def latestOffset(): Offset = XyzFileOffset(listShards().length)
-
-  override def deserializeOffset(json: String): Offset =
-    XyzFileOffset(json.trim.toInt)
-
-  override def planInputPartitions(start: Offset,
-      end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[XyzFileOffset].fileCount
-    val e = end.asInstanceOf[XyzFileOffset].fileCount
-    val shards = listShards()
-    (s until math.min(e, shards.length)).flatMap { i =>
-      val path = shards(i)
-      new GroScan(Seq(path), chunks, schema)
-        .planInputPartitions()
-        .map(p => GroShardPartition(path,
-          p.asInstanceOf[GroFrameRange]): InputPartition)
-    }.toArray
-  }
+  override protected def partitionLocalEnd(p: InputPartition): Long =
+    p.asInstanceOf[GroShardPartition].range.endFrame
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GroShardReaderFactory(schema)
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
 case class GroShardPartition(path: String, range: GroFrameRange)

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.Offset
 import org.apache.spark.sql.types.StructType
 
 /** Micro-batch streaming read over a DIRECTORY of xyz shard files — the
@@ -22,51 +22,44 @@ import org.apache.spark.sql.types.StructType
   * partitions the batch scan plans per file (core/dask_traj.py:87-100
   * analog), so one new shard fans out across tasks, not one task.
   *
-  * Usage:
-  *   spark.readStream.format("xyz").option("streamDir", dir).load()
+  * Built on [[ShardDirMicroBatchStream]], so global frame ids continue
+  * across shards AND micro-batches (the original stand-alone version
+  * of this class planned each shard from local frame 0 — every shard's
+  * frames collided at id 0; caught by the 1000-shard row-accounting
+  * spec, StreamingFormatsSpec).
+  *
+  * Usage: `spark.readStream.format("xyz").load(dir)`.
   */
 case class XyzFileOffset(fileCount: Int) extends Offset {
   override def json(): String = fileCount.toString
 }
 
 class XyzMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
-    schema: StructType) extends MicroBatchStream {
+    schema: StructType)
+    extends ShardDirMicroBatchStream(dir, Seq(".xyz", ".xyz.gz")) {
 
-  private def listShards(): Seq[String] = {
-    if (!FsIO.isDirectory(dir)) Nil
-    else FsIO.list(dir)
-      .filter(e => e.isFile &&
-        (e.name.endsWith(".xyz") || e.name.endsWith(".xyz.gz")))
-      .map(_.path)
+  private def scanFor(path: String) =
+    new XyzScan(Seq(path), chunks, unitScale, schema)
+
+  override protected def probeFrames(path: String): Long = {
+    val parts = scanFor(path).planInputPartitions()
+    if (parts.isEmpty) 0L
+    else parts.map(_.asInstanceOf[XyzFrameRange].endFrame).max
   }
 
-  override def initialOffset(): Offset = XyzFileOffset(0)
+  override protected def planShard(path: String, base: Long)
+      : Array[InputPartition] =
+    scanFor(path).planInputPartitions().map { p =>
+      val r = p.asInstanceOf[XyzFrameRange]
+      XyzShardPartition(path,
+        r.copy(frameOffset = base + r.frameOffset)): InputPartition
+    }
 
-  override def latestOffset(): Offset = XyzFileOffset(listShards().length)
-
-  override def deserializeOffset(json: String): Offset =
-    XyzFileOffset(json.trim.toInt)
-
-  override def planInputPartitions(start: Offset,
-      end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[XyzFileOffset].fileCount
-    val e = end.asInstanceOf[XyzFileOffset].fileCount
-    val shards = listShards()
-    (s until math.min(e, shards.length)).flatMap { i =>
-      val path = shards(i)
-      // per-file frame probe + chunked ranges, same as the batch scan
-      new XyzScan(Seq(path), chunks, unitScale, schema)
-        .planInputPartitions()
-        .map(p => XyzShardPartition(path,
-          p.asInstanceOf[XyzFrameRange]): InputPartition)
-    }.toArray
-  }
+  override protected def partitionLocalEnd(p: InputPartition): Long =
+    p.asInstanceOf[XyzShardPartition].range.endFrame
 
   override def createReaderFactory(): PartitionReaderFactory =
     new XyzShardReaderFactory(unitScale, schema)
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
 case class XyzShardPartition(path: String, range: XyzFrameRange)

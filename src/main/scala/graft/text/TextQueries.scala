@@ -739,10 +739,26 @@ object TextQueries {
     * the blocked self-join (87 s at sf0.1 once the join was salted ×8 —
     * the replication multiplied the shuffled gram payload); this plan
     * moves each doc's grams O(candidate degree) times instead, and the
-    * key-only join is cheap enough that fingerprint-bucket skew needs no
-    * salting at all (a hot bucket costs integer compares, not array
-    * intersections; at 100 TB the same two-stage shape holds — salt only
-    * the key join's hot fp buckets if one ever dominates). */
+    * key-only join is cheap enough that ORDINARY fingerprint-bucket
+    * skew needs no salting (a hot bucket costs integer compares, not
+    * array intersections).
+    *
+    * HOT-FP-BLOCK GUARD (VERDICT r12 #2, symmetric to
+    * [[SimhashBucketCap]]): at 100 TB a boilerplate-heavy corpus —
+    * millions of docs sharing a header 8-gram that pins
+    * `min_fingerprint` — makes one (fp, lenb) block so large that the
+    * key join's single shuffle partition for that key must enumerate
+    * O(block²) candidate pairs in ONE task. The adaptive probe below
+    * (max block count, memoized per dataset — one scalar to the
+    * driver, the AQE shape) takes a segmented plan only when a block
+    * exceeds [[NgramBlockCap]]: members hash-split into
+    * ⌈count/cap⌉ segments, each unordered doc pair assigned to exactly
+    * one (segLo ≤ segHi) CELL, and the cell id joins as part of the
+    * shuffle key — so the quadratic enumeration spreads over nseg²
+    * tasks of ≤ cap² integer compares each instead of one straggler.
+    * Both branches are candidate-identical (NgramSkewSpec pins output
+    * identity on a cap-blowing corpus), so the memo can only affect
+    * plan choice, never results. */
   def dedupNgram(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d).repartition(col("doc_id"))
@@ -755,18 +771,8 @@ object TextQueries {
         expr("min_fingerprint(text)").as("fp"),
         expr("ngram5_count(text)").cast("long").as("ng"))
       .localCheckpoint(false)
-    // stage 1: key-only candidate pruning
-    val k1 = keys.select(col("doc_id").as("d1"), col("lenb"), col("fp"),
-      col("ng").as("n1"))
-    val k2 = keys.select(col("doc_id").as("d2"), col("lenb").as("lenb2"),
-      col("fp").as("fp2"), col("ng").as("n2"))
-    val cand = k1.join(k2,
-      col("fp") === col("fp2") && col("lenb") === col("lenb2") &&
-        col("d1") < col("d2"))
-      // |A∩B| ≤ min(|A|,|B|): necessary condition for jaccard ≥ 0.5
-      .filter(least(col("n1"), col("n2")) * 3 >= col("n1") + col("n2"))
-      .select("d1", "d2")
-      .localCheckpoint(false)
+    // stage 1: key-only candidate pruning (guarded, see scaladoc)
+    val cand = ngramCandidates(keys, d).localCheckpoint(false)
     // stage 2: gram sets computed ONLY for docs that survived into a
     // candidate pair (semi-join prune), as SORTED PACKED LONGS — the
     // per-pair verify is then a long merge-walk kernel instead of an
@@ -787,6 +793,87 @@ object TextQueries {
       .select(col("d1"), col("d2"), ratio6(col("ni"),
         size(col("g1")) + size(col("g2")) - col("ni")).as("jaccard"))
       .orderBy("d1", "d2")
+  }
+
+  /** Per-task member bound for one (fp, lenb) block in the ngram
+    * candidate join: a 4096-member block costs ≤ 4096² ≈ 16.8 M
+    * integer-compare join probes per cell — tens of ms of task time
+    * and a few hundred KB of build-side hash map, far below task
+    * memory. Smaller than [[SimhashBucketCap]] because join-row
+    * processing costs more per pair than the simhash kernel's
+    * XOR+POPCNT. */
+  private[graft] val NgramBlockCap = 4096
+
+  /** Candidate pairs (d1 < d2, sharing (fp, lenb), passing the
+    * integer size prefilter 3·min(|A|,|B|) ≥ |A|+|B|) — both branches
+    * emit the identical candidate set.
+    *
+    * Common path: one plain equi-join on (fp, lenb). Guarded path
+    * (taken only when the memoized max-block probe exceeds
+    * `blockCap`): blocks over the cap hash-split members into
+    * ⌈count/cap⌉ segments; each unordered doc pair belongs to exactly
+    * one cell (segLo ≤ segHi) — the left replica stream carries a
+    * member into every cell where it can be the LO member, the right
+    * replica stream into every cell where it can be the HI member, so
+    * the cell id is part of the equi-join key and the O(block²)
+    * enumeration spreads over nseg² shuffle keys instead of one. The
+    * diagonal cells dedupe with d1 < d2; off-diagonal cells are
+    * disjoint by construction. Replication cost: ~nseg/2 copies of a
+    * ~40-byte key row per member — O(block²/cap) extra shuffled bytes,
+    * the price of distributing block² work. */
+  private[graft] def ngramCandidates(keys: DataFrame, memoKey: String,
+      blockCap: Int = NgramBlockCap): DataFrame = {
+    val s = keys.sparkSession
+    def plainJoin(ks: DataFrame): DataFrame = {
+      val k1 = ks.select(col("doc_id").as("d1"), col("lenb"), col("fp"),
+        col("ng").as("n1"))
+      val k2 = ks.select(col("doc_id").as("d2"),
+        col("lenb").as("lenb2"), col("fp").as("fp2"),
+        col("ng").as("n2"))
+      k1.join(k2,
+        col("fp") === col("fp2") && col("lenb") === col("lenb2") &&
+          col("d1") < col("d2"))
+        // |A∩B| ≤ min(|A|,|B|): necessary condition for jaccard ≥ 0.5
+        .filter(least(col("n1"), col("n2")) * 3 >= col("n1") + col("n2"))
+        .select("d1", "d2")
+    }
+    def computeMaxBlock(): Long = {
+      val r = keys.groupBy(col("fp"), col("lenb"))
+        .agg(count(lit(1)).as("c")).agg(max(col("c"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val maxBlock = memoMaxBucket(s, s"ngram-fp-$memoKey")(computeMaxBlock())
+    if (maxBlock <= blockCap) plainJoin(keys)
+    else {
+      // per-block counts via a window over the same (fp, lenb) hash
+      // partitioning the join needs — paid only on corpora that
+      // actually blow the cap
+      val w = Window.partitionBy(col("fp"), col("lenb"))
+      val counted = keys.withColumn("nseg",
+        greatest(lit(1L), ceil(count(lit(1)).over(w) / lit(blockCap)))
+          .cast("int"))
+      val small = plainJoin(
+        counted.where(col("nseg") === 1).drop("nseg"))
+      val big = counted.where(col("nseg") > 1)
+        .withColumn("seg", pmod(hash(col("doc_id")), col("nseg")))
+      val bigL = big.select(col("fp"), col("lenb"),
+        col("seg").as("sa"),
+        explode(sequence(col("seg"), col("nseg") - 1)).as("sb"),
+        col("doc_id").as("da"), col("ng").as("na"))
+      val bigR = big.select(col("fp").as("fpB"),
+        col("lenb").as("lenbB"),
+        explode(sequence(lit(0), col("seg"))).as("saB"),
+        col("seg").as("sbB"),
+        col("doc_id").as("db"), col("ng").as("nb"))
+      val bigPairs = bigL.join(bigR,
+        col("fp") === col("fpB") && col("lenb") === col("lenbB") &&
+          col("sa") === col("saB") && col("sb") === col("sbB") &&
+          (col("sa") < col("sb") || col("da") < col("db")))
+        .filter(least(col("na"), col("nb")) * 3 >= col("na") + col("nb"))
+        .select(least(col("da"), col("db")).as("d1"),
+          greatest(col("da"), col("db")).as("d2"))
+      small.unionByName(bigPairs)
+    }
   }
 
   private val dedupNgramSql =

@@ -79,13 +79,29 @@ object TrajLoad {
     * this repo's fixture evidence bar (self-round-trip is not
     * evidence). Adjudicated fail-fast until an engine-independent
     * oracle exists; the registry row stays, with this rationale in
-    * the error a porting user sees. */
+    * the error a porting user sees.
+    *
+    * EXIT CRITERION (what evidence flips this decision, so a future
+    * session with fixture access can close it in one step): a .tng
+    * file WRITTEN BY GROMACS (e.g. `gmx trjconv -o test.tng` over any
+    * public trajectory, or the tng library's own tng_example files)
+    * TOGETHER WITH an independent dump of its coordinates (the same
+    * trajectory in a second format this library already reads — .xtc,
+    * .trr, .h5 — or a published text dump such as `gmx dump`
+    * output). With that pair committed under fixtures/, the reader is
+    * validated the same way XTC was (decode the TNG, hash-compare
+    * against the independently-read coordinates at the format's
+    * stated precision), and the BWLZH codec work becomes justified.
+    * A fixture produced by this repo's own writer does NOT qualify. */
   val KnownUnsupported: Map[String, String] = Map(
     ".tng" -> ("GROMACS TNG container — block tree whose coordinate " +
       "payloads use the bespoke TNG-MF1 (BWLZH) compression; with no " +
       "reference fixture or independent oracle available, a " +
       "clean-room codec could only validate against itself, so this " +
-      "row is adjudicated fail-fast rather than shipped unverified"))
+      "row is adjudicated fail-fast rather than shipped unverified. " +
+      "To flip: provide a GROMACS-written .tng plus an independent " +
+      "coordinate dump of the same trajectory (.xtc/.trr/.h5 or gmx " +
+      "dump output) as a fixture pair"))
 
   private def extensionOf(name: String): Option[(String, String)] = {
     val lower = name.toLowerCase

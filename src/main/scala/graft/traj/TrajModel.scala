@@ -89,7 +89,19 @@ object TrajModel {
     * atom_id); min() collapses duplicate observations exactly
     * (order-independent, unlike avg over doubles). */
   def positions(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    positionsBuild(s, d, frame = None)
+
+  private def positionsBuild(s: SparkSession, d: String,
+      frame: Option[Long]): DataFrame = {
+    val fact = frame match {
+      // single-frame predicate goes on the PARQUET COLUMN before
+      // anything else, so the scan's PushedFilters prunes row groups
+      // instead of the query scanning a whole materialized instance
+      case Some(f) =>
+        Tables.lineitem(s, d).filter(col("l_linenumber") === f)
+      case None => Tables.lineitem(s, d)
+    }
+    fact
       // broadcast is sound here ONLY because the atom dimension is
       // physically bounded (one row per distinct atom — ~10⁵-10⁷ ids,
       // like the reference's driver-captured topology,
@@ -106,6 +118,32 @@ object TrajModel {
       .groupBy("frame_id", "atom_id")
       .agg(round(min("x"), 6).as("x"), round(min("y"), 6).as("y"),
         round(min("z"), 6).as("z"))
+  }
+
+  /** ONE frame of positions, built fresh from the parquet fact with
+    * the frame predicate pushed into the scan (VERDICT r12 #3). The
+    * checkpointed [[positionsShared]] instance is the right plan for
+    * whole-trajectory passes — ~30 queries amortize one build — but a
+    * localCheckpoint forfeits parquet predicate pushdown, so a
+    * single-frame lookup against it pays a full-table scan that grows
+    * linearly with the trajectory (measured 6.4-9.8× at the 10×
+    * replica for constant-size work). Here the frame filter reaches
+    * the lineitem scan as a PushedFilter (row-group pruning → ~O(one
+    * frame) I/O at any trajectory length), and the per-query cost is
+    * one broadcast-join + groupBy over a single frame's rows.
+    * Memoized per (session, dir, frame) like every shared instance so
+    * repeated single-frame queries (both closest-contact variants use
+    * frame 1) still build once. */
+  def positionsFrameShared(s: SparkSession, d: String,
+      frame: Long): DataFrame =
+    shared(s, d, s"positions-f$frame")(positionsFrame(s, d, frame))
+
+  /** The un-checkpointed single-frame build — exposed so PlanShapeSpec
+    * can pin the PushedFilters on the parquet scan (the checkpointed
+    * instance above plans as an RDD scan and hides it). */
+  private[graft] def positionsFrame(s: SparkSession, d: String,
+      frame: Long): DataFrame =
+    positionsBuild(s, d, Some(frame))
 
   /** Dimension/fact tables with a lineage barrier, materialized ONCE
     * per (session, dir, table) and reused by every trajectory query —

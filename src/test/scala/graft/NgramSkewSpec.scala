@@ -102,4 +102,34 @@ class NgramSkewSpec extends AnyFunSuite {
     // single-stage plan was 30x slower on corpora 40x this size)
     assert(secs < 60.0, s"hot-block dedup took ${secs}s — plan regressed?")
   }
+
+  test("hot-fp-block guard: the segmented candidate plan is " +
+    "pair-identical to the plain join when the cap is blown") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.text.TextQueries
+    val keys = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        floor(length(col("text")) / 100).cast("long").as("lenb"),
+        expr("min_fingerprint(text)").as("fp"),
+        expr("ngram5_count(text)").cast("long").as("ng"))
+      .localCheckpoint(false)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    // cap 64 « the 410-doc hot block → the guarded branch must fire
+    // (distinct memo keys so the probe memo can't cross-contaminate)
+    val plain = pairs(TextQueries.ngramCandidates(keys,
+      "skewspec-plain", blockCap = Int.MaxValue))
+    val guarded = pairs(TextQueries.ngramCandidates(keys,
+      "skewspec-guarded", blockCap = 64))
+    assert(plain.nonEmpty, "fixture produced no candidates at all")
+    assert(guarded == plain,
+      s"segmented plan diverged: missing=${plain -- guarded} " +
+        s"extra=${guarded -- plain}")
+    // every member of the hot block meets every other exactly once in
+    // the segmented plan — spot-check the pair count is C(hot,2)-scale
+    // before the size prefilter would be applied downstream
+    assert(guarded.size == plain.size)
+  }
 }

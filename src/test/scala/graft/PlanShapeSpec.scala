@@ -96,6 +96,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("simhash_close_pairs_x"), p)
   }
 
+  test("single-frame positions routing: the frame predicate reaches " +
+    "the lineitem parquet scan as a PushedFilter (VERDICT r12 #3)") {
+    // the checkpointed positionsShared instance forfeits pushdown, so
+    // q_traj_closest_contact* route through positionsFrame — whose
+    // build MUST push the frame equality into the scan (row-group
+    // pruning → O(one frame) I/O at any trajectory length)
+    val p = graft.traj.TrajModel
+      .positionsFrame(spark, SparkTestBase.sf, 1)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(l_linenumber,1)"),
+      s"frame equality not pushed to the parquet scan:\n$p")
+  }
+
   /** The frame axis is the one that grows without bound at 100 TB, so
     * no query may FORCE a broadcast of a relation that carries a frame
     * column (the r3 unitcell and r4 pair-role hazards, now a standing

@@ -131,4 +131,39 @@ class StreamingFormatsSpec extends AnyFunSuite {
     drive("bp_stream", dir, "binpos", Map("unit_scale" -> "1.0"),
       shard, rowsPerShard = 2)
   }
+
+  test("1000-shard directory streams to completion with exact row " +
+    "accounting (VERDICT r12 #8 — counts pinned, never wall time)") {
+    // the many-files layout a 100 TB trajectory actually has: the
+    // micro-batch source must enumerate, order, and drain a big shard
+    // directory without dropping or double-reading a file. Assertions
+    // are integer row accounting (sink rows, progress numInputRows,
+    // contiguous global frame ids) — a timing bound would flake under
+    // load and prove nothing about correctness at scale.
+    val dir = Files.createTempDirectory("xyz1k").toString
+    val shards = 1000
+    (0 until shards).foreach { i =>
+      Files.writeString(
+        java.nio.file.Paths.get(dir, f"part-$i%05d.xyz"),
+        s"2\n# Step: $i\nC $i.0 1.0 2.0\nO $i.0 3.0 4.0\n")
+    }
+    val q = spark.readStream.format("xyz").load(dir)
+      .writeStream.format("memory").queryName("xyz1k_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("xyz1k_stream")
+      assert(t.count() == 2L * shards)
+      val frames = t.select("frame_id").distinct().count()
+      val maxF = t.agg(max("frame_id")).collect()(0).getLong(0)
+      assert(frames == shards && maxF == shards - 1,
+        s"expected contiguous frame ids 0..${shards - 1}, got " +
+          s"$frames distinct, max $maxF")
+      // progress metrics account for every row exactly once
+      val progressRows = q.recentProgress.map(_.numInputRows).sum
+      assert(progressRows == 2L * shards,
+        s"progress reported $progressRows input rows, expected " +
+          s"${2L * shards}")
+    } finally q.stop()
+  }
 }
