@@ -58,7 +58,17 @@ object Bench {
         .split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "unavailable" }
     val loadStart = loadavg()
+    // optional subset (comma-separated names): scale probes bench the
+    // expensive tail without paying the whole suite at every factor
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
+    subset.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_QUERIES names unknown queries: $unknown")
+    }
     val passes = (1 to reps).map { _ =>
       named.map { case (name, fn) =>
         val cg0 = graft.util.CodegenErrors.snapshot()

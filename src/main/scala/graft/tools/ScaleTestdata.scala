@@ -29,7 +29,10 @@ object ScaleTestdata {
     // the text translation cycles with the alphabet length: copy 12
     // would translate identically to copy 0 and silently reintroduce
     // the exact-duplicate artifact the translation exists to prevent
-    val tables = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    // an empty/blank arg means "all tables" (lets callers reach the
+    // alphabet positional without restricting the table set)
+    val tables = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
     val alpha = args.lift(4).getOrElse("etaoinshrdlu")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -143,11 +146,17 @@ object ScaleTestdata {
         // Rotation alone was measured (r12 100x probe) leaving rotated
         // copies of clustered vectors genuinely near-dup — the answer
         // set grew ~n² across copies, a replica artifact of the same
-        // class the documents translation exists to prevent. Patterns
-        // compose across replica stages as elementwise products of
-        // independent hashes — distinct for distinct copy pairs — so
-        // x10-of-x10 stays artifact-free. Copy 0 is bit-identical to
-        // the source.
+        // class the documents translation exists to prevent.
+        // The hash is SALTED WITH THE STAGE ALPHABET (r13): with an
+        // unsalted hash(copy, i), stage-1 copy (k, 0) and stage-2 copy
+        // (0, k) of an x10-of-x10 compose to the IDENTICAL transform
+        // (copy 0 is the identity in both stages and the same copy
+        // index draws the same sign pattern), planting 9 full
+        // exact-duplicate table pairs at 100x. Stages already pass
+        // disjoint alphabets for the text translation, so the same
+        // string makes every stage's sign family independent and all
+        // cross-stage compositions distinct. Copy 0 is bit-identical
+        // to the source.
         val rotated =
           "concat(" +
             "slice(embedding, (CAST(__copy AS INT) * 7) " +
@@ -158,7 +167,8 @@ object ScaleTestdata {
         out = out.withColumn("embedding", expr(
           s"CASE WHEN __copy = 0 THEN embedding ELSE " +
             s"transform($rotated, (x, i) -> x * CAST(1 - 2 * " +
-            "abs(hash(CAST(__copy AS INT), i) % 2) AS FLOAT)) END"))
+            s"abs(hash(CAST(__copy AS INT), i, '$alpha') % 2) " +
+            "AS FLOAT)) END"))
       }
       // write the many-files layout real data has: a single output
       // file serializes downstream scans into one task and fakes a

@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Merge a scaled-replica Bench run with a same-code sf0.1 run into a
+BENCH_sfN.json artifact: per-query seconds at both scales, the ratio,
+a per-query ratio BUDGET, and the flagged_super_linear gate.
+
+Usage: mk_bench_scale.py <bench_big_raw.json> <bench_base_raw.json>
+                         <out> <factor>
+
+Default budget: at fixed local[32] parallelism, FACTORx data should
+cost <= FACTORx plus shuffle/spill overhead -> budget ratio is
+1.2*FACTOR, and a flag additionally requires the big side to cost
+>= 2 s (sub-second baselines are noise-dominated: the JVM/scheduling
+floor is ~0.1-0.3 s, so a 0.2 s -> 2.5 s "12.5x" at 10x is floor
+arithmetic, not a scaling pathology).
+
+Per-query OVERRIDES document the cases where the honest budget is not
+linear-in-data, with the reason recorded in the artifact itself so a
+reader never mistakes an exemption for an oversight.
+"""
+import json
+import sys
+
+# name -> (budget_ratio_fn(factor), reason)
+OVERRIDES = {
+    # The TRUE answer is Theta(n^2): the synthetic embeddings are
+    # isotropic with a ~5e-4 base rate of cos >= 0.4, so found pairs
+    # grow quadratically (r12 100x probe: 154 -> 1.75M pairs while
+    # per-found-pair cost FELL ~70x). No algorithm is sub-quadratic on
+    # this corpus at this threshold; budget the ANSWER, not the plan.
+    "q_sim_neardup_lsh": (lambda f: 1.2 * f * f,
+                          "answer-bound: found-pair count is Theta(n^2) "
+                          "on the isotropic corpus (ROUND_NOTES r12 #5)"),
+}
+
+
+def main():
+    big = json.load(open(sys.argv[1]))
+    base = json.load(open(sys.argv[2]))
+    out_path = sys.argv[3]
+    factor = float(sys.argv[4])
+    qa, qb = big["queries"], base["queries"]
+    rows = {}
+    flagged = []
+    for name in sorted(qa):
+        sN, s0 = qa[name], qb.get(name)
+        ratio = round(sN / s0, 2) if s0 else None
+        budget_fn, reason = OVERRIDES.get(
+            name, (lambda f: 1.2 * f, None))
+        budget = round(budget_fn(factor), 1)
+        rows[name] = {"big_sec": round(sN, 3),
+                      "sf01_sec": round(s0, 3) if s0 is not None else None,
+                      "ratio": ratio, "budget": budget}
+        if reason:
+            rows[name]["budget_reason"] = reason
+        if ratio is not None and ratio > budget and sN >= 2.0:
+            flagged.append(name)
+    out = {
+        "metric": f"total_x{int(factor)}",
+        "value": big["value"],
+        "unit": "sec",
+        "big_dir": big.get("sf"),
+        "factor": factor,
+        "sf01_total": base["value"],
+        "total_ratio": round(big["value"] / base["value"], 2),
+        "loadavg": {"big": [big.get("loadavg_start"), big.get("loadavg_end")],
+                    "sf01": [base.get("loadavg_start"),
+                             base.get("loadavg_end")]},
+        "codegen_error_total": [big.get("codegen_error_total"),
+                                base.get("codegen_error_total")],
+        "errors": [big.get("errors"), base.get("errors")],
+        "flag_rule": "ratio > per-query budget (default 1.2*factor) "
+                     "and big >= 2s",
+        "flagged_super_linear": flagged,
+        "queries": rows,
+    }
+    json.dump(out, open(out_path, "w"), indent=1)
+    worst = sorted((r["ratio"], n) for n, r in rows.items()
+                   if r["ratio"] is not None)[-10:]
+    print(f"total {big['value']:.1f}s vs sf0.1 {base['value']:.1f}s "
+          f"(ratio {out['total_ratio']}, factor {factor:g})")
+    print("worst ratios:")
+    for r, n in reversed(worst):
+        print(f"  {n}: {rows[n]['sf01_sec']}s -> {rows[n]['big_sec']}s "
+              f"({r}x, budget {rows[n]['budget']}x)")
+    print(f"flagged: {flagged}")
+
+
+if __name__ == "__main__":
+    main()
