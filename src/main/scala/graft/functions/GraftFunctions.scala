@@ -529,6 +529,93 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `ngram_close_pairs(members)` — group-local n-gram Jaccard verify
+  * over one gathered (fp, lenb) block
+  * (HashKernels.ngramClosePairs scaladoc has the shuffle argument).
+  * members: array<struct<doc_id: bigint, grams: array<bigint>>>. */
+case class NgramClosePairs(child: Expression) extends UnaryExpression {
+  private def memberOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(fs), false) =>
+      fs.length == 2 && fs(0).dataType == LongType &&
+        (fs(1).dataType match {
+          case ArrayType(LongType, _) => true
+          case _ => false
+        })
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (memberOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRUCT<BIGINT, ARRAY<BIGINT>>> " +
+        s"with non-null elements, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d1", LongType, nullable = false),
+    StructField("d2", LongType, nullable = false),
+    StructField("ni", LongType, nullable = false),
+    StructField("den", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ngram_close_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.ngramClosePairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.ngramClosePairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** `ngram_close_pairs_x(ma, mb, same)` — the segment-cell twin (all
+  * cross pairs, or i < j within ma when `same`). */
+case class NgramClosePairsX(a: Expression, b: Expression,
+    same: Expression) extends TernaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = same
+
+  private def memberOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(fs), false) =>
+      fs.length == 2 && fs(0).dataType == LongType &&
+        (fs(1).dataType match {
+          case ArrayType(LongType, _) => true
+          case _ => false
+        })
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (memberOk(a.dataType) && memberOk(b.dataType) &&
+        same.dataType == BooleanType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<STRUCT<BIGINT, ARRAY<BIGINT>>> " +
+        "member lists and a BOOLEAN, got " +
+        s"(${a.dataType.simpleString}, ${b.dataType.simpleString}, " +
+        s"${same.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("d1", LongType, nullable = false),
+    StructField("d2", LongType, nullable = false),
+    StructField("ni", LongType, nullable = false),
+    StructField("den", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "ngram_close_pairs_x"
+
+  override protected def nullSafeEval(ma: Any, mb: Any, sm: Any): Any =
+    HashKernels.ngramClosePairsCross(ma.asInstanceOf[ArrayData],
+      mb.asInstanceOf[ArrayData], sm.asInstanceOf[Boolean])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ma, mb, sm) =>
+      s"${ev.value} = graft.functions.HashKernels.ngramClosePairsCross(" +
+        s"$ma, $mb, $sm);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(a = newFirst, b = newSecond, same = newThird)
+}
+
 case class DotScaled(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -742,6 +829,10 @@ object GraftFunctions {
       es => XyzSumScaled.build(es), "scala_udf")
     reg.createOrReplaceTempFunction("com_sums_scaled",
       es => ComSumsScaled(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_close_pairs",
+      es => NgramClosePairs(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_close_pairs_x",
+      es => NgramClosePairsX(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh16_code",
       es => Lsh16Code(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_code",

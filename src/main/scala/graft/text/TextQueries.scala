@@ -720,7 +720,6 @@ object TextQueries {
       |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------- ngram jaccard
-
   /** Char-5-gram Jaccard near-dup detection with winnowing-style
     * blocking (SURVEY §2.10 n-gram Jaccard): candidates must share BOTH
     * the min-8-gram fingerprint (near-dups almost surely keep the
@@ -729,151 +728,122 @@ object TextQueries {
     * blocking alone left Σ block² ≈ corpus²/6 here — measured 1120 s at
     * sf0.1 before the fingerprint key was added.
     *
-    * Two-stage plan (the 100 TB shape): candidate generation self-joins
-    * ONLY the lightweight key columns (fp, lenb, |grams|) — a few dozen
-    * bytes per row — and applies the size prefilter
-    * (3·min(|A|,|B|) ≥ |A|+|B| is necessary for J ≥ 0.5) before any
-    * gram array moves. The surviving candidate pairs then fetch the two
-    * gram arrays back by doc_id equi-join for the exact Jaccard verify.
-    * Earlier single-stage versions shipped the full gram arrays through
-    * the blocked self-join (87 s at sf0.1 once the join was salted ×8 —
-    * the replication multiplied the shuffled gram payload); this plan
-    * moves each doc's grams O(candidate degree) times instead, and the
-    * key-only join is cheap enough that ORDINARY fingerprint-bucket
-    * skew needs no salting (a hot bucket costs integer compares, not
-    * array intersections).
+    * GATHER-KERNEL PLAN (r13, the 100 TB shape): ONE pass computes the
+    * blocking key and the doc's sorted packed-long gram set; blocks
+    * gather by (fp, lenb) with collect_list and the
+    * `ngram_close_pairs` kernel enumerates candidates, applies the
+    * exact-integer size prefilter (3·min(|A|,|B|) ≥ |A|+|B| is
+    * necessary for J ≥ 0.5) and runs the EARLY-ABORT merge walk
+    * in-task — each doc's gram array shuffles exactly ONCE into its
+    * block. History of this query's plans, all measured: single-stage
+    * blocked join shipping gram arrays per pair = 87-1120 s at sf0.1;
+    * r4-r12 two-stage (key-only candidate join, then arrays fetched
+    * per CANDIDATE by equi-join) = 1.7 s at sf0.1 but 97 s at the
+    * 100× replica — the r13 profile showed 97.9 of those 98 s in the
+    * verify joins, which replicated each array once per candidate
+    * (≈22.9 M candidates × ~8 KB ≈ 350 GB of shuffle; candidate
+    * degree ≈ 48 because corpus boilerplate 8-grams — digit/space
+    * grams the replica's letter translation cannot change, exactly
+    * C4's header/boilerplate regime — pin the same fingerprint across
+    * non-duplicate docs). The gather plan moves each array once
+    * (~4 GB at 100×) and rejects non-dup candidates with a walk that
+    * aborts the moment the remaining elements cannot reach the
+    * J ≥ 0.5 bound.
     *
     * HOT-FP-BLOCK GUARD (VERDICT r12 #2, symmetric to
-    * [[SimhashBucketCap]]): at 100 TB a boilerplate-heavy corpus —
-    * millions of docs sharing a header 8-gram that pins
-    * `min_fingerprint` — makes one (fp, lenb) block so large that the
-    * key join's single shuffle partition for that key must enumerate
-    * O(block²) candidate pairs in ONE task. The adaptive probe below
-    * (max block count, memoized per dataset — one scalar to the
-    * driver, the AQE shape) takes a segmented plan only when a block
-    * exceeds [[NgramBlockCap]]: members hash-split into
-    * ⌈count/cap⌉ segments, each unordered doc pair assigned to exactly
-    * one (segLo ≤ segHi) CELL, and the cell id joins as part of the
-    * shuffle key — so the quadratic enumeration spreads over nseg²
-    * tasks of ≤ cap² integer compares each instead of one straggler.
-    * Both branches are candidate-identical (NgramSkewSpec pins output
-    * identity on a cap-blowing corpus), so the memo can only affect
-    * plan choice, never results. */
-  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    * [[SimhashBucketCap]]): the adaptive max-block probe (memoized per
+    * dataset — one scalar to the driver, the AQE shape) switches to a
+    * segmented plan when a block exceeds [[NgramBlockCap]]: members
+    * hash-split into ⌈count/cap⌉ segments, every unordered pair lands
+    * in exactly one (segLo ≤ segHi) CELL, and the cell id is part of
+    * the join key — the O(block²) verify spreads over nseg² tasks of
+    * ≤ cap² pairs each instead of one straggler, and per-kernel-call
+    * member lists stay ≤ ~cap (memory bound). Both branches are
+    * output-identical (NgramSkewSpec pins it on a cap-blowing corpus),
+    * so the memo can only affect plan choice, never results. */
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    dedupNgramAt(s, d, NgramBlockCap)
+
+  /** Per-task member bound for one gathered (fp, lenb) block: 1024
+    * members is ≤ ~524k candidate pairs per kernel call, each an
+    * early-abort long merge walk (≪ popcount-cheap simhash, hence the
+    * smaller cap than [[SimhashBucketCap]]'s 8192), and ~8 MB of
+    * packed gram arrays per call — far below task memory. */
+  private[graft] val NgramBlockCap = 1024
+
+  /** Cap-parameterized body (the spec's identity-pin hook). */
+  private[graft] def dedupNgramAt(s: SparkSession, d: String,
+      blockCap: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d).repartition(col("doc_id"))
-    // stage 0: lightweight per-doc keys ONLY (fingerprint, length
-    // bucket, distinct-gram COUNT via a single-pass kernel) — the
-    // corpus-wide pass materializes ~40 bytes/doc, never gram arrays
-    val keys = docs
-      .select(col("doc_id"),
-        floor(length(col("text")) / 100).cast("long").as("lenb"),
-        expr("min_fingerprint(text)").as("fp"),
-        expr("ngram5_count(text)").cast("long").as("ng"))
-      .localCheckpoint(false)
-    // stage 1: key-only candidate pruning (guarded, see scaladoc)
-    val cand = ngramCandidates(keys, d).localCheckpoint(false)
-    // stage 2: gram sets computed ONLY for docs that survived into a
-    // candidate pair (semi-join prune), as SORTED PACKED LONGS — the
-    // per-pair verify is then a long merge-walk kernel instead of an
-    // interpreted string-array intersection (which dominated the query:
-    // 65k pairs × ~1.5k-string hash sets ≈ 9 s at sf0.1)
-    val candIds = cand.select(col("d1").as("doc_id"))
-      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
-    val grams = docs.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), expr("ngram5_packed(text)").as("grams"))
-      .localCheckpoint(false)
-    val g1 = grams.select(col("doc_id").as("d1"), col("grams").as("g1"))
-    val g2 = grams.select(col("doc_id").as("d2b"), col("grams").as("g2"))
-    cand.join(g1, "d1")
-      .join(g2, col("d2") === col("d2b"))
-      .withColumn("ni", expr("sorted_intersect_count(g1, g2)"))
-      // exact integer form of jaccard ≥ 0.5: 3·|∩| ≥ |A|+|B|
-      .filter(col("ni") * 3 >= size(col("g1")) + size(col("g2")))
-      .select(col("d1"), col("d2"), ratio6(col("ni"),
-        size(col("g1")) + size(col("g2")) - col("ni")).as("jaccard"))
-      .orderBy("d1", "d2")
-  }
-
-  /** Per-task member bound for one (fp, lenb) block in the ngram
-    * candidate join: a 4096-member block costs ≤ 4096² ≈ 16.8 M
-    * integer-compare join probes per cell — tens of ms of task time
-    * and a few hundred KB of build-side hash map, far below task
-    * memory. Smaller than [[SimhashBucketCap]] because join-row
-    * processing costs more per pair than the simhash kernel's
-    * XOR+POPCNT. */
-  private[graft] val NgramBlockCap = 4096
-
-  /** Candidate pairs (d1 < d2, sharing (fp, lenb), passing the
-    * integer size prefilter 3·min(|A|,|B|) ≥ |A|+|B|) — both branches
-    * emit the identical candidate set.
-    *
-    * Common path: one plain equi-join on (fp, lenb). Guarded path
-    * (taken only when the memoized max-block probe exceeds
-    * `blockCap`): blocks over the cap hash-split members into
-    * ⌈count/cap⌉ segments; each unordered doc pair belongs to exactly
-    * one cell (segLo ≤ segHi) — the left replica stream carries a
-    * member into every cell where it can be the LO member, the right
-    * replica stream into every cell where it can be the HI member, so
-    * the cell id is part of the equi-join key and the O(block²)
-    * enumeration spreads over nseg² shuffle keys instead of one. The
-    * diagonal cells dedupe with d1 < d2; off-diagonal cells are
-    * disjoint by construction. Replication cost: ~nseg/2 copies of a
-    * ~40-byte key row per member — O(block²/cap) extra shuffled bytes,
-    * the price of distributing block² work. */
-  private[graft] def ngramCandidates(keys: DataFrame, memoKey: String,
-      blockCap: Int = NgramBlockCap): DataFrame = {
-    val s = keys.sparkSession
-    def plainJoin(ks: DataFrame): DataFrame = {
-      val k1 = ks.select(col("doc_id").as("d1"), col("lenb"), col("fp"),
-        col("ng").as("n1"))
-      val k2 = ks.select(col("doc_id").as("d2"),
-        col("lenb").as("lenb2"), col("fp").as("fp2"),
-        col("ng").as("n2"))
-      k1.join(k2,
-        col("fp") === col("fp2") && col("lenb") === col("lenb2") &&
-          col("d1") < col("d2"))
-        // |A∩B| ≤ min(|A|,|B|): necessary condition for jaccard ≥ 0.5
-        .filter(least(col("n1"), col("n2")) * 3 >= col("n1") + col("n2"))
-        .select("d1", "d2")
-    }
+    // ONE pass: blocking key + packed gram set (|grams| rides as the
+    // array length — no separate count kernel)
+    val rows = docs.select(col("doc_id"),
+      floor(length(col("text")) / 100).cast("long").as("lenb"),
+      expr("min_fingerprint(text)").as("fp"),
+      expr("ngram5_packed(text)").as("grams"))
     def computeMaxBlock(): Long = {
-      val r = keys.groupBy(col("fp"), col("lenb"))
+      // column-pruned: the probe aggregates (fp, lenb) counts only
+      val r = rows.groupBy(col("fp"), col("lenb"))
         .agg(count(lit(1)).as("c")).agg(max(col("c"))).first()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    val maxBlock = memoMaxBucket(s, s"ngram-fp-$memoKey")(computeMaxBlock())
-    if (maxBlock <= blockCap) plainJoin(keys)
-    else {
-      // per-block counts via a window over the same (fp, lenb) hash
-      // partitioning the join needs — paid only on corpora that
-      // actually blow the cap
-      val w = Window.partitionBy(col("fp"), col("lenb"))
-      val counted = keys.withColumn("nseg",
-        greatest(lit(1L), ceil(count(lit(1)).over(w) / lit(blockCap)))
-          .cast("int"))
-      val small = plainJoin(
-        counted.where(col("nseg") === 1).drop("nseg"))
-      val big = counted.where(col("nseg") > 1)
+    val maxBlock = memoMaxBucket(s, s"ngram-fp-$d")(computeMaxBlock())
+    val pairs = if (maxBlock <= blockCap) {
+      // single consumer → no lineage barrier needed: grams stream
+      // straight from the scan projection into the gather shuffle
+      rows.groupBy(col("fp"), col("lenb"))
+        .agg(collect_list(struct(col("doc_id"), col("grams")))
+          .as("members"))
+        .where(size(col("members")) > 1)
+        .select(explode(expr("ngram_close_pairs(members)")).as("p"))
+    } else {
+      // guarded plan: per-block counts come from a LIGHT aggregate
+      // joined back on the gather key (not a window — a window would
+      // sort the gram-array rows; the counts relation is 24-byte
+      // rows), and the barrier pins one kernel evaluation per doc
+      // across the two join consumers
+      val rowsCp = rows.localCheckpoint(false)
+      val counts = rowsCp.groupBy(col("fp"), col("lenb"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 1) // singleton blocks cannot pair
+        .withColumn("nseg",
+          greatest(lit(1L), ceil(col("cnt") / lit(blockCap))).cast("int"))
+      val tagged = rowsCp.join(counts, Seq("fp", "lenb"))
+      val small = tagged.where(col("nseg") === 1)
+        .groupBy(col("fp"), col("lenb"))
+        .agg(collect_list(struct(col("doc_id"), col("grams")))
+          .as("members"))
+        .where(size(col("members")) > 1)
+        .select(explode(expr("ngram_close_pairs(members)")).as("p"))
+      val big = tagged.where(col("nseg") > 1)
         .withColumn("seg", pmod(hash(col("doc_id")), col("nseg")))
-      val bigL = big.select(col("fp"), col("lenb"),
+      val segs = big.groupBy(col("fp"), col("lenb"), col("seg"),
+          col("nseg"))
+        .agg(collect_list(struct(col("doc_id"), col("grams"))).as("m"))
+      // cell-id replication: the lo stream carries a segment into
+      // every cell where it can be the LO member, the hi stream into
+      // every cell where it can be the HI member — the cell id joins
+      // as part of the equi-key, so nseg² tasks split the block²
+      // enumeration; each unordered pair lands in exactly one cell
+      // (diagonal cells dedupe with i < j inside the kernel)
+      val sa = segs.select(col("fp"), col("lenb"),
         col("seg").as("sa"),
         explode(sequence(col("seg"), col("nseg") - 1)).as("sb"),
-        col("doc_id").as("da"), col("ng").as("na"))
-      val bigR = big.select(col("fp").as("fpB"),
-        col("lenb").as("lenbB"),
+        col("m").as("ma"))
+      val sb = segs.select(col("fp").as("fpB"), col("lenb").as("lenbB"),
         explode(sequence(lit(0), col("seg"))).as("saB"),
-        col("seg").as("sbB"),
-        col("doc_id").as("db"), col("ng").as("nb"))
-      val bigPairs = bigL.join(bigR,
-        col("fp") === col("fpB") && col("lenb") === col("lenbB") &&
-          col("sa") === col("saB") && col("sb") === col("sbB") &&
-          (col("sa") < col("sb") || col("da") < col("db")))
-        .filter(least(col("na"), col("nb")) * 3 >= col("na") + col("nb"))
-        .select(least(col("da"), col("db")).as("d1"),
-          greatest(col("da"), col("db")).as("d2"))
+        col("seg").as("sbB"), col("m").as("mb"))
+      val bigPairs = sa.join(sb, col("fp") === col("fpB") &&
+          col("lenb") === col("lenbB") && col("sa") === col("saB") &&
+          col("sb") === col("sbB"))
+        .select(explode(
+          expr("ngram_close_pairs_x(ma, mb, sa = sb)")).as("p"))
       small.unionByName(bigPairs)
     }
+    pairs.select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+      ratio6(col("p.ni"), col("p.den")).as("jaccard"))
+      .orderBy("d1", "d2")
   }
 
   private val dedupNgramSql =

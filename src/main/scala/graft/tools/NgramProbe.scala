@@ -38,7 +38,7 @@ object NgramProbe {
     }
     time("fp skew") {
       keys.groupBy("fp", "lenb").count().orderBy(desc("count"))
-        .limit(5).collect().foreach(r => println("  " + r))
+        .limit(12).collect().foreach(r => println("  " + r))
     }
     val k1 = keys.select(col("doc_id").as("d1"), col("lenb"), col("fp"),
       col("ng").as("n1"))
@@ -58,7 +58,7 @@ object NgramProbe {
       .unionByName(candCp.select(col("d2").as("doc_id"))).distinct()
     val grams = time("grams for candidates") {
       val g = docs.join(candIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), expr("ngram5_set(text)").as("grams"))
+        .select(col("doc_id"), expr("ngram5_packed(text)").as("grams"))
         .localCheckpoint(false)
       println("  n_gram_docs=" + g.count())
       g
@@ -68,7 +68,7 @@ object NgramProbe {
     time("verify+sort+write") {
       candCp.join(g1, "d1")
         .join(g2, col("d2") === col("d2b"))
-        .withColumn("ni", size(array_intersect(col("g1"), col("g2"))))
+        .withColumn("ni", expr("sorted_intersect_count(g1, g2)"))
         .filter(col("ni") * 3 >= size(col("g1")) + size(col("g2")))
         .select(col("d1"), col("d2"), round(col("ni").cast("double") /
           (size(col("g1")) + size(col("g2")) - col("ni")), 6).as("jaccard"))

@@ -135,6 +135,56 @@ class HashKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("sortedIntersectAtLeast: exact count when the bound is met, " +
+    "-1 otherwise — differential vs the full walk over random arrays") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 500) {
+      val a = Array.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      val b = Array.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      val needed = rnd.nextInt(30)
+      val full = graft.functions.HashKernels.sortedIntersectCount(a, b)
+      val got = graft.functions.HashKernels
+        .sortedIntersectAtLeast(a, b, needed)
+      if (full >= needed) assert(got == full, s"needed=$needed full=$full")
+      else assert(got == -1, s"needed=$needed full=$full got=$got")
+    }
+  }
+
+  test("ngram_close_pairs kernel == the per-pair join form (size " +
+    "prefilter + merge-walk + J >= 0.5) on a mixed block") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // a block of near-identical docs + unrelated docs: the kernel must
+    // emit exactly the pairs the explicit pair-join computes
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (2L, "the quick brown fox jumps over the lazy dog repeatedl!"),
+      (3L, "entirely different content with no shared grams at all!"),
+      (4L, "the quick brown fox jumps over the lazy dog repeated"),
+      (5L, "short doc"))
+    val g = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), expr("ngram5_packed(text)").as("grams"))
+    val kernel = g.agg(collect_list(struct(col("doc_id"), col("grams")))
+        .as("members"))
+      .select(explode(expr("ngram_close_pairs(members)")).as("p"))
+      .select("p.d1", "p.d2", "p.ni", "p.den")
+      .collect().map(_.toString).toSet
+    val g1 = g.select(col("doc_id").as("d1"), col("grams").as("g1"))
+    val g2 = g.select(col("doc_id").as("d2"), col("grams").as("g2"))
+    val joined = g1.crossJoin(g2).where(col("d1") < col("d2"))
+      .withColumn("na", size(col("g1"))).withColumn("nb", size(col("g2")))
+      .where(least(col("na"), col("nb")) * 3 >= col("na") + col("nb"))
+      .withColumn("ni", expr("sorted_intersect_count(g1, g2)"))
+      .where(col("ni") * 3 >= col("na") + col("nb"))
+      .select(col("d1"), col("d2"), col("ni").cast("long"),
+        (col("na") + col("nb") - col("ni")).cast("long").as("den"))
+      .collect().map(_.toString).toSet
+    assert(kernel == joined, s"kernel=$kernel joined=$joined")
+    assert(kernel.nonEmpty, "fixture produced no close pairs")
+  }
+
   test("sorted_intersect_count == size(array_intersect) on packed grams") {
     GraftFunctions.register(spark)
     import spark.implicits._

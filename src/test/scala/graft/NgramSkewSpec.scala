@@ -103,33 +103,21 @@ class NgramSkewSpec extends AnyFunSuite {
     assert(secs < 60.0, s"hot-block dedup took ${secs}s — plan regressed?")
   }
 
-  test("hot-fp-block guard: the segmented candidate plan is " +
-    "pair-identical to the plain join when the cap is blown") {
-    graft.functions.GraftFunctions.register(spark)
-    import org.apache.spark.sql.functions._
+  test("hot-fp-block guard: the segmented gather plan is " +
+    "row-identical to the unsegmented plan when the cap is blown") {
     import graft.text.TextQueries
-    val keys = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"),
-        floor(length(col("text")) / 100).cast("long").as("lenb"),
-        expr("min_fingerprint(text)").as("fp"),
-        expr("ngram5_count(text)").cast("long").as("ng"))
-      .localCheckpoint(false)
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r =>
-        (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
-    // cap 64 « the 410-doc hot block → the guarded branch must fire
-    // (distinct memo keys so the probe memo can't cross-contaminate)
-    val plain = pairs(TextQueries.ngramCandidates(keys,
-      "skewspec-plain", blockCap = Int.MaxValue))
-    val guarded = pairs(TextQueries.ngramCandidates(keys,
-      "skewspec-guarded", blockCap = 64))
-    assert(plain.nonEmpty, "fixture produced no candidates at all")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // cap 64 « the 410-doc hot block → the guarded branch must fire;
+    // the max-block probe memo is a cap-independent statistic, so the
+    // two invocations sharing it cannot affect plan OUTPUT, only the
+    // branch taken per cap
+    val plain = rows(TextQueries.dedupNgramAt(spark, dir,
+      blockCap = Int.MaxValue))
+    val guarded = rows(TextQueries.dedupNgramAt(spark, dir,
+      blockCap = 64))
+    assert(plain.nonEmpty, "fixture produced no near-dup rows at all")
     assert(guarded == plain,
-      s"segmented plan diverged: missing=${plain -- guarded} " +
-        s"extra=${guarded -- plain}")
-    // every member of the hot block meets every other exactly once in
-    // the segmented plan — spot-check the pair count is C(hot,2)-scale
-    // before the size prefilter would be applied downstream
-    assert(guarded.size == plain.size)
+      s"segmented plan diverged:\n plain=$plain\n guarded=$guarded")
   }
 }

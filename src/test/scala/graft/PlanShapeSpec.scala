@@ -46,15 +46,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(c("smj") + c("bhj") == 0, c.toString)
   }
 
-  test("q_dedup_ngram: two-stage blocked join stays at 3 exchanges " +
-    "with broadcast prefilters and NO gram explode in the plan") {
+  test("q_dedup_ngram: gather-kernel plan — 3 exchanges, no join at " +
+    "all on the common path, one bounded pair-list explode") {
     val c = counts("q_dedup_ngram")
-    // floor: block-key gather + pair gather + presentation sort. The
-    // integer prefilter rides broadcast joins; gram sets live inside
-    // kernels (no Generate), so no token-sized rows ever shuffle.
+    // floor: doc repartition + (fp, lenb) gather + presentation sort.
+    // The common path has NO join (blocks gather and verify in-kernel);
+    // the single Generate is the kernel's RESULT pair list (bounded by
+    // matches), never token- or gram-sized rows.
     assert(c("exchanges") <= 3, c.toString)
-    assert(c("generate") == 0, c.toString)
-    assert(c("smj") == 0, c.toString)
+    assert(c("generate") <= 1, c.toString)
+    assert(c("smj") + c("bhj") == 0, c.toString)
+    val p = planOf("q_dedup_ngram")
+    assert(p.contains("ngram_close_pairs"), p)
   }
 
   test("q_lang_id_ngram: profile rides a BROADCAST join (never a " +
