@@ -529,6 +529,81 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `span_gram_hashes(arr, span)` — per-window 128-bit gram
+  * fingerprints without gram-string materialization
+  * (HashKernels.spanGramHashes scaladoc). `span` must be a literal:
+  * the window width is part of the plan. */
+case class SpanGramHashes(child: Expression, span: Int)
+    extends UnaryExpression {
+  require(span >= 2 && span <= 64,
+    s"span_gram_hashes: span must be in [2, 64], got $span")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "span_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.spanGramHashes(input.asInstanceOf[ArrayData], span)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.spanGramHashes(" +
+        s"$c, $span);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object SpanGramHashes {
+  def build(es: Seq[Expression]): SpanGramHashes = {
+    require(es.length == 2,
+      "span_gram_hashes(arr, span) takes 2 arguments")
+    SpanGramHashes(es.head,
+      LiteralArg.int("span_gram_hashes", es(1), "span"))
+  }
+}
+
+/** `span_clean(arr, rm)` — span-dedup document rebuild
+  * (HashKernels.spanClean scaladoc). arr: the doc's split tokens;
+  * rm: the covered-position ints. Returns struct(n_kept, clean). */
+case class SpanClean(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (ARRAY<STRING>, ARRAY<INT>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_kept", LongType, nullable = false),
+    StructField("clean", StringType, nullable = false)))
+  override def prettyName: String = "span_clean"
+
+  override protected def nullSafeEval(a: Any, r: Any): Any =
+    HashKernels.spanClean(a.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, r) =>
+      s"${ev.value} = graft.functions.HashKernels.spanClean($a, $r);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `ngram_close_pairs(members)` — group-local n-gram Jaccard verify
   * over one gathered (fp, lenb) block
   * (HashKernels.ngramClosePairs scaladoc has the shuffle argument).
@@ -829,6 +904,10 @@ object GraftFunctions {
       es => XyzSumScaled.build(es), "scala_udf")
     reg.createOrReplaceTempFunction("com_sums_scaled",
       es => ComSumsScaled(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("span_clean",
+      es => SpanClean(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("span_gram_hashes",
+      es => SpanGramHashes.build(es), "scala_udf")
     reg.createOrReplaceTempFunction("ngram_close_pairs",
       es => NgramClosePairs(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("ngram_close_pairs_x",

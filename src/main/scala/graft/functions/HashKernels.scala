@@ -923,6 +923,93 @@ object HashKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Per-window 128-bit gram fingerprints for the span-dedup tier
+    * WITHOUT materializing gram strings: token hashes (two independent
+    * XXH64 seeds over each token's UTF8 bytes, computed once per TOKEN)
+    * combine per window through two independent order-sensitive
+    * polynomial mixes + a murmur finalizer. The r12 projection built
+    * every 5-word gram string (array_join of a slice — ~5 copies of
+    * every corpus byte) and then hashed it twice; this pass hashes each
+    * token once and does 5 multiply-adds per window. Injectivity: split
+    * tokens contain no spaces, so the joined-string gram the oracle
+    * groups by is a bijection of the token sequence — fingerprinting
+    * the sequence fingerprints the gram; collision probability keeps
+    * the documented n²/2¹²⁹ shape (two lanes, independent seeds and
+    * multipliers). Returns array<struct<pos, h1, h2>>. */
+  def spanGramHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      span: Int): GenericArrayData = {
+    val n = arr.numElements()
+    if (n < span) return new GenericArrayData(Array.empty[Any])
+    val t1 = new Array[Long](n)
+    val t2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      t1(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      t2(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes,
+          0x9E3779B97F4A7C15L)
+      i += 1
+    }
+    val out = new Array[Any](n - span + 1)
+    i = 0
+    while (i <= n - span) {
+      var h1 = 0x87C37B91114253D5L
+      var h2 = 0x4CF5AD432745937FL
+      var j = i
+      while (j < i + span) {
+        h1 = h1 * 0x100000001B3L + t1(j)
+        h2 = h2 * 0xC6A4A7935BD1E995L + t2(j)
+        j += 1
+      }
+      out(i) = new GenericInternalRow(
+        Array[Any](i, fmix64(h1), fmix64(h2)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  @inline private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** One-pass span-dedup document rebuild: drop the tokens whose
+    * positions appear in `rm` (the doc's covered-position set, already
+    * distinct), return (n_kept, kept tokens joined by ' '). Replaces
+    * the r12 plan's corpus-token anti-join + per-doc collect_list
+    * reassembly — the removed-position sets are per-doc bounded
+    * (≤ doc length), so the whole rebuild is in-row: no token ever
+    * shuffles for the rebuild, only the ~|doc| ints of `rm`. Join
+    * semantics mirror the SQL twin exactly: kept tokens in position
+    * order (split preserves them), empty tokens kept and joined. */
+  def spanClean(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      rm: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val drop = new Array[Boolean](n)
+    var i = 0
+    val m = rm.numElements()
+    while (i < m) {
+      val p = rm.getInt(i)
+      if (p >= 0 && p < n) drop(p) = true
+      i += 1
+    }
+    val kept = new Array[UTF8String](n)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (!drop(i)) { kept(k) = arr.getUTF8String(i); k += 1 }
+      i += 1
+    }
+    val clean = UTF8String.concatWs(UTF8String.fromString(" "),
+      java.util.Arrays.copyOf(kept, k): _*)
+    new GenericInternalRow(Array[Any](k.toLong, clean))
+  }
+
   @inline private def emitIfClose(ida: Long, ga: Array[Long],
       idb: Long, gb: Array[Long],
       out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {

@@ -325,19 +325,19 @@ object TextQueries {
     * the right n grows with how much boilerplate the corpus shares. */
   def spanDedupAt(s: SparkSession, d: String, span: Int): DataFrame = {
     require(span >= 2, s"span_dedup: span must be >= 2, got $span")
+    graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("arr"))
       .repartition(col("doc_id"))
-    val tok = docs.select(col("doc_id"),
-      posexplode(col("arr")).as(Seq("pos", "w")))
+    // per-window 128-bit fingerprints straight off the token array —
+    // the kernel hashes each token once and mixes 5 multiply-adds per
+    // window; the r12 form materialized every gram STRING (array_join
+    // of a slice ≈ 5 copies of every corpus byte) then hashed it twice
     val grams = docs.filter(size(col("arr")) >= span)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(arr) - $span)," +
-          s" i -> array_join(slice(arr, i + 1, $span), ' '))"))
-        .as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(col("g")).as("h1"),
-        xxhash64(lit(span), col("g")).as("h2"))
+      .select(col("doc_id"),
+        explode(expr(s"span_gram_hashes(arr, $span)")).as("gh"))
+      .select(col("doc_id"), col("gh.pos").as("pos"),
+        col("gh.h1").as("h1"), col("gh.h2").as("h2"))
     val stats = grams.groupBy("h1", "h2").agg(
       count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -346,24 +346,25 @@ object TextQueries {
         !(col("doc_id") === col("first.doc_id") &&
           col("pos") === col("first.pos")))
       .select(col("doc_id"), col("pos"))
-    val cover = removed
-      .select(col("doc_id").as("c_doc"),
-        explode(expr(s"sequence(pos, pos + ${span - 1})")).as("cpos"))
-      .distinct()
-    val kept = tok.join(cover,
-      col("doc_id") === col("c_doc") && col("pos") === col("cpos"),
-      "left_anti")
-    val perDoc = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      md5(expr("array_join(transform(sort_array(collect_list(" +
-        "struct(pos, w))), x -> x.w), ' ')")).as("clean_hash"))
-    Tables.documents(s, d)
+    // per-doc covered-position SETS (bounded by doc length, avg tens of
+    // ints) instead of a corpus-token cover relation: the r12 tail
+    // anti-joined EVERY corpus token against the cover and then
+    // re-gathered every kept token with collect_list — two
+    // corpus-token-sized shuffles just to rebuild per-doc strings. Here
+    // only the removed-position ints shuffle (removed spans only), and
+    // the rebuild is one in-row `span_clean` kernel pass per doc.
+    val coverArr = removed
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
+        explode(expr(s"sequence(pos, pos + ${span - 1})")).as("cpos"))
+      .groupBy("doc_id").agg(collect_set(col("cpos")).as("rm"))
+    docs.join(coverArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("arr")).cast("long").as("n_tokens"),
+        expr("span_clean(arr, " +
+          "coalesce(rm, CAST(array() AS ARRAY<INT>)))").as("st"))
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
-        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+        col("st.n_kept").as("n_kept"),
+        md5(col("st.clean")).as("clean_hash"))
       .orderBy("doc_id")
   }
 
