@@ -1068,16 +1068,30 @@ object TextQueries {
   def langIdNgram(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d).repartition(col("doc_id"))
-    val g = docs.select(col("doc_id"), col("lang"),
-      explode(expr("ngram3_set(text)")).as("gram"))
+    // The lineage barrier holds per-doc gram ARRAYS, not exploded rows
+    // (r13): the r12 plan checkpointed the exploded relation — ~400
+    // distinct trigrams per doc means corpus × 400 ROWS through the
+    // checkpoint store (≈200 M rows at the 100× replica) with per-row
+    // object overhead dwarfing the gram bytes. The array form carries
+    // the same bytes in corpus-many rows, still evaluates ngram3_set
+    // exactly once per doc, and both consumers explode FROM the
+    // checkpoint inside their own stages: the profile side
+    // partial-aggregates map-side, the hits side filters against the
+    // BROADCAST profile hash table as it explodes, so only actual
+    // profile hits (≤ docs × langs × 20) reach its shuffle.
+    val base = docs.select(col("doc_id"), col("lang"),
+        expr("ngram3_set(text)").as("gs"))
       .localCheckpoint(false)
-    val prof = g.filter(col("doc_id") % 2 === 0)
+    val prof = base.filter(col("doc_id") % 2 === 0)
+      .select(col("lang"), explode(col("gs")).as("gram"))
       .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))))
       .filter(col("rk") <= 20)
       .select(col("lang").as("plang"), col("gram"))
-    val hits = g.join(broadcast(prof), "gram")
+    val hits = base
+      .select(col("doc_id"), explode(col("gs")).as("gram"))
+      .join(broadcast(prof), "gram")
       .groupBy("doc_id", "plang").agg(count(lit(1)).as("nhit"))
     val best = hits.withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("nhit").desc, col("plang"))))
