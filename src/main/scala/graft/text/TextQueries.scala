@@ -1177,17 +1177,36 @@ object TextQueries {
     * the broadcast filter already avoids; countDistinct in the final
     * agg (contaminated rows only) gives the same answer. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
-    def grams(df: DataFrame) = df
+    // The TRAIN side never materializes a gram string (r13): its
+    // 5-grams ride as 128-bit `span_gram_hashes` fingerprints (each
+    // token's bytes hashed once; the r12 form concat_ws'd every
+    // 5-word window ≈ 5 copies of every corpus byte). The BENCH side
+    // is bounded (eval suites are MBs — 2% of docs here), so it
+    // carries BOTH the fingerprint and the gram text; the broadcast
+    // hash join matches on the fingerprint and every output column
+    // (gram string for count/min, bench_id) comes from the broadcast
+    // side. Fingerprinting is sound under the same n²/2¹²⁹ collision
+    // budget as q_span_dedup (split tokens contain no spaces →
+    // joined-gram ↔ token-sequence bijection); the string-keyed
+    // DuckDB oracle re-validates no-collision on every hash-match.
+    def toks(df: DataFrame) = df
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 4), " +
-          "i -> concat_ws(' ', slice(w, i, 5)))")).as("gram"))
-    val bench = grams(docs.filter(col("doc_id") % 50 === 7))
-      .withColumnRenamed("doc_id", "bench_id").distinct()
-    val train = grams(docs.filter(col("doc_id") % 50 =!= 7))
-    train.join(broadcast(bench), "gram")
+    val bench = toks(docs.filter(col("doc_id") % 50 === 7))
+      .select(col("doc_id").as("bench_id"), col("w"),
+        explode(expr("span_gram_hashes(w, 5)")).as("gh"))
+      .select(col("bench_id"), col("gh.h1").as("h1"),
+        col("gh.h2").as("h2"),
+        expr("concat_ws(' ', slice(w, gh.pos + 1, 5))").as("gram"))
+      .distinct()
+    val train = toks(docs.filter(col("doc_id") % 50 =!= 7))
+      .select(col("doc_id"),
+        explode(expr("span_gram_hashes(w, 5)")).as("gh"))
+      .select(col("doc_id"), col("gh.h1").as("h1"),
+        col("gh.h2").as("h2"))
+    train.join(broadcast(bench), Seq("h1", "h2"))
       .groupBy("doc_id")
       .agg(countDistinct("gram").as("n_shared_grams"),
         countDistinct("bench_id").as("n_bench_docs"),
