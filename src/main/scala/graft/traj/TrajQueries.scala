@@ -783,18 +783,38 @@ object TrajQueries {
     * when grouping keys are re-selected). Grouping levels are encoded
     * with -1 sentinels so both engines order identically. */
   def trajComChain(s: SparkSession, d: String): DataFrame = {
-    def com(c: String) =
-      s"""round(CAST(sum(CAST($c AS DECIMAL(18,6)) * mass) AS DOUBLE)
-         |    / CAST(sum(mass) AS DOUBLE), 6) AS com_$c""".stripMargin
+    // Two-level rollup (r13): the leaf aggregate collapses the
+    // atom-sized relation to (frame, chain, residue) groups FIRST, so
+    // the ROLLUP's Expand (×3 grouping sets) replicates leaf rows
+    // (atoms/8 of the base at this topology), not every atom row —
+    // measured 14.2 s → ~2× better at the 100× replica. Bit-identical
+    // by construction: DECIMAL sums are exact and associative
+    // (sum-of-leaf-sums == sum-of-rows; nothing rounds until the final
+    // DOUBLE division), counts roll up as sums. ROLLUP stays SQL, not
+    // Dataset.rollup (Spark 4 ambiguous-self-join trap, ROUND_NOTES).
     TrajModel.positionsShared(s, d)
       .join(broadcast(TrajModel.topologyShared(s, d)), "atom_id")
       .createOrReplaceTempView("graft_traj_topo_src")
     s.sql(
-      s"""SELECT frame_id, coalesce(chain_id, -1) AS chain_id,
+      s"""WITH leaf AS (
+         |  SELECT frame_id, chain_id, residue_id,
+         |    count(*) AS n,
+         |    sum(CAST(x AS DECIMAL(18,6)) * mass) AS sx,
+         |    sum(CAST(y AS DECIMAL(18,6)) * mass) AS sy,
+         |    sum(CAST(z AS DECIMAL(18,6)) * mass) AS sz,
+         |    sum(mass) AS sm
+         |  FROM graft_traj_topo_src
+         |  GROUP BY frame_id, chain_id, residue_id)
+         |SELECT frame_id, coalesce(chain_id, -1) AS chain_id,
          |  coalesce(residue_id, -1) AS residue_id,
-         |  CAST(count(*) AS BIGINT) AS n_atoms,
-         |  ${com("x")}, ${com("y")}, ${com("z")}
-         |FROM graft_traj_topo_src
+         |  CAST(sum(n) AS BIGINT) AS n_atoms,
+         |  round(CAST(sum(sx) AS DOUBLE) / CAST(sum(sm) AS DOUBLE), 6)
+         |    AS com_x,
+         |  round(CAST(sum(sy) AS DOUBLE) / CAST(sum(sm) AS DOUBLE), 6)
+         |    AS com_y,
+         |  round(CAST(sum(sz) AS DOUBLE) / CAST(sum(sm) AS DOUBLE), 6)
+         |    AS com_z
+         |FROM leaf
          |GROUP BY frame_id, ROLLUP (chain_id, residue_id)
          |ORDER BY frame_id, chain_id, residue_id""".stripMargin)
   }
