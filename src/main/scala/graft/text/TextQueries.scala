@@ -490,7 +490,17 @@ object TextQueries {
   /** Default per-task member bound for the simhash gather: 8192
     * members cost ~34 M XOR+POPCNT pairs (tens of ms) and ~200 KB of
     * struct array per kernel call — far below task memory and the 2 GB
-    * array ceiling. */
+    * array ceiling. The cap also triggers the DENSITY tier (second
+    * rotated banding) in [[closePairsFromBanded]]'s guarded branch —
+    * and it deliberately sits HIGH: an r13 experiment at cap 2048
+    * re-banded most of the 100× corpus and ran 1.8× SLOWER (17.5 s vs
+    * 9.7 s) — the in-kernel XOR+POPCNT stream processes ~2.5e9
+    * candidate pairs/s across 32 threads, so brute verification of a
+    * multi-thousand-member bucket beats shuffling 9 replica rows per
+    * member through a second banding until buckets grow well past
+    * this cap. Measure, don't guess: the quadratic density term is
+    * real asymptotically, but its crossover against re-banding
+    * overhead is ~10⁴ members, not ~10³. */
   private[graft] val SimhashBucketCap = 8192
 
   /** Shared tail of the simhash dedup family: one bucket per
@@ -586,37 +596,88 @@ object TextQueries {
         .select(explode(
           expr(s"simhash_close_pairs(members, $maxHamming)")).as("p"))
     } else {
-      // guarded plan: per-bucket counts via a window over the same
-      // (band, bval) hash partitioning the groupBy needs — one
-      // shuffle of the banded rows plus the in-partition sort, paid
-      // only on corpora that actually blow the cap
+      // guarded plan, THREE tiers (r13). Per-bucket counts via a
+      // window over the same (band, bval) hash partitioning the
+      // groupBy needs, paid only on corpora that actually blow the
+      // cap.
+      //
+      // Tier 1 — sub-cap buckets gather directly (the common kernel).
+      //
+      // Tier 2 — DENSITY split: a fixed 7-bit banding has only 128
+      // values per band, so bucket sizes grow LINEARLY with the corpus
+      // and the in-kernel c² candidate term grows QUADRATICALLY (the
+      // 100× profile measured Σc² = 2.05e10 XOR+POPCNT pairs = 8.3 s
+      // of the query's 9.7 s). Oversized buckets re-key by a SECOND,
+      // rotation-permuted 7-bit banding (rotr 31 of the 64-bit
+      // signature view): any disjoint 9×7-bit cover of ≥ 63 signature
+      // bits is pigeonhole-exhaustive for hamming ≤ 8 independently of
+      // the first banding, so a qualifying pair shares ≥ 1 rotated
+      // band and lands in ≥ 1 (band, bval, band2, bval2) sub-bucket —
+      // splitting a density hot-spot ×~128 while the cross-band
+      // `distinct()` below absorbs the multiplicity exactly as it
+      // already does for first-level bands.
+      //
+      // Tier 3 — IDENTITY split: byte-identical signatures rotate
+      // identically, so no re-banding can separate them; sub-buckets
+      // still over the cap hash-segment into (s1 ≤ s2) cells, the r11
+      // guard (bounded per-kernel members; the c² work there is the
+      // true answer size and irreducible).
       val w = Window.partitionBy(col("band"), col("bval"))
-      val counted = banded.withColumn("nseg",
-        greatest(lit(1L), ceil(count(lit(1)).over(w) / lit(bucketCap)))
-          .cast("int"))
-      val small = counted.where(col("nseg") === 1)
+      val counted = banded.withColumn("cnt", count(lit(1)).over(w))
+      val memberStruct =
+        struct(col("doc_id"), col("sim_lo"), col("sim_hi"))
+      val small = counted.where(col("cnt") <= bucketCap)
         .groupBy(col("band"), col("bval"))
-        .agg(collect_list(
-          struct(col("doc_id"), col("sim_lo"), col("sim_hi")))
-          .as("members"))
+        .agg(collect_list(memberStruct).as("members"))
         .where(size(col("members")) > 1)
         .select(explode(
           expr(s"simhash_close_pairs(members, $maxHamming)")).as("p"))
-      val segs = counted.where(col("nseg") > 1)
+      // 64-bit signature view (lo half | hi half << 32): covers every
+      // first-level-banded bit, so flips invisible to it are invisible
+      // to the first banding too — exhaustiveness is unaffected
+      val sig64 = col("sim_lo").bitwiseAND(lit(0xFFFFFFFFL))
+        .bitwiseOR(shiftleft(col("sim_hi"), 32))
+      val rot = shiftrightunsigned(sig64, 31)
+        .bitwiseOR(shiftleft(sig64, 33))
+      val sub = counted.where(col("cnt") > bucketCap)
+        .withColumn("rotsig", rot)
+        .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+          col("band"), col("bval"),
+          explode(array((0 to 8).map(b2 => struct(lit(b2).as("band2"),
+            shiftrightunsigned(col("rotsig"), 7 * b2)
+              .bitwiseAND(lit(127L)).as("bval2"))): _*)).as("b2"))
+        .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+          col("band"), col("bval"),
+          col("b2.band2").as("band2"), col("b2.bval2").as("bval2"))
+      val w2 = Window.partitionBy(col("band"), col("bval"),
+        col("band2"), col("bval2"))
+      val counted2 = sub.withColumn("nseg",
+        greatest(lit(1L), ceil(count(lit(1)).over(w2) / lit(bucketCap)))
+          .cast("int"))
+      val subSmall = counted2.where(col("nseg") === 1)
+        .groupBy(col("band"), col("bval"), col("band2"), col("bval2"))
+        .agg(collect_list(memberStruct).as("members"))
+        .where(size(col("members")) > 1)
+        .select(explode(
+          expr(s"simhash_close_pairs(members, $maxHamming)")).as("p"))
+      val segs = counted2.where(col("nseg") > 1)
         .withColumn("seg", pmod(hash(col("doc_id")), col("nseg")))
-        .groupBy(col("band"), col("bval"), col("seg"))
-        .agg(collect_list(
-          struct(col("doc_id"), col("sim_lo"), col("sim_hi"))).as("m"))
-      val sa = segs.select(col("band"), col("bval"),
-        col("seg").as("s1"), col("m").as("ma"))
+        .groupBy(col("band"), col("bval"), col("band2"), col("bval2"),
+          col("seg"))
+        .agg(collect_list(memberStruct).as("m"))
+      val sa = segs.select(col("band"), col("bval"), col("band2"),
+        col("bval2"), col("seg").as("s1"), col("m").as("ma"))
       val sb = segs.select(col("band").as("bandB"),
-        col("bval").as("bvalB"), col("seg").as("s2"), col("m").as("mb"))
+        col("bval").as("bvalB"), col("band2").as("band2B"),
+        col("bval2").as("bval2B"), col("seg").as("s2"), col("m").as("mb"))
       val big = sa.join(sb, col("band") === col("bandB") &&
-          col("bval") === col("bvalB") && col("s1") <= col("s2"))
+          col("bval") === col("bvalB") &&
+          col("band2") === col("band2B") &&
+          col("bval2") === col("bval2B") && col("s1") <= col("s2"))
         .select(explode(
           expr(s"simhash_close_pairs_x(ma, mb, s1 = s2, $maxHamming)"))
           .as("p"))
-      small.unionByName(big)
+      small.unionByName(subSmall).unionByName(big)
     }
     pairs
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"),

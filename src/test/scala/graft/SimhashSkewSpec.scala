@@ -59,6 +59,38 @@ class SimhashSkewSpec extends AnyFunSuite {
     } finally b.unpersist()
   }
 
+  test("simhash density tier: a bucket of DISTINCT signatures over " +
+    "the cap re-bands by the rotated signature and stays " +
+    "pair-identical to the uncapped oracle") {
+    graft.functions.GraftFunctions.register(spark)
+    // 300 docs sharing band 0 (sim_lo low 7 bits equal) but otherwise
+    // DIVERSE signatures — a density hot-spot the rotation CAN split,
+    // unlike the identical-signature corpus above. Sprinkle genuine
+    // near-dup families so the answer is non-trivial.
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 300L).map { i =>
+      val hi = rnd.nextLong() & 0x7FFFFFFFL
+      val lo = (rnd.nextLong() & 0xFFFFFF80L) | 0x55L
+      (i, lo, hi)
+    }
+    val dups = (0 until 10).map { p =>
+      val (_, lo, hi) = base(p * 7)
+      (1000L + p, lo ^ 0x100L, hi) // 1 bit off a base member
+    }
+    val b = banded(base ++ dups)
+    b.cache()
+    try {
+      val capped = text.TextQueries.closePairsFromBanded(b, 8,
+        bucketCap = 64).collect().map(_.toString).toSet
+      val oracle = text.TextQueries.closePairsFromBanded(b, 8,
+        bucketCap = Int.MaxValue).collect().map(_.toString).toSet
+      assert(oracle.nonEmpty, "fixture produced no close pairs")
+      assert(capped == oracle,
+        s"${(capped -- oracle).size} extra / ${(oracle -- capped).size} " +
+          "missing vs the uncapped plan")
+    } finally b.unpersist()
+  }
+
   test("simhash guard: default cap leaves sub-cap corpora on the " +
     "single-gather path with identical output") {
     val sigs = (0L until 100L).map(i =>
