@@ -127,8 +127,14 @@ object Bench {
     // live in the committed BENCH_FULL.json.
     val nQueries = results.size
     val nErrors = results.count(_._3.isDefined)
+    // subset marker (ADVICE r13 #4): a SPARK_GRAFT_BENCH_QUERIES run
+    // must be distinguishable from full-suite evidence, so downstream
+    // ratio tooling can refuse partial artifacts
+    val subsetCtx = if (subset.isDefined)
+      s""","subset":true,"subset_n":${named.size}""" else ""
     val ctx = s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"""" +
-      s""","pass_totals":[${passTotals.map(t => f"$t%.2f").mkString(",")}]"""
+      s""","pass_totals":[${passTotals.map(t => f"$t%.2f").mkString(",")}]""" +
+      subsetCtx
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nQueries,"n_errors":$nErrors,"errors":$errs,"codegen_error_total":$cgTotal,"reps":$reps,$ctx,"sf":"$sfDir","queries_file":"BENCH_FULL.json"}"""
     val full =

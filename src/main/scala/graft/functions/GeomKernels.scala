@@ -171,8 +171,17 @@ object GeomKernels {
     var sxm = 0L; var sym = 0L; var szm = 0L; var sm = 0L
     val n = atoms.numElements()
     var i = 0
+    val nMasses = masses.numElements()
     while (i < n) {
       val aid = keys.getLong(i).toInt
+      // explicit bounds check (ADVICE r13 #2): the SQL element_at form
+      // this kernel replaced failed with a clear ANSI error on an atom
+      // id outside the topology; a bare AIOOBE mid-codegen names
+      // neither the id nor the table
+      if (aid < 1 || aid > nMasses)
+        throw new IllegalArgumentException(
+          s"com_sums_scaled: atom id $aid outside the topology's " +
+            s"1..$nMasses mass table")
       val m = masses.getDouble(aid - 1) // element_at is 1-based
       val st = vals.getStruct(i, 3)
       sxm += roundScaledLong(st.getDouble(0) * m * 1e9)

@@ -209,14 +209,19 @@ class Hdf5Scan(paths: Seq[String], chunks: Int, unitScale: Double,
     var off = 0L
     var budget = budget0
     files.foreach { p =>
+      // single metadata parse per file (O(header)); the 'top'
+      // atom-count cross-check rides the same profile instead of a
+      // second pass, and it runs for EVERY expanded file — including
+      // files the limit/frameLo/frameHi restriction skips — so a
+      // mismatched trailing shard still fails fast at plan time
+      // instead of passing silently until a later unrestricted read
+      // (ADVICE r13 #3)
+      val prof = H5Profile.parse(p)
+      if (expectAtoms > 0 && prof.nAtoms != expectAtoms)
+        throw new IllegalArgumentException(
+          s"hdf5 $p: file declares ${prof.nAtoms} atoms but the " +
+            s"topology declares atom count $expectAtoms (option 'top')")
       if (budget > 0 && off < frameHi) {
-        // single metadata parse per file; the 'top' atom-count
-        // cross-check rides the same profile instead of a second pass
-        val prof = H5Profile.parse(p)
-        if (expectAtoms > 0 && prof.nAtoms != expectAtoms)
-          throw new IllegalArgumentException(
-            s"hdf5 $p: file declares ${prof.nAtoms} atoms but the " +
-              s"topology declares atom count $expectAtoms (option 'top')")
         val lo = math.max(off, frameLo) - off
         var hi = math.min(off + prof.frames, frameHi) - off
         if (prof.nAtoms == 0) hi = lo

@@ -437,7 +437,8 @@ object TextQueries {
     * any disjoint k-band cover is pigeonhole-exhaustive for
     * Hamming ≤ k−1 (uncovered bits only help), so the threshold is a
     * free parameter. */
-  private def bandValAt(b: Int, k: Int): org.apache.spark.sql.Column = {
+  private[graft] def bandValAt(b: Int, k: Int)
+      : org.apache.spark.sql.Column = {
     val start = b * 64 / k
     val end = (b + 1) * 64 / k
     def mask(w: Int) = lit((1L << w) - 1)
@@ -603,19 +604,25 @@ object TextQueries {
       //
       // Tier 1 — sub-cap buckets gather directly (the common kernel).
       //
-      // Tier 2 — DENSITY split: a fixed 7-bit banding has only 128
-      // values per band, so bucket sizes grow LINEARLY with the corpus
-      // and the in-kernel c² candidate term grows QUADRATICALLY (the
-      // 100× profile measured Σc² = 2.05e10 XOR+POPCNT pairs = 8.3 s
-      // of the query's 9.7 s). Oversized buckets re-key by a SECOND,
-      // rotation-permuted 7-bit banding (rotr 31 of the 64-bit
-      // signature view): any disjoint 9×7-bit cover of ≥ 63 signature
-      // bits is pigeonhole-exhaustive for hamming ≤ 8 independently of
-      // the first banding, so a qualifying pair shares ≥ 1 rotated
-      // band and lands in ≥ 1 (band, bval, band2, bval2) sub-bucket —
-      // splitting a density hot-spot ×~128 while the cross-band
-      // `distinct()` below absorbs the multiplicity exactly as it
-      // already does for first-level bands.
+      // Tier 2 — DENSITY split: a banding has only 2^width values per
+      // band, so bucket sizes grow LINEARLY with the corpus and the
+      // in-kernel c² candidate term grows QUADRATICALLY (the 100×
+      // profile measured Σc² = 2.05e10 XOR+POPCNT pairs = 8.3 s of the
+      // query's 9.7 s). Oversized buckets re-key by a SECOND,
+      // rotation-permuted banding (rotr 31 of the 64-bit signature
+      // view) with `maxHamming + 1` bands covering ALL 64 rotated bits
+      // (same integer-boundary layout as bandValAt): ≤ maxHamming
+      // differing bits can corrupt at most maxHamming of the
+      // maxHamming + 1 disjoint bands, so the second cover is
+      // pigeonhole-exhaustive for the REQUESTED threshold — not just
+      // h ≤ 8 — independently of the first banding (r13 shipped a
+      // fixed 9×7-bit cover here, silently lossy for maxHamming ≥ 9
+      // when a bucket blew the cap; ADVICE r13 #1). A qualifying pair
+      // shares ≥ 1 rotated band and lands in ≥ 1
+      // (band, bval, band2, bval2) sub-bucket — splitting a density
+      // hot-spot ×~2^width while the cross-band `distinct()` below
+      // absorbs the multiplicity exactly as it already does for
+      // first-level bands.
       //
       // Tier 3 — IDENTITY split: byte-identical signatures rotate
       // identically, so no re-banding can separate them; sub-buckets
@@ -639,13 +646,28 @@ object TextQueries {
         .bitwiseOR(shiftleft(col("sim_hi"), 32))
       val rot = shiftrightunsigned(sig64, 31)
         .bitwiseOR(shiftleft(sig64, 33))
+      // adaptive second cover: k2 = maxHamming + 1 bands over the
+      // rotated 64 bits (integer boundaries, bandValAt's layout). At
+      // maxHamming = 0 the single band IS the whole rotated signature —
+      // identical signatures stay together and tier 3 splits them,
+      // which is the only correct behavior (rotation can never separate
+      // byte-identical signatures).
+      val k2 = maxHamming + 1
+      def rotBandVal(b2: Int): org.apache.spark.sql.Column = {
+        val start = b2 * 64 / k2
+        val width = (b2 + 1) * 64 / k2 - start
+        val masked = if (width >= 64) col("rotsig")
+          else shiftrightunsigned(col("rotsig"), start)
+            .bitwiseAND(lit((1L << width) - 1))
+        masked
+      }
       val sub = counted.where(col("cnt") > bucketCap)
         .withColumn("rotsig", rot)
         .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
           col("band"), col("bval"),
-          explode(array((0 to 8).map(b2 => struct(lit(b2).as("band2"),
-            shiftrightunsigned(col("rotsig"), 7 * b2)
-              .bitwiseAND(lit(127L)).as("bval2"))): _*)).as("b2"))
+          explode(array((0 until k2).map(b2 =>
+            struct(lit(b2).as("band2"),
+              rotBandVal(b2).as("bval2"))): _*)).as("b2"))
         .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
           col("band"), col("bval"),
           col("b2.band2").as("band2"), col("b2.bval2").as("bval2"))

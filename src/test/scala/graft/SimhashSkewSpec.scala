@@ -123,4 +123,74 @@ class SimhashSkewSpec extends AnyFunSuite {
       "the join oracle")
     assert(capped.nonEmpty, "adversarial cap test vacuous: no pairs")
   }
+
+  /** Banded rows under the threshold-parameterized layout (bandValAt
+    * over maxHamming + 1 bands), exactly as dedupSimhashAt builds
+    * them. */
+  private def bandedAt(sigs: Seq[(Long, Long, Long)], maxHamming: Int) = {
+    import spark.implicits._
+    val k = maxHamming + 1
+    val sig = sigs.toDF("doc_id", "sim_lo", "sim_hi")
+    sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+      explode(array((0 until k).map(b => struct(lit(b).as("band"),
+        text.TextQueries.bandValAt(b, k).as("bval"))): _*)).as("bd"))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        col("bd.band").as("band"), col("bd.bval").as("bval"))
+  }
+
+  test("simhash density tier at maxHamming = 12 (> 8): the adaptive " +
+    "rotated cover keeps the capped plan pair-identical to the " +
+    "uncapped oracle (ADVICE r13 #1 — the fixed 9x7 cover dropped " +
+    "h in [9, 12] pairs here)") {
+    graft.functions.GraftFunctions.register(spark)
+    // 300 docs sharing band 0 under the 13-band layout (bits 0..3 of
+    // sim_lo equal) but otherwise diverse, plus planted families at
+    // hamming 10-12 — far wider than 8, so only an exhaustive-cover
+    // second banding finds them once the bucket blows the cap.
+    val rnd = new scala.util.Random(47)
+    val base = (0L until 300L).map { i =>
+      val lo = (rnd.nextInt() & 0xFFFFFFF0L) | 0x9L
+      val hi = rnd.nextInt() & 0xFFFFFFFFL
+      (i, lo, hi)
+    }
+    // ADVERSARIAL planted partners, one per chosen base member: flip
+    // exactly ONE bit in each first-level band 1..12 (13-band layout:
+    // boundaries 0,4,9,14,19,24,29,34,39,44,49,54,59,64) and NONE in
+    // band 0 — the pair then shares ONLY the hot band-0 bucket, at
+    // hamming exactly 12. The 12 flip positions (sig64 bits 4, 9, 16,
+    // 23, 24, 31, 38, 40, 45, 52, 55, 59) are chosen so that after the
+    // tier's rotr-31 every one of the OLD fixed 9x7-bit rotated bands
+    // contains >= 1 flip: under the r13 code these pairs landed in no
+    // shared (band2, bval2) sub-bucket and were silently dropped; the
+    // adaptive 13-band rotated cover must find them (<= 12 flips
+    // cannot corrupt all 13 disjoint rotated bands).
+    val loFlips = Seq(4, 9, 16, 23, 24, 31).map(1L << _).reduce(_ | _)
+    val hiFlips = Seq(38, 40, 45, 52, 55, 59).map(b => 1L << (b - 32))
+      .reduce(_ | _)
+    val planted = (0 until 12).map { p =>
+      val (_, lo, hi) = base(p * 11)
+      (2000L + p, lo ^ loFlips, hi ^ hiFlips)
+    }
+    val b = bandedAt(base ++ planted, 12)
+    b.cache()
+    try {
+      val capped = text.TextQueries.closePairsFromBanded(b, 12,
+        bucketCap = 64).collect().map(_.toString).toSet
+      val oracleRows = text.TextQueries.closePairsFromBanded(b, 12,
+        bucketCap = Int.MaxValue).collect()
+      val oracle = oracleRows.map(_.toString).toSet
+      assert(oracleRows.nonEmpty, "fixture produced no close pairs")
+      // the fixture only bites if the planted h = 12 pairs qualify —
+      // every planted partner must appear in the oracle
+      val plantedFound = oracleRows.count(r =>
+        r.getLong(2) == 12L &&
+          (r.getLong(0) >= 2000L || r.getLong(1) >= 2000L))
+      assert(plantedFound >= 12,
+        s"fixture vacuous: only $plantedFound of 12 planted " +
+          "hamming-12 pairs in the oracle")
+      assert(capped == oracle,
+        s"${(capped -- oracle).size} extra / ${(oracle -- capped).size} " +
+          "missing vs the uncapped plan at maxHamming = 12")
+    } finally b.unpersist()
+  }
 }

@@ -9,6 +9,16 @@ import json
 import sys
 
 runs = [json.load(open(p)) for p in sys.argv[2:]]
+# artifact-hygiene guards (VERDICT r13 wrong #1: a 10x pressure-run
+# artifact was min-merged over the sf0.1 evidence because nothing
+# checked the scale): every input must declare the SAME sf dir, and
+# subset runs (SPARK_GRAFT_BENCH_QUERIES) are never full-suite evidence
+sfs = {r.get("sf") for r in runs}
+assert len(sfs) == 1, f"refusing to merge runs with mixed sf dirs: {sfs}"
+for p, r in zip(sys.argv[2:], runs):
+    assert not r.get("subset"), f"{p} is a subset run, not full-suite"
+    assert set(r["queries"]) == set(runs[0]["queries"]), \
+        f"{p} has a different query inventory than {sys.argv[2]}"
 base = dict(runs[0])
 qs = {}
 for q in runs[0]["queries"]:

@@ -38,6 +38,16 @@ def main():
     base = json.load(open(sys.argv[2]))
     out_path = sys.argv[3]
     factor = float(sys.argv[4])
+    # artifact-hygiene guards (VERDICT r13 wrong #1): the base side must
+    # actually be the sf0.1 run (not a replica run passed in the wrong
+    # position), the big side must be a DIFFERENT dir, and neither may
+    # be a SPARK_GRAFT_BENCH_QUERIES subset run
+    assert base.get("sf") == "/root/testdata/sf0.1", \
+        f"base artifact sf={base.get('sf')!r}, expected /root/testdata/sf0.1"
+    assert big.get("sf") != base.get("sf"), \
+        "big and base artifacts declare the same sf dir"
+    for name, r in (("big", big), ("base", base)):
+        assert not r.get("subset"), f"{name} artifact is a subset run"
     qa, qb = big["queries"], base["queries"]
     rows = {}
     flagged = []

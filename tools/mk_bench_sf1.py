@@ -16,6 +16,13 @@ import sys
 
 a = json.load(open(sys.argv[1]))  # 10x
 b = json.load(open(sys.argv[2]))  # sf0.1
+# artifact-hygiene guards (VERDICT r13 wrong #1): scale and fullness
+# are asserted, not assumed
+assert b.get("sf") == "/root/testdata/sf0.1", \
+    f"base artifact sf={b.get('sf')!r}, expected /root/testdata/sf0.1"
+assert a.get("sf") != b.get("sf"), "both artifacts declare the same sf dir"
+assert not a.get("subset") and not b.get("subset"), \
+    "refusing subset artifacts as scale evidence"
 qa, qb = a["queries"], b["queries"]
 rows = {}
 flagged = []
