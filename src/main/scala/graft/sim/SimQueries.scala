@@ -223,6 +223,15 @@ object SimQueries {
     * vectors in one code, and no bits setting splits identical
     * embeddings. */
   private[graft] def simNeardupLshCapped(s: SparkSession, d: String,
+      bits: Int, bucketCap: Int): DataFrame =
+    simNeardupLshPairsCapped(s, d, bits, bucketCap).orderBy("v1", "v2")
+
+  /** The UNORDERED surviving-pair stream behind both near-dup shapes:
+    * the registered pair query ([[simNeardupLshCapped]] adds the
+    * presentation sort) and the bounded per-vector top-k
+    * ([[simNeardupTopkAt]] aggregates it without ever sorting the pair
+    * set). */
+  private[graft] def simNeardupLshPairsCapped(s: SparkSession, d: String,
       bits: Int, bucketCap: Int): DataFrame = {
     val (vecs, codePairs) = lshCandidateCodes(s, d, bits)
     // ADAPTIVE (r12, same probe as TextQueries.closePairsFromBanded):
@@ -276,7 +285,44 @@ object SimQueries {
         .as("p"))
       .select(col("p.v1").as("v1"), col("p.v2").as("v2"),
         col("p.cos_sim").as("cos_sim"))
-      .orderBy("v1", "v2")
+  }
+
+  /** BOUNDED near-dup output (VERDICT r13 ask #1): per-vector top-k
+    * near neighbours over the same capped-LSH candidate machinery as
+    * [[simNeardupLsh]]. The pair query's OUTPUT is Θ(n²) on a corpus
+    * with quadratic true-pair growth — correct, but a result set that
+    * would drown any cluster at 100 TB regardless of plan. This is the
+    * scale-safe form, the same bounding idiom as the reference's own
+    * top-1 `find_closest_contact` (geometry/distance.py:426-464):
+    * k is fixed, so the answer is O(n·k) rows no matter how dense the
+    * neighbourhood graph gets.
+    *
+    * Plan: the kernel pair stream (surviving cos ≥ 0.4 pairs only —
+    * never the raw candidates) explodes into directed edges and feeds
+    * the partial-aggregatable [[graft.functions.TopKPairs]] bounded
+    * heap. ObjectHashAggregate's MAP-SIDE partial reduces each task to
+    * ≤ k entries per local vec_id BEFORE the shuffle, so the exchange
+    * carries O(vecs × k) — the dense-region pair count never crosses
+    * the wire, and no Window ever sorts the pair set. Determinism: the
+    * heap's total order is (cos_sim DESC, neighbor_id ASC), matching
+    * the oracle's row_number ordering. */
+  def simNeardupTopk(s: SparkSession, d: String): DataFrame =
+    simNeardupTopkAt(s, d, bits = 16, k = 5)
+
+  def simNeardupTopkAt(s: SparkSession, d: String, bits: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, s"sim_neardup_topk: k must be >= 1, got $k")
+    val pairs = simNeardupLshPairsCapped(s, d, bits, LshBucketCap)
+    val edges = pairs
+      .select(col("v1").as("vec_id"), col("v2").as("nb"), col("cos_sim"))
+      .unionByName(pairs.select(col("v2").as("vec_id"),
+        col("v1").as("nb"), col("cos_sim")))
+    edges.groupBy(col("vec_id"))
+      .agg(expr(s"topk_pairs(cos_sim, nb, $k)").as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("neighbor_id"), col("col.v").as("cos_sim"))
+      .orderBy("vec_id", "rk")
   }
 
   /** Shared head of the LSH near-dup family: coded vectors behind one
@@ -393,6 +439,75 @@ object SimQueries {
       |JOIN norms n2 ON n2.vec_id = d.v2
       |WHERE round((dots / 1e12) / (n1.nrm * n2.nrm), 6) >= 0.4
       |ORDER BY v1, v2""".stripMargin
+
+  /** Same CTE chain as [[simNeardupLshSql]] up to the surviving pair
+    * set, then per-vector ranking: directed edges + row_number over
+    * (cos_sim DESC, neighbor ASC) — the oracle twin of the
+    * TopKPairs heap's total order. */
+  private val simNeardupTopkSql =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id,
+      |    sqrt(sum(CAST(round(v * v * 1e12, 0) AS BIGINT)) / 1e12) AS nrm
+      |  FROM e GROUP BY vec_id),
+      |proj AS (
+      |  SELECT vec_id, p,
+      |    sum(CAST(round(v * sin(p * 997 + idx * 31) * 1e12, 0) AS BIGINT))
+      |      AS dots
+      |  FROM e, (SELECT unnest(range(16)) AS p) ps
+      |  GROUP BY 1, 2),
+      |code AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dots > 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT)
+      |      AS bkt
+      |  FROM proj GROUP BY vec_id),
+      |codes AS (SELECT DISTINCT bkt FROM code),
+      |cb AS (
+      |  SELECT bkt, b AS band,
+      |    bkt - (CAST(1 AS BIGINT) << CAST(b AS INT))
+      |        * ((bkt >> CAST(b AS INT)) % 2) AS mval
+      |  FROM codes, (SELECT unnest(range(16)) AS b) bs),
+      |code_pairs AS (
+      |  SELECT DISTINCT c1.bkt AS ca, c2.bkt AS cb
+      |  FROM cb c1 JOIN cb c2
+      |    ON c1.band = c2.band AND c1.mval = c2.mval AND c1.bkt <= c2.bkt),
+      |cand AS (
+      |  SELECT least(x1.vec_id, x2.vec_id) AS v1,
+      |         greatest(x1.vec_id, x2.vec_id) AS v2
+      |  FROM code_pairs p
+      |  JOIN code x1 ON x1.bkt = p.ca
+      |  JOIN code x2 ON x2.bkt = p.cb
+      |  WHERE p.ca < p.cb OR x1.vec_id < x2.vec_id),
+      |dots AS (
+      |  SELECT c.v1, c.v2,
+      |    sum(CAST(round(e1.v * e2.v * 1e12, 0) AS BIGINT)) AS dots
+      |  FROM cand c
+      |  JOIN e e1 ON e1.vec_id = c.v1
+      |  JOIN e e2 ON e2.vec_id = c.v2 AND e2.idx = e1.idx
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d.v1, d.v2,
+      |    round((dots / 1e12) / (n1.nrm * n2.nrm), 6) AS cos_sim
+      |  FROM dots d
+      |  JOIN norms n1 ON n1.vec_id = d.v1
+      |  JOIN norms n2 ON n2.vec_id = d.v2
+      |  WHERE round((dots / 1e12) / (n1.nrm * n2.nrm), 6) >= 0.4),
+      |edges AS (
+      |  SELECT v1 AS vec_id, v2 AS nb, cos_sim FROM pairs
+      |  UNION ALL
+      |  SELECT v2 AS vec_id, v1 AS nb, cos_sim FROM pairs),
+      |ranked AS (
+      |  SELECT vec_id, nb, cos_sim,
+      |    row_number() OVER (PARTITION BY vec_id
+      |                       ORDER BY cos_sim DESC, nb) AS rk
+      |  FROM edges)
+      |SELECT vec_id, CAST(rk AS BIGINT) AS rk, nb AS neighbor_id, cos_sim
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY vec_id, rk""".stripMargin
 
   // ------------------------------------------------------------ IVF ANN
 
@@ -1074,6 +1189,8 @@ object SimQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sim_topk", simTopk, Some(simTopkSql)),
     QueryDef("q_sim_neardup_lsh", simNeardupLsh, Some(simNeardupLshSql)),
+    QueryDef("q_sim_neardup_topk", simNeardupTopk,
+      Some(simNeardupTopkSql)),
     QueryDef("q_sim_ann_ivf", simAnnIvf, Some(simAnnIvfSql)),
     QueryDef("q_dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QueryDef("q_emb_quantize", embQuantize, Some(embQuantizeSql)),

@@ -35,6 +35,40 @@ class CosineKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded top-k variant matches a window ranking derived from " +
+    "the registered pair query (differential), and its plan carries " +
+    "no Window over the pair set") {
+    val sf01 = "/root/testdata/sf0.01"
+    val topk = sim.SimQueries.simNeardupTopk(spark, sf01)
+    val got = topk.collect().map(_.toString).toSeq
+    // oracle: rank the pair query's directed edges with a window —
+    // correct but full-sort-of-pairs; the registered plan must agree
+    // while aggregating with the bounded heap instead
+    val pairs = sim.SimQueries.simNeardupLsh(spark, sf01)
+    val edges = pairs.select(col("v1").as("vec_id"), col("v2").as("nb"),
+        col("cos_sim"))
+      .unionByName(pairs.select(col("v2").as("vec_id"),
+        col("v1").as("nb"), col("cos_sim")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nb"))
+    val want = edges
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("vec_id"), col("rk"), col("nb").as("neighbor_id"),
+        col("cos_sim"))
+      .orderBy("vec_id", "rk")
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty, "top-k differential vacuous: no rows")
+    assert(got == want, "bounded-heap top-k drifted from the window " +
+      "ranking of the pair query")
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "top-k plan lost the partial-aggregatable bounded heap")
+    assert(!plan.contains("Window"),
+      "top-k plan sorts the pair set under a Window — the full-shuffle " +
+        "shape this query exists to avoid")
+  }
+
   test("kernel plan results are invariant to whole-stage codegen on/off") {
     val c0 = spark.conf.get("spark.sql.codegen.wholeStage")
     try {
