@@ -770,6 +770,31 @@ case class ComSumsScaled(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `cog_sums_scaled(atoms)` — one-pass unweighted COG sums over a wide
+  * frame's atom map (GeomKernels.cogSumsScaled has the arithmetic
+  * contract). Returns struct(sx, sy, sz, n) — scaled BIGINT sums plus
+  * the member count, so cog_wide shares com_wide's atom-map build. */
+case class CogSumsScaled(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sx", LongType, nullable = false),
+    StructField("sy", LongType, nullable = false),
+    StructField("sz", LongType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+  override def prettyName: String = "cog_sums_scaled"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GeomKernels.cogSumsScaled(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GeomKernels.cogSumsScaled($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 case class Lsh16Code(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh16_code"
@@ -904,6 +929,8 @@ object GraftFunctions {
       es => XyzSumScaled.build(es), "scala_udf")
     reg.createOrReplaceTempFunction("com_sums_scaled",
       es => ComSumsScaled(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cog_sums_scaled",
+      es => CogSumsScaled(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("span_clean",
       es => SpanClean(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("span_gram_hashes",

@@ -573,8 +573,10 @@ object TrajQueries {
         "CAST(mass AS DOUBLE) AS mass))), e -> e.mass)").as("masses"))
     // one codegen'd kernel pass per frame row (com_sums_scaled) — the
     // r12 form ran FOUR interpreted aggregate() lambdas per row
-    // (VERDICT r12 #6)
-    TrajDataset.atomMap(TrajModel.positionsShared(s, d))
+    // (VERDICT r12 #6). The wide rows come from the SHARED atom-map
+    // build (one frame-grouping shuffle amortized across the wide
+    // family — cog_wide rides the same instance).
+    TrajModel.atomMapShared(s, d)
       .crossJoin(broadcast(massArr))
       .select(col("frame_id"),
         expr("com_sums_scaled(atoms, masses)").as("cs"))
@@ -871,13 +873,25 @@ object TrajQueries {
     * ELEMENT (VERDICT r12 #6). */
   def trajCogWide(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val frames = TrajDataset.wide(TrajModel.positionsShared(s, d))
-    def cogW(i: Int, name: String) = round(
-      expr(s"xyz_sum_scaled(xyz, $i)")
-        .cast("double") / 1e6 / col("n_atoms"), 6).as(name)
-    frames.toDF()
-      .select(col("frame_id"), cogW(0, "cog_x"), cogW(1, "cog_y"),
-        cogW(2, "cog_z"), col("n_atoms").cast("long").as("n_atoms"))
+    // r14: one cog_sums_scaled kernel pass over the SHARED atom-map
+    // build (TrajModel.atomMapShared — com_wide rides the same
+    // instance, so the wide family pays the frame-grouping shuffle
+    // once per session, not once per query). Scaled-BIGINT addition is
+    // exact and commutative, so summing in map order is bit-identical
+    // to the retired sorted-array fold (xyz_sum_scaled over
+    // TrajDataset.wide), which WideLayoutSpec still pins against the
+    // long path.
+    TrajModel.atomMapShared(s, d)
+      .select(col("frame_id"), col("n_atoms"),
+        expr("cog_sums_scaled(atoms)").as("cs"))
+      .select(col("frame_id"),
+        round(col("cs.sx").cast("double") / 1e6 / col("n_atoms"), 6)
+          .as("cog_x"),
+        round(col("cs.sy").cast("double") / 1e6 / col("n_atoms"), 6)
+          .as("cog_y"),
+        round(col("cs.sz").cast("double") / 1e6 / col("n_atoms"), 6)
+          .as("cog_z"),
+        col("n_atoms").cast("long").as("n_atoms"))
       .orderBy("frame_id")
   }
 

@@ -32,6 +32,25 @@ class WideLayoutSpec extends AnyFunSuite {
     assert(wide.toSeq == long.toSeq)
   }
 
+  test("wide-fold COG (shared atom-map kernel) == long-path COG, " +
+    "bit for bit") {
+    val long = TrajQueries.trajCog(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    val wide = TrajQueries.trajCogWide(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(long.nonEmpty)
+    assert(wide.toSeq == long.toSeq)
+  }
+
+  test("com_wide and cog_wide share ONE wide-frames build (the memo " +
+    "returns the same instance)") {
+    val a = TrajModel.atomMapShared(spark, sf)
+    val b = TrajModel.atomMapShared(spark, sf)
+    assert(a eq b, "atomMapShared rebuilt the wide frames")
+  }
+
   test("wide round-trip: long -> Dataset[TrajFrame] -> long preserves " +
     "coordinates") {
     val pos = TrajModel.positionsShared(spark, sf)
