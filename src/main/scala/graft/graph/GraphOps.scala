@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.util.Barrier.BarrierOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -22,9 +23,11 @@ import org.apache.spark.sql.functions._
   * smaller than the corpus. Each round shuffles the current edge set
   * twice, keyed by node id; edges only ever get replaced by
   * (node → smaller-node) pointers, so the set shrinks toward one star
-  * edge per non-root node. Lineage is cut every round with an eager
-  * localCheckpoint (the k-means/pair-expansion idiom elsewhere in this
-  * repo), so the driver never re-plans a 2k-round DAG.
+  * edge per non-root node. Each round pins its edge set behind an
+  * eager barrier (graft.util.Barrier — localCheckpoint cuts lineage on
+  * local[n]; the cluster-safe persist mode keeps lineage but caches
+  * blocks, so the driver still plans each round against materialized
+  * rows rather than a 2k-round DAG).
   */
 object GraphOps {
 
@@ -67,7 +70,7 @@ object GraphOps {
     var edges = edges0
       .select(canon(col(cs(0)).cast("long"), col(cs(1)).cast("long")): _*)
       .filter(col("lo").isNotNull && col("lo") =!= col("hi"))
-      .localCheckpoint() // eager: pin the input, cut upstream lineage
+      .graftBarrierEager // eager: pin the input before iterating (Barrier scaladoc)
 
     /** Large-star: for every node u, attach its LARGER neighbors to
       * m(u) = min(Γ(u) ∪ {u}). Runs on both orientations. */
@@ -120,7 +123,7 @@ object GraphOps {
     var converged = t("init-empty?")(edges.isEmpty)
     while (!converged && round < maxRounds) {
       edges = t(s"round $round")(
-        smallStar(largeStar(edges)).localCheckpoint())
+        smallStar(largeStar(edges)).graftBarrierEager)
       converged = t(s"probe $round")(starProbe(edges).isEmpty)
       round += 1
     }

@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import graft.util.Barrier.BarrierOps
 import graft.rel.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -644,7 +645,7 @@ object MultimodalPipeline {
     val existing = statsCache.get(k)
     if (existing != null) existing
     else {
-      val built = build.localCheckpoint(false)
+      val built = build.graftBarrier
       if (statsListenerInstalled.add(s))
         s.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {

@@ -1,5 +1,6 @@
 package graft.sim
 
+import graft.util.Barrier.BarrierOps
 import graft.QueryDef
 import graft.rel.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -100,7 +101,7 @@ object SimQueries {
   }
 
   private def vecsShared(s: SparkSession, d: String): DataFrame =
-    shared(s, d, "vecs")(withNorm(s, d).localCheckpoint(false))
+    shared(s, d, "vecs")(withNorm(s, d).graftBarrier)
 
   /** Shared deterministic k-means fit: (centroids, checkpointed
     * assignment). Trained once per session+dir; the IVF index and the
@@ -111,7 +112,7 @@ object SimQueries {
     shared(s, d, "kmeans") {
       val vecs = vecsShared(s, d)
       val (c2, asg) = kmeansFit(vecs)
-      (c2, asg.localCheckpoint(false))
+      (c2, asg.graftBarrier)
     }
 
   /** Brute-force cosine top-5 neighbours for the fixed query subset
@@ -342,7 +343,7 @@ object SimQueries {
     val vecs = shared(s, d, s"coded-$bits") {
       vecsShared(s, d)
         .withColumn("bkt", expr(s"lsh_code(emb, $bits)"))
-        .localCheckpoint(false)
+        .graftBarrier
     }
     val codes = vecs.select(col("bkt")).distinct()
     val maskExpr =
@@ -565,8 +566,8 @@ object SimQueries {
     val seeds = vecs.filter(col("vec_id") % 25 === 0 && col("vec_id") < 400)
       .select(col("vec_id").as("cluster"), col("emb").as("cemb"),
         col("n2s").as("c_n2s"))
-    val c1 = update(assign(seeds)).localCheckpoint(false)
-    val c2 = update(assign(c1)).localCheckpoint(false)
+    val c1 = update(assign(seeds)).graftBarrier
+    val c2 = update(assign(c1)).graftBarrier
     (c2, assign(c2))
   }
 
@@ -575,7 +576,7 @@ object SimQueries {
     val (c2, asg) = kmeansShared(s, d)
     val lists = vecs.join(asg, "vec_id")
       .select(col("vec_id"), col("cluster"), col("emb"), col("nrm"))
-      .localCheckpoint(false)
+      .graftBarrier
 
     // probe: each query searches its nprobe=4 nearest cells only
     val qs = vecs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
@@ -750,7 +751,7 @@ object SimQueries {
     val (_, asg) = kmeansShared(s, d)
     val av = vecs.join(asg, "vec_id")
       .select(col("vec_id"), col("cluster"), col("emb"), col("nrm"))
-      .localCheckpoint(false)
+      .graftBarrier
     val l = av.select(col("cluster"), col("vec_id").as("v1"),
       col("emb").as("e1"), col("nrm").as("nrm1"))
     val r = av.select(col("cluster").as("cluster2"),
@@ -764,7 +765,7 @@ object SimQueries {
       .filter(col("cos_sim") >= tau)
       .select("v1", "v2")
     graft.graph.GraphOps.connectedComponents(pairs)
-      .localCheckpoint(false)
+      .graftBarrier
   }
 
   /** The registered SemDeDup query over [[semClustersShared]] — the
@@ -947,7 +948,7 @@ object SimQueries {
       .select(col("vec_id"), expr("idx0 DIV 8").as("sub"),
         expr("idx0 % 8").as("pos"), col("v"),
         expr("CAST(floor(v * 1e12 + 5e-1) AS BIGINT)").as("vs"))
-      .localCheckpoint(false)
+      .graftBarrier
     val sn2 = e.groupBy("vec_id", "sub")
       .agg(sum(expr("CAST(floor(v * v * 1e12 + 5e-1) AS BIGINT)"))
         .as("sub_n2s"))
@@ -982,11 +983,11 @@ object SimQueries {
       .agg(sum("vs").as("sv"), count(lit(1)).as("cnt"))
       .select(col("sub"), col("cid"), col("pos"),
         (col("sv").cast("double") / col("cnt") / expr(S)).as("cv"))
-      .localCheckpoint(false)
+      .graftBarrier
     // codes behind the barrier too: both PQ queries and every action
     // within one query reuse the assignment instead of re-running the
     // broadcast-join + argmin per consumer
-    val codes = assign(c1).localCheckpoint(false)
+    val codes = assign(c1).graftBarrier
     (vecs, e, c1, codes)
   }
 

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.util.Barrier.BarrierOps
 import graft.QueryDef
 import graft.rel.Tables
 import graft.util.Det.{ratio6, ratio6Sql}
@@ -125,7 +126,7 @@ object TextQueries {
 
   private def minhashPairsShared(s: SparkSession, d: String): DataFrame =
     textShared(s, d, "pairs")(
-      minhashPairsAt(s, d, 8, 2).localCheckpoint(false))
+      minhashPairsAt(s, d, 8, 2).graftBarrier)
 
   /** The cluster-assignment table ("node", "cluster") over the verified
     * pair graph — at cluster scale this is the dedup pipeline's
@@ -136,7 +137,7 @@ object TextQueries {
     textShared(s, d, "clusters")(
       graft.graph.GraphOps.connectedComponents(
         minhashPairsShared(s, d).select("d1", "d2"))
-        .localCheckpoint(false))
+        .graftBarrier)
 
   /** The verified near-dup PAIR SET (unordered) — shared by the
     * registered pair query above and the cluster query below. */
@@ -149,7 +150,7 @@ object TextQueries {
     // evaluation per doc. At cluster scale this would be a persisted
     // signature table instead of RDD-local blocks.
     val ds = docShinglesAt(s, d, seeds, rowsPerBand)
-      .localCheckpoint(false)
+      .graftBarrier
     val bands = ds.select(col("doc_id"),
       posexplode(col("bkeys")).as(Seq("band", "bkey")))
     val b1 = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
@@ -472,7 +473,7 @@ object TextQueries {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"dedup_simhash: maxHamming must be in [0, 31], got $maxHamming")
     val k = maxHamming + 1
-    val sig = simhashSig(s, d).localCheckpoint(false)
+    val sig = simhashSig(s, d).graftBarrier
     val banded = sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
       explode(array((0 until k).map(b =>
         struct(lit(b).as("band"), bandValAt(b, k).as("bval"))): _*))
@@ -725,7 +726,7 @@ object TextQueries {
     // lineage barrier — same rationale as dedupMinhash: signatures must
     // evaluate once per doc, not once per banded row after projection
     // collapse
-    val sig = simhashSig(s, d).localCheckpoint(false)
+    val sig = simhashSig(s, d).graftBarrier
     val banded = sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
       explode(array((0 to 8).map(b =>
         struct(lit(b).as("band"), bandVal(b).as("bval"))): _*)).as("bd"))
@@ -745,7 +746,7 @@ object TextQueries {
     * registered; do not use outside tests. */
   private[graft] def dedupSimhashViaJoin(s: SparkSession,
       d: String): DataFrame = {
-    val sig = simhashSig(s, d).localCheckpoint(false)
+    val sig = simhashSig(s, d).graftBarrier
     val banded = sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
       explode(array((0 to 8).map(b =>
         struct(lit(b).as("band"), bandVal(b).as("bval"))): _*)).as("bd"))
@@ -887,7 +888,7 @@ object TextQueries {
       // sort the gram-array rows; the counts relation is 24-byte
       // rows), and the barrier pins one kernel evaluation per doc
       // across the two join consumers
-      val rowsCp = rows.localCheckpoint(false)
+      val rowsCp = rows.graftBarrier
       val counts = rowsCp.groupBy(col("fp"), col("lenb"))
         .agg(count(lit(1)).as("cnt"))
         .where(col("cnt") > 1) // singleton blocks cannot pair
@@ -1164,7 +1165,7 @@ object TextQueries {
     // profile hits (≤ docs × langs × 20) reach its shuffle.
     val base = docs.select(col("doc_id"), col("lang"),
         expr("ngram3_set(text)").as("gs"))
-      .localCheckpoint(false)
+      .graftBarrier
     val prof = base.filter(col("doc_id") % 2 === 0)
       .select(col("lang"), explode(col("gs")).as("gram"))
       .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))

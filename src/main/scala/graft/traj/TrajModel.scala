@@ -1,5 +1,6 @@
 package graft.traj
 
+import graft.util.Barrier.BarrierOps
 import graft.rel.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -171,7 +172,7 @@ object TrajModel {
     val existing = sharedCache.get(k)
     if (existing != null) existing
     else {
-      val built = build.localCheckpoint(false)
+      val built = build.graftBarrier
       val prev = sharedCache.putIfAbsent(k, built)
       if (prev != null) prev else built
     }
