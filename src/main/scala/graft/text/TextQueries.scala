@@ -1285,16 +1285,44 @@ object TextQueries {
         col("gh.h2").as("h2"),
         expr("concat_ws(' ', slice(w, gh.pos + 1, 5))").as("gram"))
       .distinct()
+    // Per-doc DISTINCT fingerprints before any join (r14): the output
+    // counts distinct grams/bench docs, so positional multiplicity is
+    // dead weight — and under a boilerplate regime it is CRUSHING
+    // weight (the 10x-skewed replica's repeated-token plant puts the
+    // same 5-gram at ~10-30 positions per doc; joined against ~900
+    // bench docs sharing it, the r13 plan materialized ~400M join
+    // rows: measured 57.6 s).
     val train = toks(docs.filter(col("doc_id") % 50 =!= 7))
       .select(col("doc_id"),
         explode(expr("span_gram_hashes(w, 5)")).as("gh"))
       .select(col("doc_id"), col("gh.h1").as("h1"),
         col("gh.h2").as("h2"))
-    train.join(broadcast(bench), Seq("h1", "h2"))
+      .distinct()
+    // Split aggregation (r14): n_shared_grams/min(gram) need only
+    // "does this train gram appear in ANY bench doc" — join against
+    // the DISTINCT bench grams (one row per gram no matter how many
+    // bench docs carry it): output ≤ train grams, LINEAR under any
+    // skew. Only n_bench_docs needs (train_doc, bench_id) pairs —
+    // that set is the true answer (boilerplate really does contaminate
+    // every train doc against every chrome bench doc) — and the
+    // distinct BEFORE the count collapses the per-gram multiplicity
+    // (a pair sharing 30 chrome grams fed 30 rows into the r13
+    // countDistinct; one is enough).
+    val benchGrams = bench.select("h1", "h2", "gram")
+      .groupBy("h1", "h2").agg(min("gram").as("gram"))
+    val gramStats = train.join(broadcast(benchGrams), Seq("h1", "h2"))
       .groupBy("doc_id")
-      .agg(countDistinct("gram").as("n_shared_grams"),
-        countDistinct("bench_id").as("n_bench_docs"),
+      .agg(count(lit(1)).as("n_shared_grams"),
         min("gram").as("first_shared_gram"))
+    val benchPairs = train
+      .join(broadcast(bench.select("h1", "h2", "bench_id")),
+        Seq("h1", "h2"))
+      .select("doc_id", "bench_id").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_docs"))
+    gramStats.join(benchPairs, "doc_id")
+      .select(col("doc_id"), col("n_shared_grams"),
+        col("n_bench_docs"), col("first_shared_gram"))
       .orderBy("doc_id")
   }
 

@@ -35,6 +35,7 @@ object ScaleTestdata {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
     val alpha = args.lift(4).getOrElse("etaoinshrdlu")
+    val skew = args.lift(5).contains("skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,16 +45,50 @@ object ScaleTestdata {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    generate(spark, src, dst, copies, tables, alpha)
+    generate(spark, src, dst, copies, tables, alpha, skew)
     spark.stop()
   }
 
+  /** The skewed replica's TWO boilerplate plants (VERDICT r13 ask #4 —
+    * the C4 regime, organically planted), deliberately decoupled
+    * because the simhash and ngram guards key on different structure:
+    *
+    * SIMHASH (density tier): "menu" repeated ~1.3·√(doc tokens) times
+    * on 90% of docs — navigation chrome that scales with page size.
+    * Each repetition is a ±r per-bit pull on the simhash majority
+    * vote; scaling r with √tokens makes the per-bit flip probability
+    * UNIFORM (~2Φ(−1.3) ≈ 0.19) across doc lengths, which is the
+    * whole trick: the modal band bucket grows linearly in recipients
+    * (45k × 0.81⁷ ≈ 10k > the 8192 cap) while qualifying pairs decay
+    * exponentially (per-bit disagreement 0.31 → P(hamming ≤ 8) ≈
+    * 4.5e-4 → ~10⁵-10⁶ answer pairs, not the 10⁷-10⁸ a fixed
+    * repetition count produces by over-pinning whichever length
+    * cohort it dominates — binomial working in the r14 notes). A
+    * repeated token adds ~4 distinct char-8-grams, so the plant is
+    * ngram-INERT.
+    *
+    * NGRAM ((fp, lenb) hot block): ~36 DISTINCT chrome words
+    * (~215 chars) on the median length band [240, 400]. Shared
+    * char-8-grams pin the same min-fingerprint across non-dup docs
+    * and the band concentrates them into few lenb buckets —
+    * measured 2042 vs the 1024 cap — while jaccard for every chrome
+    * pair stays ≤ ~0.35 (shared grams ≈ 215, union ≥ 215 + 2·233),
+    * so the ngram ANSWER stays linear. */
+  private[graft] val SkewChrome: String =
+    "privacy policy terms of service cookie notice copyright " +
+      "subscribe newsletter contact careers investor relations press " +
+      "accessibility sitemap language region signin register search " +
+      "trending popular latest sports weather finance entertainment " +
+      "technology science health travel follow share related "
+
   /** Generation body, session-preserving — callable from a test suite
     * (ScaleKnobsSpec) without tearing down the caller's session the
-    * way main()'s stop() would. */
+    * way main()'s stop() would. `skew = true` additionally plants the
+    * Zipf length tail, the boilerplate regime, and the LSH mega-code
+    * (VERDICT r13 ask #4). */
   def generate(spark: SparkSession, src: String, dst: String,
       copies: Int, tables: Set[String] = Set.empty,
-      alpha: String = "etaoinshrdlu"): Unit = {
+      alpha: String = "etaoinshrdlu", skew: Boolean = false): Unit = {
     // the text translation cycles with the alphabet length: copy 12
     // would translate identically to copy 0 and silently reintroduce
     // the exact-duplicate artifact the translation exists to prevent
@@ -134,6 +169,43 @@ object ScaleTestdata {
             when(col("__copy") === k,
               translate(col("text"), alpha, shifted(k))).otherwise(acc)
           })
+        if (skew) {
+          // (a) Zipf length tail: real corpora are Zipfian in doc
+          // length; the uniform replica is not. Discrete Zipf-ish
+          // repetition (0.5% of docs ×16, 1.5% ×8, 4% ×4, 9% ×2),
+          // keyed on the post-offset doc_id so every copy draws its
+          // own tail. Applied BEFORE the boilerplate so the length
+          // gate below sees final organic lengths.
+          out = out.withColumn("text", expr(
+            """CASE
+              |  WHEN pmod(hash('zipf', doc_id), 1000) < 5
+              |    THEN rtrim(repeat(text || ' ', 16))
+              |  WHEN pmod(hash('zipf', doc_id), 1000) < 20
+              |    THEN rtrim(repeat(text || ' ', 8))
+              |  WHEN pmod(hash('zipf', doc_id), 1000) < 60
+              |    THEN rtrim(repeat(text || ' ', 4))
+              |  WHEN pmod(hash('zipf', doc_id), 1000) < 150
+              |    THEN rtrim(repeat(text || ' ', 2))
+              |  ELSE text END""".stripMargin))
+          // (b) the two boilerplate plants (SkewChrome scaladoc):
+          // neither is translated per copy — one corpus-wide regime,
+          // like the one cookie banner every page of a crawl shares.
+          // Chrome gates on the PRE-MENU length so the ngram length
+          // band is independent of the menu plant; menu repetitions
+          // come from the post-Zipf token count.
+          out = out
+            .withColumn("__len0", length(col("text")))
+            .withColumn("text", expr(
+              """CASE WHEN pmod(hash('menu', doc_id), 10) < 9
+                |  THEN concat(repeat('menu ', greatest(1, CAST(round(
+                |    1.3 * sqrt(size(split(text, ' ')))) AS INT))), text)
+                |  ELSE text END""".stripMargin))
+            .withColumn("text",
+              when(col("__len0").between(240, 400),
+                concat(lit(SkewChrome), col("text")))
+                .otherwise(col("text")))
+            .drop("__len0")
+        }
       }
       if (t == "embeddings") {
         // per-copy circular rotation + per-copy SIGN PATTERN. The
@@ -169,6 +241,26 @@ object ScaleTestdata {
             s"transform($rotated, (x, i) -> x * CAST(1 - 2 * " +
             s"abs(hash(CAST(__copy AS INT), i, '$alpha') % 2) " +
             "AS FLOAT)) END"))
+        if (skew) {
+          // LSH mega-code: 1/8 of all vectors collapse onto ONE shared
+          // direction with ±1% per-coordinate jitter — the
+          // empty-document / default-embedding regime real embedding
+          // tables have. Same sign on every projection → one 16-bit
+          // code holding ~n/8 vectors (>> LshBucketCap), and mutual
+          // cosine ~0.9997 means they are GENUINE near-dups, so the
+          // pair query's answer grows quadratically in the plant (the
+          // artifact budgets that as answer-bound; the bounded
+          // q_sim_neardup_topk output stays at n·k by construction).
+          val base = rd("embeddings").orderBy("vec_id")
+            .select("embedding").first().getSeq[Float](0)
+          val baseLit = base.map(f => s"CAST($f AS FLOAT)")
+            .mkString("array(", ", ", ")")
+          out = out.withColumn("embedding", expr(
+            s"CASE WHEN pmod(hash('skewlsh', vec_id), 8) = 0 THEN " +
+              s"transform($baseLit, (x, i) -> CAST(x * (1.0D + 0.01D * " +
+              "(pmod(hash(vec_id, i), 7) - 3) / 3.0D) AS FLOAT)) " +
+              "ELSE embedding END"))
+        }
       }
       // write the many-files layout real data has: a single output
       // file serializes downstream scans into one task and fakes a
@@ -181,7 +273,7 @@ object ScaleTestdata {
     // "does table X exist" cannot distinguish a finished replica from
     // an interrupted one — consumers (ScaleKnobsSpec) probe this file
     graft.sources.FsIO.writeString(s"$dst/_GRAFT_SCALE_OK",
-      s"copies=$copies src=$src\n")
+      s"copies=$copies src=$src skew=$skew\n")
     System.err.println(s"[scale] wrote $dst")
   }
 }
