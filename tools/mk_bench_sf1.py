@@ -23,6 +23,15 @@ assert b.get("sf") == "/root/testdata/sf0.1", \
 assert a.get("sf") != b.get("sf"), "both artifacts declare the same sf dir"
 assert not a.get("subset") and not b.get("subset"), \
     "refusing subset artifacts as scale evidence"
+# idle-at-start guard: ratios from a contended machine are not scaling
+# evidence (1-min loadavg at run START; the run itself drives END load).
+# GRAFT_BENCH_ALLOW_LOAD=1 overrides, for debugging only.
+import os
+for name, r in (("10x", a), ("base", b)):
+    load1 = float(str(r.get("loadavg_start", "0")).split()[0])
+    assert load1 < 2.0 or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
+        f"{name} artifact started under load (1-min loadavg {load1}); " \
+        "re-run on an idle machine"
 qa, qb = a["queries"], b["queries"]
 rows = {}
 flagged = []

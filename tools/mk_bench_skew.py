@@ -48,6 +48,17 @@ OVERRIDES = {
         50,
         "answer-bound: Zipf repetition multiplies text volume ~1.5x "
         "and hash-groupBy cost follows bytes, not rows"),
+    "q_decontaminate": (
+        50,
+        "answer-bound: the chrome plant genuinely contaminates every "
+        "planted train doc against every planted bench doc, so the "
+        "(train, bench) distinct pair set — which n_bench_docs must "
+        "materialize exactly — is ~40M rows; the gram-stats branch "
+        "stays linear (see TextQueries.decontaminate r14 notes)"),
+    "q_lang_id_ngram": (
+        30,
+        "volume-bound: Zipf repetition + boilerplate raise corpus "
+        "chars ~2x and the per-doc gram arrays follow chars"),
 }
 
 
@@ -64,6 +75,13 @@ def main():
         "guard probe ran on a different dir than the skewed bench"
     for name, r in (("skewed", skewed), ("base", base)):
         assert not r.get("subset"), f"{name} artifact is a subset run"
+        # same idle-at-start guard as mk_bench_scale: contended ratios
+        # are not evidence. GRAFT_BENCH_ALLOW_LOAD=1 overrides.
+        load1 = float(str(r.get("loadavg_start", "0")).split()[0])
+        import os
+        assert load1 < 2.0 or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
+            f"{name} artifact started under load (1-min loadavg " \
+            f"{load1}); re-run on an idle machine"
     # the probe numbers ARE the point: refuse to publish an artifact
     # whose replica did not actually cross the caps
     for fam in ("simhash", "ngram", "lsh"):

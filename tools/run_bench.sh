@@ -1,0 +1,33 @@
+#!/bin/bash
+# Run a graft main (default graft.Bench) from the compiled classes dir
+# WITHOUT sbt: no project-lock serialization, and -Dgraft.base is
+# redirectable so replica Bench runs can't clobber the committed
+# sf0.1 BENCH_FULL.json (the r13/r14 artifact-hygiene slips both came
+# from Bench's fixed artifact name landing in the repo).
+#
+# Usage: SPARK_GRAFT_SF_DIR=... tools/run_bench.sh [outdir] [main] [args...]
+#   outdir: where BENCH_FULL.json lands (default: a fresh mktemp dir)
+#   main:   graft.Bench (default) | graft.Verify | graft.tools.*
+#
+# Compile first (sbt -batch compile); this script does not compile.
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+OUT="${1:-$(mktemp -d /tmp/graft_bench.XXXX)}"
+MAIN="${2:-graft.Bench}"
+shift $(( $# > 2 ? 2 : $# )) || true
+mkdir -p "$OUT"
+CLASSES="$REPO/target/scala-2.13/classes"
+[ -d "$CLASSES" ] || { echo "compile first: sbt -batch compile" >&2; exit 1; }
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent \
+         java.util.concurrent.atomic sun.nio.ch sun.nio.cs \
+         sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Dgraft.base="$OUT" \
+  -cp "$CLASSES:/opt/spark/jars/*" "$MAIN" "$@"
