@@ -3,7 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the driver's local[32] contract — a bench run
+    // that silently fell back to local[4] produced plausible-looking
+    // sf0.1 totals while understating kernel-stage parallelism 8x at
+    // the replicas (r14: two hours of launcher-blaming before the
+    // 4-thread jstack gave it away)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -58,6 +63,12 @@ object Bench {
         .split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "unavailable" }
     val loadStart = loadavg()
+    // machine load BEFORE this JVM started (set by tools/run_bench.sh):
+    // loadStart above is read after ~30 s of 32-thread warm-up, which
+    // alone lifts the 1-min figure to ~2-4 on an idle box — the
+    // pre-launch number is the one that actually measures co-tenancy
+    val loadPre = sys.env.get("SPARK_GRAFT_LOADAVG_T0")
+      .map(v => s""""loadavg_prelaunch":"${v.take(40)}",""").getOrElse("")
     // optional subset (comma-separated names): scale probes bench the
     // expensive tail without paying the whole suite at every factor
     val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -132,7 +143,8 @@ object Bench {
     // ratio tooling can refuse partial artifacts
     val subsetCtx = if (subset.isDefined)
       s""","subset":true,"subset_n":${named.size}""" else ""
-    val ctx = s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"""" +
+    val ctx = loadPre +
+      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"""" +
       s""","pass_totals":[${passTotals.map(t => f"$t%.2f").mkString(",")}]""" +
       subsetCtx
     val line =

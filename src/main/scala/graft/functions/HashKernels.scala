@@ -397,6 +397,28 @@ object HashKernels {
     (if (v < 0) -k else k).toLong
   }
 
+  /** Plain double dot product, 4-way unrolled for ILP — the FAST phase
+    * of the two-phase cosine screen in [[cosineClosePairs]]. ~8×
+    * cheaper per element than [[dotScaled]] (no per-element
+    * floor/branch/long round-trip), at the price of ordinary
+    * floating-point error — which the caller bounds EXACTLY: with
+    * d = min dims, |dotFast − Σaᵢbᵢ| ≤ 2d·ε·‖a‖‖b‖ (any summation
+    * order, Cauchy–Schwarz on Σ|aᵢbᵢ|), so a conservative margin
+    * around the survival threshold makes the fast phase a screen that
+    * can never flip a survival decision. */
+  def dotFast(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    var i = 0
+    while (i + 3 < n) {
+      s0 += a(i) * b(i); s1 += a(i + 1) * b(i + 1)
+      s2 += a(i + 2) * b(i + 2); s3 += a(i + 3) * b(i + 3)
+      i += 4
+    }
+    while (i < n) { s0 += a(i) * b(i); i += 1 }
+    (s0 + s1) + (s2 + s3)
+  }
+
   /** Σ round(a_i · b_i · 1e12) as a long — the single-pass twin of
     * aggregate(zip_with(a, b, (x,y) -> CAST(round(x*y*1e12, 0) AS
     * BIGINT)), 0, +): exact integer accumulation of a scaled dot
@@ -563,9 +585,35 @@ object HashKernels {
     // non-dot cost) for the ~99.95 % of candidates that fail by a wide
     // margin, without ever changing which pairs survive.
     val preGate = threshold - 5.001e-7
+    // Two-phase EXACT screen (r14): candidate work on this corpus is
+    // structure-bound at Θ(n²/bits) — the sin(997p+31i) family spans a
+    // 2-D subspace (sin(x+y) expansion: every hyperplane is a linear
+    // combination of cos(31i) and sin(31i)), so the "64-bit" code is
+    // an angular SECTOR index in that plane, 2·bits sectors total
+    // (measured: 32 distinct codes at bits=16, 40 at 20, for 200k
+    // vectors). No full-rank replacement is admissible: qualifying
+    // pairs on this corpus sit at cos 0.4-0.6 (53-66°, measured — max
+    // pair cos is 0.60 at sf0.1), where independent sign-hyperplane
+    // LSH has ~1% recall at any sub-quadratic cost; the sector code is
+    // what FINDS them. So the lever is the per-candidate constant: a
+    // plain-double dot (dotFast) decides every pair that is provably
+    // far from the survival boundary, and only near-boundary pairs and
+    // survivors pay the exact dotScaled + BigDecimal path. Bound, in
+    // raw dot units (R = exact rounded-scaled sum, F = dotFast):
+    //   |R/1e12 − F| ≤ 0.5·d/1e12 (per-element HALF_UP, d ≤ 4096)
+    //                + 3d·ε·‖a‖‖b‖ (fl error of products + any-order
+    //                  accumulation, Cauchy–Schwarz)
+    // Survival requires R/1e12 ≥ (θ − 5.001e-7)·n1·n2, so
+    //   F < (θ − 5.001e-7)·n1·n2 − M, M = 1e-8 + 1e-11·n1·n2
+    // (three orders of magnitude above the bound at d = 64) rejects
+    // with zero false dismissals; survivors recompute exactly, so the
+    // output is bit-identical to the single-phase kernel
+    // (CosineKernelSpec: boundary fuzz + the bits-16/12 differential).
     def verify(id1: Long, e1: Array[Double], n1: Double,
         id2: Long, e2: Array[Double], n2: Double): Unit = {
-      val cos = (dotScaled(e1, e2) / 1e12) / (n1 * n2)
+      val s = n1 * n2
+      if (dotFast(e1, e2) < preGate * s - 1e-8 - 1e-11 * s) return
+      val cos = (dotScaled(e1, e2) / 1e12) / s
       if (cos >= preGate && java.lang.Double.isFinite(cos)) {
         val r6 = java.math.BigDecimal.valueOf(cos)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -87,6 +87,67 @@ class CosineKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("two-phase screen never flips a survival decision: 200-vector " +
+    "boundary fuzz against a single-phase dotScaled+BigDecimal " +
+    "reference") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // vectors engineered so pair cosines CONCENTRATE at the 0.4
+    // survival boundary (a = base + tiny jitter scaled to land cos at
+    // 0.4 + N(0, 1e-3), including offsets inside the 5e-7 rounding
+    // band) — the regime where a sloppy fast-phase margin would flip
+    // decisions. Seeded: failures reproduce.
+    val rnd = new scala.util.Random(20260815L)
+    val dim = 16
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val bn = math.sqrt(base.map(x => x * x).sum)
+    val unit = base.map(_ / bn)
+    val offs = Seq(0.0, 1e-9, -1e-9, 4.9e-7, 5.1e-7, -4.9e-7, -5.1e-7,
+      1e-6, -1e-6)
+    val vecs = (0 until 200).map { i =>
+      val target = 0.4 +
+        (if (i < offs.size) offs(i) else rnd.nextGaussian() * 1e-3)
+      // v = target·unit + sqrt(1-target²)·orth, orth ⟂ unit
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      val proj = (0 until dim).map(k => g(k) * unit(k)).sum
+      val orth = (0 until dim).map(k => g(k) - proj * unit(k)).toArray
+      val on = math.sqrt(orth.map(x => x * x).sum)
+      val v = (0 until dim).map(k =>
+        target * unit(k) + math.sqrt(math.max(0, 1 - target * target)) *
+          orth(k) / on).toArray
+      (i.toLong, v.toSeq)
+    }
+    // norms exactly as the query computes them: sqrt(dotScaled(e,e)/1e12)
+    def nrmOf(e: Array[Double]): Double =
+      math.sqrt(functions.HashKernels.dotScaled(e, e) / 1e12)
+    val withN = vecs.map { case (id, e) =>
+      (id, e, nrmOf(e.toArray)) }
+    // single-phase reference: the exact path only, per the oracle SQL
+    val want = (for {
+      i <- withN.indices; j <- (i + 1) until withN.size
+      di = functions.HashKernels.dotScaled(
+        withN(i)._2.toArray, withN(j)._2.toArray)
+      cos = (di / 1e12) / (withN(i)._3 * withN(j)._3)
+      if java.lang.Double.isFinite(cos)
+      r6 = java.math.BigDecimal.valueOf(cos)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if r6 >= 0.4
+    } yield (withN(i)._1, withN(j)._1, r6)).toSet
+    val got = withN.toDF("vec_id", "emb", "nrm")
+      .agg(collect_list(struct(col("vec_id"), col("emb"), col("nrm")))
+        .as("ma"))
+      .select(explode(expr("cosine_close_pairs(ma, ma, true, 0.4)"))
+        .as("p"))
+      .select("p.v1", "p.v2", "p.cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(want.nonEmpty && want.size < 200 * 199 / 2,
+      s"fuzz vacuous: ${want.size} survivors — boundary not exercised")
+    assert(got == want,
+      s"screen flipped decisions: ${(got -- want).size} extra, " +
+        s"${(want -- got).size} missing of ${want.size}")
+  }
+
   test("kernel plan results are invariant to whole-stage codegen on/off") {
     val c0 = spark.conf.get("spark.sql.codegen.wholeStage")
     try {

@@ -48,15 +48,22 @@ def main():
         "big and base artifacts declare the same sf dir"
     for name, r in (("big", big), ("base", base)):
         assert not r.get("subset"), f"{name} artifact is a subset run"
-        # ratios from a contended machine are not scaling evidence: the
-        # 1-min loadavg at run START must be near-idle (the run itself
-        # drives it up; END load reflects the bench, not contention).
-        # GRAFT_BENCH_ALLOW_LOAD=1 overrides, for debugging only.
-        load1 = float(str(r.get("loadavg_start", "0")).split()[0])
+        # ratios from a contended machine are not scaling evidence.
+        # Prefer loadavg_prelaunch (tools/run_bench.sh records it before
+        # the JVM starts; must be near-idle). loadavg_start is read
+        # AFTER the ~30 s 32-thread warm-up, which alone lifts the
+        # 1-min figure to ~2-4 on an idle box, so its fallback bound is
+        # lenient — it exists to catch co-tenant storms (15+), not
+        # self-warmup. GRAFT_BENCH_ALLOW_LOAD=1 overrides (debug only).
         import os
-        assert load1 < 2.0 or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
-            f"{name} artifact started under load (1-min loadavg " \
-            f"{load1}); re-run on an idle machine"
+        pre = r.get("loadavg_prelaunch")
+        if pre is not None:
+            ok = float(str(pre).split()[0]) < 2.0
+        else:
+            ok = float(str(r.get("loadavg_start", "0")).split()[0]) < 8.0
+        assert ok or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
+            f"{name} artifact started under load (prelaunch={pre!r}, " \
+            f"start={r.get('loadavg_start')!r}); re-run on an idle machine"
     qa, qb = big["queries"], base["queries"]
     rows = {}
     flagged = []

@@ -23,15 +23,21 @@ assert b.get("sf") == "/root/testdata/sf0.1", \
 assert a.get("sf") != b.get("sf"), "both artifacts declare the same sf dir"
 assert not a.get("subset") and not b.get("subset"), \
     "refusing subset artifacts as scale evidence"
-# idle-at-start guard: ratios from a contended machine are not scaling
-# evidence (1-min loadavg at run START; the run itself drives END load).
-# GRAFT_BENCH_ALLOW_LOAD=1 overrides, for debugging only.
+# idle-at-start guard: contended ratios are not scaling evidence.
+# Prefer loadavg_prelaunch (recorded by tools/run_bench.sh before the
+# JVM starts; must be near-idle); loadavg_start is self-inflated by the
+# in-JVM warm-up, so its fallback bound is lenient and only catches
+# co-tenant storms. GRAFT_BENCH_ALLOW_LOAD=1 overrides (debug only).
 import os
 for name, r in (("10x", a), ("base", b)):
-    load1 = float(str(r.get("loadavg_start", "0")).split()[0])
-    assert load1 < 2.0 or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
-        f"{name} artifact started under load (1-min loadavg {load1}); " \
-        "re-run on an idle machine"
+    pre = r.get("loadavg_prelaunch")
+    if pre is not None:
+        ok = float(str(pre).split()[0]) < 2.0
+    else:
+        ok = float(str(r.get("loadavg_start", "0")).split()[0]) < 8.0
+    assert ok or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
+        f"{name} artifact started under load (prelaunch={pre!r}, " \
+        f"start={r.get('loadavg_start')!r}); re-run on an idle machine"
 qa, qb = a["queries"], b["queries"]
 rows = {}
 flagged = []

@@ -75,13 +75,22 @@ def main():
         "guard probe ran on a different dir than the skewed bench"
     for name, r in (("skewed", skewed), ("base", base)):
         assert not r.get("subset"), f"{name} artifact is a subset run"
-        # same idle-at-start guard as mk_bench_scale: contended ratios
-        # are not evidence. GRAFT_BENCH_ALLOW_LOAD=1 overrides.
-        load1 = float(str(r.get("loadavg_start", "0")).split()[0])
+        # ratios from a contended machine are not scaling evidence.
+        # Prefer loadavg_prelaunch (tools/run_bench.sh records it before
+        # the JVM starts; must be near-idle). loadavg_start is read
+        # AFTER the ~30 s 32-thread warm-up, which alone lifts the
+        # 1-min figure to ~2-4 on an idle box, so its fallback bound is
+        # lenient — it exists to catch co-tenant storms (15+), not
+        # self-warmup. GRAFT_BENCH_ALLOW_LOAD=1 overrides (debug only).
         import os
-        assert load1 < 2.0 or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
-            f"{name} artifact started under load (1-min loadavg " \
-            f"{load1}); re-run on an idle machine"
+        pre = r.get("loadavg_prelaunch")
+        if pre is not None:
+            ok = float(str(pre).split()[0]) < 2.0
+        else:
+            ok = float(str(r.get("loadavg_start", "0")).split()[0]) < 8.0
+        assert ok or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
+            f"{name} artifact started under load (prelaunch={pre!r}, " \
+            f"start={r.get('loadavg_start')!r}); re-run on an idle machine"
     # the probe numbers ARE the point: refuse to publish an artifact
     # whose replica did not actually cross the caps
     for fam in ("simhash", "ngram", "lsh"):

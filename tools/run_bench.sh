@@ -16,6 +16,13 @@ OUT="${1:-$(mktemp -d /tmp/graft_bench.XXXX)}"
 MAIN="${2:-graft.Bench}"
 shift $(( $# > 2 ? 2 : $# )) || true
 mkdir -p "$OUT"
+# graft mains default to local[4] without this (Bench.scala) — a bench
+# accidentally run at 4 cores produces numbers that LOOK plausible at
+# sf0.1 but understate kernel-stage parallelism 8x at the replicas
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
+# pre-launch machine load: the in-JVM loadavg_start is self-inflated by
+# the 32-thread warm-up, so Bench also records this untainted figure
+export SPARK_GRAFT_LOADAVG_T0="$(cut -d' ' -f1-3 /proc/loadavg)"
 CLASSES="$REPO/target/scala-2.13/classes"
 [ -d "$CLASSES" ] || { echo "compile first: sbt -batch compile" >&2; exit 1; }
 ADD_OPENS=""
