@@ -475,7 +475,11 @@ object SimQueries {
     * width up one band early), so the oracle tracks the registered
     * query's occupancy-constant code width at EVERY scale the gate
     * runs — sf0.01 (floor 16), the 10x replica (20k vecs -> 17), and
-    * beyond — not just below the floor. */
+    * beyond — not just below the floor. `pairs` is MATERIALIZED:
+    * the edges CTE reads it twice, and DuckDB inlines non-materialized
+    * CTEs per reference — at the 10x replica the duplicated candidate
+    * pipeline spilled >230 GB and died on disk; materialized it
+    * completes in ~250 s inside 80 GB (measured, r14). */
   private val simNeardupTopkSql =
     """WITH nbits AS (
       |  SELECT GREATEST(16,
@@ -526,7 +530,7 @@ object SimQueries {
       |  JOIN e e1 ON e1.vec_id = c.v1
       |  JOIN e e2 ON e2.vec_id = c.v2 AND e2.idx = e1.idx
       |  GROUP BY 1, 2),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT d.v1, d.v2,
       |    round((dots / 1e12) / (n1.nrm * n2.nrm), 6) AS cos_sim
       |  FROM dots d
