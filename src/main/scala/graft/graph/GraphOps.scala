@@ -24,10 +24,14 @@ import org.apache.spark.sql.functions._
   * twice, keyed by node id; edges only ever get replaced by
   * (node → smaller-node) pointers, so the set shrinks toward one star
   * edge per non-root node. Each round pins its edge set behind an
-  * eager barrier (graft.util.Barrier — localCheckpoint cuts lineage on
-  * local[n]; the cluster-safe persist mode keeps lineage but caches
-  * blocks, so the driver still plans each round against materialized
-  * rows rather than a 2k-round DAG).
+  * eager LINEAGE-CUTTING barrier (graft.util.Barrier.barrierEager —
+  * reliable checkpoint() when a checkpoint dir is configured, else
+  * localCheckpoint): a lineage-keeping cache here would nest each
+  * round's plan ~4× into the next (both largeStar orientations plus
+  * smallStar's self-join), an exponential tree that OOM'd the driver
+  * on a 64-node path graph when tried (r15); see the Barrier scaladoc
+  * caveat. On a cluster, set a checkpoint dir to keep the loop
+  * executor-loss-safe.
   */
 object GraphOps {
 

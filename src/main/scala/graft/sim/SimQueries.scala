@@ -337,7 +337,15 @@ object SimQueries {
   def simNeardupTopkAt(s: SparkSession, d: String, bits: Int,
       k: Int): DataFrame = {
     require(k >= 1, s"sim_neardup_topk: k must be >= 1, got $k")
+    // barriered (ADVICE r14): the self-union below reads the pair
+    // stream twice, and without a barrier the whole capped-LSH
+    // candidate + cosine-verify pipeline appears twice in the plan,
+    // leaning on ReusedExchange to avoid paying the kernel twice —
+    // the same double-evaluation the DuckDB oracle needed its
+    // MATERIALIZED pairs CTE for. Surviving pairs are small
+    // (answer-bounded), so materializing them is cheap.
     val pairs = simNeardupLshPairsCapped(s, d, bits, LshBucketCap)
+      .graftBarrier
     val edges = pairs
       .select(col("v1").as("vec_id"), col("v2").as("nb"), col("cos_sim"))
       .unionByName(pairs.select(col("v2").as("vec_id"),
@@ -450,19 +458,20 @@ object SimQueries {
       |  JOIN code x1 ON x1.bkt = p.ca
       |  JOIN code x2 ON x2.bkt = p.cb
       |  WHERE p.ca < p.cb OR x1.vec_id < x2.vec_id),
-      |dots AS (
+      |scored AS (
       |  SELECT c.v1, c.v2,
-      |    sum(CAST(round(e1.v * e2.v * 1e12, 0) AS BIGINT)) AS dots
+      |    round((CAST(list_sum(list_transform(
+      |        list_zip(e1.embedding, e2.embedding),
+      |        x -> CAST(round(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
+      |                        * 1e12, 0) AS BIGINT))) AS DOUBLE) / 1e12)
+      |      / (n1.nrm * n2.nrm), 6) AS cos_sim
       |  FROM cand c
-      |  JOIN e e1 ON e1.vec_id = c.v1
-      |  JOIN e e2 ON e2.vec_id = c.v2 AND e2.idx = e1.idx
-      |  GROUP BY 1, 2)
-      |SELECT d.v1, d.v2,
-      |  round((dots / 1e12) / (n1.nrm * n2.nrm), 6) AS cos_sim
-      |FROM dots d
-      |JOIN norms n1 ON n1.vec_id = d.v1
-      |JOIN norms n2 ON n2.vec_id = d.v2
-      |WHERE round((dots / 1e12) / (n1.nrm * n2.nrm), 6) >= 0.4
+      |  JOIN embeddings e1 ON e1.vec_id = c.v1
+      |  JOIN embeddings e2 ON e2.vec_id = c.v2
+      |  JOIN norms n1 ON n1.vec_id = c.v1
+      |  JOIN norms n2 ON n2.vec_id = c.v2)
+      |SELECT v1, v2, cos_sim FROM scored
+      |WHERE cos_sim >= 0.4
       |ORDER BY v1, v2""".stripMargin
 
   /** Same CTE chain as [[simNeardupLshSql]] up to the surviving pair
@@ -478,8 +487,17 @@ object SimQueries {
     * beyond — not just below the floor. `pairs` is MATERIALIZED:
     * the edges CTE reads it twice, and DuckDB inlines non-materialized
     * CTEs per reference — at the 10x replica the duplicated candidate
-    * pipeline spilled >230 GB and died on disk; materialized it
-    * completes in ~250 s inside 80 GB (measured, r14). */
+    * pipeline spilled >230 GB and died on disk. The candidate dot is
+    * computed IN-ROW (list_zip + list_transform over the two embedding
+    * lists, r15): the previous unnest-join `dots` CTE materialized
+    * candidates × 64 element rows before its group-by — the Θ(cand·d)
+    * intermediate that made the 10x oracle spill ~80 GB even
+    * materialized. In-row, each candidate pair is one row carrying two
+    * 64-float lists, the exact scaled-integer arithmetic is unchanged
+    * (integer addition is order-independent, so list-order summation
+    * is bit-identical to the join-order sum; verified row-identical at
+    * sf0.01/sf0.1), and the 10x pair set completes in ~208 s under
+    * co-tenant load inside default memory — no spill-disk exhaustion. */
   private val simNeardupTopkSql =
     """WITH nbits AS (
       |  SELECT GREATEST(16,
@@ -523,20 +541,20 @@ object SimQueries {
       |  JOIN code x1 ON x1.bkt = p.ca
       |  JOIN code x2 ON x2.bkt = p.cb
       |  WHERE p.ca < p.cb OR x1.vec_id < x2.vec_id),
-      |dots AS (
-      |  SELECT c.v1, c.v2,
-      |    sum(CAST(round(e1.v * e2.v * 1e12, 0) AS BIGINT)) AS dots
-      |  FROM cand c
-      |  JOIN e e1 ON e1.vec_id = c.v1
-      |  JOIN e e2 ON e2.vec_id = c.v2 AND e2.idx = e1.idx
-      |  GROUP BY 1, 2),
       |pairs AS MATERIALIZED (
-      |  SELECT d.v1, d.v2,
-      |    round((dots / 1e12) / (n1.nrm * n2.nrm), 6) AS cos_sim
-      |  FROM dots d
-      |  JOIN norms n1 ON n1.vec_id = d.v1
-      |  JOIN norms n2 ON n2.vec_id = d.v2
-      |  WHERE round((dots / 1e12) / (n1.nrm * n2.nrm), 6) >= 0.4),
+      |  SELECT v1, v2, cos_sim FROM (
+      |    SELECT c.v1, c.v2,
+      |      round((CAST(list_sum(list_transform(
+      |          list_zip(e1.embedding, e2.embedding),
+      |          x -> CAST(round(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
+      |                          * 1e12, 0) AS BIGINT))) AS DOUBLE) / 1e12)
+      |        / (n1.nrm * n2.nrm), 6) AS cos_sim
+      |    FROM cand c
+      |    JOIN embeddings e1 ON e1.vec_id = c.v1
+      |    JOIN embeddings e2 ON e2.vec_id = c.v2
+      |    JOIN norms n1 ON n1.vec_id = c.v1
+      |    JOIN norms n2 ON n2.vec_id = c.v2)
+      |  WHERE cos_sim >= 0.4),
       |edges AS (
       |  SELECT v1 AS vec_id, v2 AS nb, cos_sim FROM pairs
       |  UNION ALL

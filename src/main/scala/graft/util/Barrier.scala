@@ -26,12 +26,25 @@ import org.apache.spark.storage.StorageLevel
   *    deterministic (hash signatures, sorted gathers, exact-integer
   *    k-means), so a recomputed partition is bit-identical to the lost
   *    one and query results are unaffected (BarrierModeSpec pins
-  *    this).
+  *    this). CAVEAT (ADVICE r14): because lineage is kept, persist is
+  *    a CACHE, not a plan barrier. That is fine for the one-shot
+  *    shared builds [[barrier]] serves (single-level plans), but it
+  *    CANNOT serve iteration: each loop round's logical plan would
+  *    nest the previous round's plan several times over (cache
+  *    substitution happens after analysis), growing the tree
+  *    exponentially with round count — measured r15: connected
+  *    components on a 64-node path graph OOM'd the driver's
+  *    explainString before converging.
   *
-  * `eager` materializes the barrier immediately (the iterative
-  * connected-components loop pins each round before planning the
-  * next); in persist mode a `count()` forces the blocks, in local mode
-  * `localCheckpoint(eager = true)` does.
+  * [[barrierEager]] — the iterative-loop form — therefore ALWAYS cuts
+  * lineage, in every mode: reliable `checkpoint()` when
+  * `sparkContext.getCheckpointDir` is configured (lineage cut AND
+  * blocks in the fault-tolerant store — the correct cluster
+  * deployment, which should always set a checkpoint dir when running
+  * iterative dedup clustering), `localCheckpoint(eager = true)`
+  * otherwise (including persist mode, as the documented
+  * executor-loss-unsafe fallback — on a cluster, configure the
+  * checkpoint dir instead).
   */
 object Barrier {
   private val Key = "spark.graft.barrier"
@@ -49,15 +62,20 @@ object Barrier {
     case "persist" => df.persist(StorageLevel.DISK_ONLY)
   }
 
-  /** Eager barrier: blocks are materialized before this returns — the
-    * iterative-loop form (each CC round must pin before the next round
-    * plans on top of it). */
-  def barrierEager(df: DataFrame): DataFrame = mode(df) match {
-    case "local" => df.localCheckpoint()
-    case "persist" =>
-      val p = df.persist(StorageLevel.DISK_ONLY)
-      p.count()
-      p
+  /** Eager barrier: blocks are materialized AND LINEAGE IS CUT before
+    * this returns — the iterative-loop form (each CC round must pin
+    * before the next round plans on top of it, and keeping lineage
+    * across rounds nests plans exponentially — see class scaladoc
+    * caveat). Reliable `checkpoint()` when a checkpoint dir is
+    * configured (cluster-safe: blocks recoverable from the
+    * fault-tolerant store); `localCheckpoint(eager = true)` otherwise,
+    * in BOTH modes — the mode() call is kept for its fail-fast
+    * validation of the conf value. */
+  def barrierEager(df: DataFrame): DataFrame = {
+    mode(df)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
   }
 
   /** `df.graftBarrier` / `df.graftBarrierEager` postfix forms — the

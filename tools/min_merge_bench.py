@@ -3,7 +3,16 @@
 (each already min-of-2 internally) into one BENCH_FULL-shaped JSON.
 Co-tenant interference on this host is sustained (minutes), so a
 single run's interleaved min-of-2 cannot shed it; the min across
-runs spread over a longer window can. Usage:
+runs spread over a longer window can.
+
+THIS TOOL IS THE ONLY WRITER OF BENCH_FULL.json (VERDICT r14 wrong
+#2): graft.Bench emits raw runs as BENCH_RAW_LAST.json (gitignored)
+and refuses a BENCH_FULL target, so a driver end-of-round raw run can
+no longer clobber the committed idle-window merge. The merged
+artifact always carries `min_of_runs`, distinguishing it from any raw
+single run.
+
+Usage:
   min_merge_bench.py out.json run1.json run2.json [...]"""
 import json
 import sys

@@ -6,7 +6,8 @@
 # from Bench's fixed artifact name landing in the repo).
 #
 # Usage: SPARK_GRAFT_SF_DIR=... tools/run_bench.sh [outdir] [main] [args...]
-#   outdir: where BENCH_FULL.json lands (default: a fresh mktemp dir)
+#   outdir: where the raw artifact (BENCH_RAW_LAST.json) lands
+#           (default: a fresh mktemp dir)
 #   main:   graft.Bench (default) | graft.Verify | graft.tools.*
 #
 # Compile first (sbt -batch compile); this script does not compile.
