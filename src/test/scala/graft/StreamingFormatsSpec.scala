@@ -166,4 +166,68 @@ class StreamingFormatsSpec extends AnyFunSuite {
           s"${2L * shards}")
     } finally q.stop()
   }
+
+  test("restart from checkpoint resumes at the committed offset with " +
+    "exactly-once rows and contiguous global frame ids (VERDICT r14 " +
+    "#5)") {
+    // The 100 TB north-star's shard directories will see restarts;
+    // clean-drain accounting alone doesn't cover them. Three runs of
+    // the same query against one checkpoint + durable parquet sink:
+    //  1. drain shards 0..4, stop;
+    //  2. restart with shards 5..9 present — the NEW stream instance
+    //     has an empty frame-count cache, so it must recover the
+    //     committed offset (5) from the checkpoint and RE-PROBE the
+    //     five consumed shards to re-base global frame ids
+    //     (ShardDirMicroBatchStream.probeFrames's offset-recovery
+    //     path, untested before this);
+    //  3. restart once more with NO new data — nothing may re-emit.
+    // All assertions are integer row accounting, never wall time.
+    val dir = Files.createTempDirectory("xyzckpt").toString
+    val ckpt = Files.createTempDirectory("xyzckpt-c").toString
+    val out = Files.createTempDirectory("xyzckpt-o").toString
+    val framesPerShard = 2
+    def shard(i: Int): Unit = Files.writeString(
+      java.nio.file.Paths.get(dir, f"part-$i%05d.xyz"),
+      (0 until framesPerShard).map { f =>
+        s"2\n# Step: $i.$f\nC $i.0 $f.0 2.0\nO $i.0 $f.0 4.0\n"
+      }.mkString)
+    def runOnce(): org.apache.spark.sql.streaming.StreamingQueryProgress = {
+      val q = spark.readStream.format("xyz").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        q.recentProgress.lastOption.orNull
+      } finally q.stop()
+    }
+    (0 until 5).foreach(shard)
+    runOnce()
+    assert(spark.read.parquet(out).count() ==
+      2L * framesPerShard * 5, "first drain row count")
+
+    (5 until 10).foreach(shard)
+    val p2 = runOnce()
+    // the restart recovered the committed offset — batch 2 started at
+    // file 5, not 0 (a restart-from-scratch would double-read)
+    assert(p2 != null && p2.sources.head.startOffset == "5",
+      s"restart did not resume from the committed offset: " +
+        s"${if (p2 == null) "no progress" else p2.sources.head.startOffset}")
+    val t = spark.read.parquet(out)
+    val totalFrames = 10L * framesPerShard
+    assert(t.count() == 2L * totalFrames, "exactly-once row accounting")
+    val frames = t.select("frame_id").distinct().count()
+    val maxF = t.agg(max("frame_id")).collect()(0).getLong(0)
+    assert(frames == totalFrames && maxF == totalFrames - 1,
+      s"expected contiguous frame ids 0..${totalFrames - 1} across " +
+        s"the restart, got $frames distinct, max $maxF")
+    // every frame has exactly 2 atom rows — no partial double-reads
+    val dup = t.groupBy("frame_id").count()
+      .filter(col("count") =!= 2).count()
+    assert(dup == 0, s"$dup frames with row count != 2")
+
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2L * totalFrames,
+      "an idle restart re-emitted rows")
+  }
 }
