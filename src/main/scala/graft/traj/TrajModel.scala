@@ -93,7 +93,8 @@ object TrajModel {
     positionsBuild(s, d, frame = None)
 
   private def positionsBuild(s: SparkSession, d: String,
-      frame: Option[Long]): DataFrame = {
+      frame: Option[Long],
+      atomMax: Long = Long.MaxValue): DataFrame = {
     val fact = frame match {
       // single-frame predicate goes on the PARQUET COLUMN before
       // anything else, so the scan's PushedFilters prunes row groups
@@ -102,6 +103,19 @@ object TrajModel {
         Tables.lineitem(s, d).filter(col("l_linenumber") === f)
       case None => Tables.lineitem(s, d)
     }
+    // atom-range pushdown onto the DIMENSION side of the join: a
+    // bounded-atom consumer (closest-contact reads atoms 1-100 of one
+    // frame) must not pay a frame-WIDTH-proportional build — at the
+    // 100× replica the frame is 100× wider, and materializing all
+    // 8.6 M atoms through the groupBy + barrier to then keep 100 was
+    // the whole 18× scale tail (VERDICT r14 next #6). Filtering the
+    // broadcast dim makes the join itself discard every other atom,
+    // so the shuffle/checkpoint is O(atoms requested); the fact-scan
+    // decode of the frame's rows remains, and is the irreducible cost
+    // without a partkey-sorted silver table (SCALING.md).
+    val dim =
+      if (atomMax == Long.MaxValue) atomDimShared(s, d)
+      else atomDimShared(s, d).filter(col("atom_id") <= atomMax)
     fact
       // broadcast is sound here ONLY because the atom dimension is
       // physically bounded (one row per distinct atom — ~10⁵-10⁷ ids,
@@ -109,7 +123,7 @@ object TrajModel {
       // distance.py:319-320). Do not copy this hint onto a relation
       // keyed by the FRAME axis: frames grow without bound at 100 TB
       // and a forced broadcast there OOMs (see cellColumns scaladoc).
-      .join(broadcast(atomDimShared(s, d)), "l_partkey")
+      .join(broadcast(dim), "l_partkey")
       .select(
         col("l_linenumber").cast("long").as("frame_id"),
         col("atom_id"),
@@ -132,19 +146,22 @@ object TrajModel {
     * the lineitem scan as a PushedFilter (row-group pruning → ~O(one
     * frame) I/O at any trajectory length), and the per-query cost is
     * one broadcast-join + groupBy over a single frame's rows.
-    * Memoized per (session, dir, frame) like every shared instance so
-    * repeated single-frame queries (both closest-contact variants use
-    * frame 1) still build once. */
-  def positionsFrameShared(s: SparkSession, d: String,
-      frame: Long): DataFrame =
-    shared(s, d, s"positions-f$frame")(positionsFrame(s, d, frame))
+    * Memoized per (session, dir, frame, atomMax) like every shared
+    * instance so repeated single-frame queries (both closest-contact
+    * variants use frame 1, atoms ≤ 100) still build once. `atomMax`
+    * bounds the materialized slice to the atoms the consumer actually
+    * reads (see positionsBuild's dimension-pushdown note). */
+  def positionsFrameShared(s: SparkSession, d: String, frame: Long,
+      atomMax: Long = Long.MaxValue): DataFrame =
+    shared(s, d, s"positions-f$frame-a$atomMax")(
+      positionsFrame(s, d, frame, atomMax))
 
   /** The un-checkpointed single-frame build — exposed so PlanShapeSpec
     * can pin the PushedFilters on the parquet scan (the checkpointed
     * instance above plans as an RDD scan and hides it). */
   private[graft] def positionsFrame(s: SparkSession, d: String,
-      frame: Long): DataFrame =
-    positionsBuild(s, d, Some(frame))
+      frame: Long, atomMax: Long = Long.MaxValue): DataFrame =
+    positionsBuild(s, d, Some(frame), atomMax)
 
   /** Dimension/fact tables with a lineage barrier, materialized ONCE
     * per (session, dir, table) and reused by every trajectory query —

@@ -905,7 +905,7 @@ object TrajQueries {
     * (VERDICT r12 #3 — measured 6.4-9.8× growth at the 10× replica
     * for this constant-size query before the routing). */
   def trajClosestContact(s: SparkSession, d: String): DataFrame = {
-    val p = TrajModel.positionsFrameShared(s, d, 1)
+    val p = TrajModel.positionsFrameShared(s, d, 1, atomMax = 100)
     val g1 = role(p, "p").filter(col("p_atom").between(1, 50))
     val g2 = role(p, "q").filter(col("q_atom").between(51, 100))
     g1.crossJoin(g2)
@@ -938,7 +938,7 @@ object TrajQueries {
   def trajClosestContactPeriodic(s: SparkSession, d: String): DataFrame = {
     // same single-frame pushdown routing as trajClosestContact; the
     // (session, dir, frame) memo means the two variants share one build
-    val p = TrajModel.positionsFrameShared(s, d, 1)
+    val p = TrajModel.positionsFrameShared(s, d, 1, atomMax = 100)
     val g1 = role(p, "p").filter(col("p_atom").between(1, 50))
     val g2 = role(p, "q").filter(col("q_atom").between(51, 100))
     g1.crossJoin(g2)

@@ -110,6 +110,18 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("EqualTo(l_linenumber,1)"),
       s"frame equality not pushed to the parquet scan:\n$p")
+    // r15 (VERDICT r14 next #6): the bounded-atom variant must ALSO
+    // filter the broadcast dimension, so the join discards every
+    // other atom before the groupBy + barrier — without this the
+    // single-frame build materializes the whole frame width (100×
+    // wider at the 100× replica; the measured 18× tail)
+    val pa = graft.traj.TrajModel
+      .positionsFrame(spark, SparkTestBase.sf, 1, atomMax = 100)
+      .queryExecution.executedPlan.toString
+    assert(pa.contains("EqualTo(l_linenumber,1)"),
+      s"frame equality not pushed (atomMax variant):\n$pa")
+    assert(pa.contains("atom_id#") && pa.contains("<= 100"),
+      s"atom bound not applied to the dimension side:\n$pa")
   }
 
   /** The frame axis is the one that grows without bound at 100 TB, so
