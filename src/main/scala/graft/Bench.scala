@@ -9,12 +9,17 @@ object Bench {
     // the replicas (r14: two hours of launcher-blaming before the
     // 4-thread jstack gave it away)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // cluster-idiom barrier mode (VERDICT r14 next #4): a persist-mode
+    // suite run prices the executor-loss-safe barriers so a cluster
+    // operator knows the cost of the safe mode before choosing it
+    val barrier = sys.env.getOrElse("SPARK_GRAFT_BARRIER", "local")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.graft.barrier", barrier)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -151,6 +156,7 @@ object Bench {
     val ctx = loadPre +
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"""" +
       s""","pass_totals":[${passTotals.map(t => f"$t%.2f").mkString(",")}]""" +
+      s""","barrier":"$barrier"""" +
       subsetCtx
     // RAW runs land in BENCH_RAW_LAST.json (gitignored), NEVER in
     // BENCH_FULL.json: that name is reserved for the min-merged

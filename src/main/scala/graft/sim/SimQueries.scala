@@ -1203,7 +1203,19 @@ object SimQueries {
     * the 32× compression), and the top-k aggregation partials combine
     * map-side. This is exactly how a billion-vector PQ index serves
     * queries: codes in RAM, one LUT per query, integer adds. */
-  def simAnnPq(s: SparkSession, d: String): DataFrame = {
+  def simAnnPq(s: SparkSession, d: String): DataFrame =
+    pqAdc(s, d).groupBy("qid")
+      .agg(expr("topk_pairs(CAST(-adc_s AS DOUBLE), vec_id, 5)")
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("nid"), (-col("col.v")).cast("long").as("adc_s"))
+      .orderBy("qid", "rk")
+
+  /** The ADC distance table (qid, vec_id, adc_s) both PQ search
+    * shapes rank over — extracted so the raw-ADC query and the
+    * re-ranked query are the same stage-1 plan by construction. */
+  private def pqAdc(s: SparkSession, d: String): DataFrame = {
     val (_, e, c1, codes) = pqTrainShared(s, d)
     val qe = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
       .select(col("vec_id").as("qid"), col("sub"), col("pos"),
@@ -1213,16 +1225,49 @@ object SimQueries {
       .agg(sum(expr(
         "CAST(floor((qv - cv) * (qv - cv) * 1e12 + 5e-1) AS BIGINT)"))
         .as("d2s"))
-    val adc = codes.join(broadcast(lut), Seq("sub", "cid"))
+    codes.join(broadcast(lut), Seq("sub", "cid"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy("qid", "vec_id")
       .agg(sum("d2s").as("adc_s"))
-    adc.groupBy("qid")
-      .agg(expr("topk_pairs(CAST(-adc_s AS DOUBLE), vec_id, 5)")
+  }
+
+  /** Two-stage PQ search — ADC shortlist + exact re-rank, the
+    * standard production shape (an ADC-only top-5 pays the full
+    * quantization error in its ANSWER: measured recall@5 vs its own
+    * exact-L2 truth was 0.16 at sf0.01, RECALL.json). Stage 1 is
+    * [[pqAdc]] verbatim, shortlisting R = 50 candidates per query
+    * through the same partial-aggregatable bounded heap (the exchange
+    * stays O(queries × R)); stage 2 joins the ORIGINAL vectors of the
+    * shortlist only and re-ranks by exact scaled-integer cosine —
+    * O(queries × R) exact dots, independent of corpus size, exactly
+    * the two-tier cost model a billion-vector deployment runs (codes
+    * in RAM for the sweep, one bounded gather of raw vectors for the
+    * re-rank). Output schema matches q_sim_topk so recall is directly
+    * comparable. */
+  def simAnnPqRerank(s: SparkSession, d: String): DataFrame = {
+    val R = 50
+    val vecs = vecsShared(s, d)
+    val short = pqAdc(s, d).groupBy("qid")
+      .agg(expr(s"topk_pairs(CAST(-adc_s AS DOUBLE), vec_id, $R)")
         .as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), (col("pos") + 1).cast("long").as("rk"),
-        col("col.id").as("nid"), (-col("col.v")).cast("long").as("adc_s"))
+      .select(col("qid"), explode(col("top")).as("c"))
+      .select(col("qid"), col("c.id").as("nid"))
+    val qs = broadcast(
+      vecs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
+        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+          col("nrm").as("qnrm")))
+    val wr = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("nid"))
+    short
+      .join(vecs.select(col("vec_id").as("nid"), col("emb"),
+        col("nrm")), "nid")
+      .join(qs, "qid")
+      .withColumn("cos_sim", round(
+        (expr(dotScaled("qemb", "emb")) / expr(S)) /
+          (col("qnrm") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("nid"), col("cos_sim"))
       .orderBy("qid", "rk")
   }
 
@@ -1245,6 +1290,51 @@ object SimQueries {
       |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id AS nid, adc_s
       |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  /** Oracle twin of [[simAnnPqRerank]]: the simAnnPqSql CTE chain up
+    * to `adc`, shortlist by (adc_s ASC, vec_id ASC) — the exact total
+    * order of the topk_pairs heap — then the in-row list-dot exact
+    * cosine (the same arithmetic as simTopkSql: round-half-up scaled
+    * BIGINT per element) over the shortlist only. */
+  private val simAnnPqRerankSql = pqTrainSql + """,
+      |lut AS (
+      |  SELECT e.vec_id AS qid, c.sub, c.cid,
+      |    CAST(sum(CAST(floor((e.v - c.cv) * (e.v - c.cv) * 1e12 + 5e-1)
+      |      AS BIGINT)) AS BIGINT) AS d2s
+      |  FROM e JOIN c1 c ON c.sub = e.sub AND c.pos = e.pos
+      |  WHERE e.vec_id % 50 = 0 AND e.vec_id < 2500
+      |  GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT l.qid, a.vec_id, CAST(sum(l.d2s) AS BIGINT) AS adc_s
+      |  FROM a1 a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
+      |  WHERE a.vec_id <> l.qid
+      |  GROUP BY 1, 2),
+      |shortlist AS (
+      |  SELECT qid, vec_id AS nid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY adc_s, vec_id) AS rk FROM adc) t
+      |  WHERE rk <= 50),
+      |nrm AS (
+      |  SELECT vec_id,
+      |    sqrt(sum(CAST(round(v * v * 1e12, 0) AS BIGINT)) / 1e12) AS nrm
+      |  FROM e GROUP BY vec_id),
+      |rr AS (
+      |  SELECT sl.qid, sl.nid,
+      |    round((CAST(list_sum(list_transform(
+      |        list_zip(eq.embedding, en.embedding),
+      |        x -> CAST(round(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
+      |                        * 1e12, 0) AS BIGINT))) AS DOUBLE) / 1e12)
+      |      / (nq.nrm * nn.nrm), 6) AS cos_sim
+      |  FROM shortlist sl
+      |  JOIN embeddings eq ON eq.vec_id = sl.qid
+      |  JOIN embeddings en ON en.vec_id = sl.nid
+      |  JOIN nrm nq ON nq.vec_id = sl.qid
+      |  JOIN nrm nn ON nn.vec_id = sl.nid),
+      |ranked2 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos_sim DESC, nid) AS rk FROM rr)
+      |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos_sim
+      |FROM ranked2 WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sim_topk", simTopk, Some(simTopkSql)),
     QueryDef("q_sim_neardup_lsh", simNeardupLsh, Some(simNeardupLshSql)),
@@ -1254,5 +1344,7 @@ object SimQueries {
     QueryDef("q_dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QueryDef("q_emb_quantize", embQuantize, Some(embQuantizeSql)),
     QueryDef("q_emb_pq", embPq, Some(embPqSql)),
-    QueryDef("q_sim_ann_pq", simAnnPq, Some(simAnnPqSql)))
+    QueryDef("q_sim_ann_pq", simAnnPq, Some(simAnnPqSql)),
+    QueryDef("q_sim_ann_pq_rerank", simAnnPqRerank,
+      Some(simAnnPqRerankSql)))
 }

@@ -66,7 +66,32 @@ object RecallProbe {
       .orderBy(col("cos_sim").desc, col("nb"))
     edges.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("vec_id").as("qid"), col("nb").as("nid"))
+      .select(col("vec_id").as("qid"), col("nb").as("nid"),
+        col("cos_sim"))
+  }
+
+  /** Exact L2 top-k per query vector — the truth PQ should be graded
+    * against in addition to the cosine truth: the ADC index RANKS BY
+    * SQUARED L2 (its defining metric), so its recall vs the cosine
+    * top-5 confounds quantization loss with the metric gap on
+    * unnormalized vectors. Same scaled-integer arithmetic
+    * (d² = n2sₐ + n2s_b − 2·dot, exact in BIGINT), ties by id. */
+  def l2Truth(s: SparkSession, d: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val v = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("n2s", expr("dot_scaled(emb, emb)"))
+    val qs = broadcast(v.filter(col("vec_id") % 50 === 0 &&
+        col("vec_id") < 2500)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("n2s").as("qn2s")))
+    val w = Window.partitionBy("qid").orderBy(col("d2s"), col("vec_id"))
+    v.join(qs, col("vec_id") =!= col("qid"))
+      .withColumn("d2s",
+        col("qn2s") + col("n2s") - expr("2 * dot_scaled(qemb, emb)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id").as("nid"))
   }
 
   /** (truth rows, hits) of `approx` against `truth` on (qid, nid). */
@@ -88,7 +113,18 @@ object RecallProbe {
       f""""recall":$recall%.4f}"""
   }
 
-  /** All three recall lines for one dataset dir. */
+  /** All recall lines for one dataset dir. Each component is graded
+    * against the truth that matches ITS contract, plus the
+    * cross-metric line where the gap itself is informative:
+    *  - ivf ranks by exact cosine within probed cells → cosine truth.
+    *  - pq ranks by ADC L2 → L2 truth (quantization loss alone);
+    *    the cosine line is kept to show the metric gap on these
+    *    unnormalized vectors.
+    *  - neardup_topk retrieves via the angular sector code → graded
+    *    on the full cos ≥ 0.4 truth AND on the cos ≥ 0.9 high-sim
+    *    subset (the near-DUPLICATE band the query exists for; the
+    *    ≥ 0.4 band includes moderate-similarity pairs a Hamming-≤1
+    *    sector probe never targets). */
   def probe(s: SparkSession, d: String): Seq[Line] = {
     val topkTruth = graft.SparkEntry.queries("q_sim_topk")(s, d)
       .select("qid", "nid")
@@ -99,13 +135,26 @@ object RecallProbe {
     val nd = graft.SparkEntry.queries("q_sim_neardup_topk")(s, d)
       .select(col("vec_id").as("qid"), col("neighbor_id").as("nid"))
     val ndTruth = neardupTruth(s, d, k = 5, minCos = 0.4)
-    Seq(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ndTruth.count()
+    val rr = graft.SparkEntry.queries("q_sim_ann_pq_rerank")(s, d)
+      .select("qid", "nid")
+    val lines = Seq(
       { val (t, h) = edgeRecall(topkTruth, ivf)
         Line("q_sim_ann_ivf", t, h) },
+      { val (t, h) = edgeRecall(l2Truth(s, d, 5), pq)
+        Line("q_sim_ann_pq_l2", t, h) },
       { val (t, h) = edgeRecall(topkTruth, pq)
-        Line("q_sim_ann_pq", t, h) },
+        Line("q_sim_ann_pq_vs_cosine", t, h) },
+      { val (t, h) = edgeRecall(topkTruth, rr)
+        Line("q_sim_ann_pq_rerank", t, h) },
       { val (t, h) = edgeRecall(ndTruth, nd)
-        Line("q_sim_neardup_topk", t, h) })
+        Line("q_sim_neardup_topk", t, h) },
+      { val (t, h) = edgeRecall(
+          ndTruth.filter(col("cos_sim") >= 0.9), nd)
+        Line("q_sim_neardup_topk_cos09", t, h) })
+    ndTruth.unpersist(false)
+    lines
   }
 
   def main(args: Array[String]): Unit = {

@@ -24,6 +24,11 @@ runs = [json.load(open(p)) for p in sys.argv[2:]]
 # subset runs (SPARK_GRAFT_BENCH_QUERIES) are never full-suite evidence
 sfs = {r.get("sf") for r in runs}
 assert len(sfs) == 1, f"refusing to merge runs with mixed sf dirs: {sfs}"
+# a persist-mode run prices different barriers — never min-merge it
+# with local-mode evidence
+modes = {r.get("barrier", "local") for r in runs}
+assert len(modes) == 1, \
+    f"refusing to merge runs with mixed barrier modes: {modes}"
 for p, r in zip(sys.argv[2:], runs):
     assert not r.get("subset"), f"{p} is a subset run, not full-suite"
     assert set(r["queries"]) == set(runs[0]["queries"]), \
