@@ -121,10 +121,13 @@ object RecallProbe {
     *    the cosine line is kept to show the metric gap on these
     *    unnormalized vectors.
     *  - neardup_topk retrieves via the angular sector code → graded
-    *    on the full cos ≥ 0.4 truth AND on the cos ≥ 0.9 high-sim
-    *    subset (the near-DUPLICATE band the query exists for; the
-    *    ≥ 0.4 band includes moderate-similarity pairs a Hamming-≤1
-    *    sector probe never targets). */
+    *    on the full cos ≥ 0.4 truth, on its TOP DECILE (the densest
+    *    band present in the data — this corpus's max pairwise cosine
+    *    is ~0.48, so no absolute "near-duplicate" threshold exists to
+    *    grade against), and at bits = 12 (wider sectors): the
+    *    occupancy knob trades recall for candidate cost BY DESIGN,
+    *    and the bits-12 line is the measured evidence that turning
+    *    the dial down actually buys recall. */
   def probe(s: SparkSession, d: String): Seq[Line] = {
     val topkTruth = graft.SparkEntry.queries("q_sim_topk")(s, d)
       .select("qid", "nid")
@@ -150,9 +153,26 @@ object RecallProbe {
         Line("q_sim_ann_pq_rerank", t, h) },
       { val (t, h) = edgeRecall(ndTruth, nd)
         Line("q_sim_neardup_topk", t, h) },
-      { val (t, h) = edgeRecall(
-          ndTruth.filter(col("cos_sim") >= 0.9), nd)
-        Line("q_sim_neardup_topk_cos09", t, h) })
+      { // exact 90th percentile of the truth similarities
+        // (relativeError = 0), so the band is data-relative and
+        // deterministic
+        val q90 = ndTruth.stat
+          .approxQuantile("cos_sim", Array(0.9), 0.0)(0)
+        val (t, h) = edgeRecall(
+          ndTruth.filter(col("cos_sim") >= q90), nd)
+        Line("q_sim_neardup_topk_top_decile", t, h) },
+      { val nd12 = graft.sim.SimQueries
+          .simNeardupTopkAt(s, d, bits = 12, k = 5)
+          .select(col("vec_id").as("qid"),
+            col("neighbor_id").as("nid"))
+        val (t, h) = edgeRecall(ndTruth, nd12)
+        Line("q_sim_neardup_topk_bits12", t, h) },
+      { val nd6 = graft.sim.SimQueries
+          .simNeardupTopkAt(s, d, bits = 6, k = 5)
+          .select(col("vec_id").as("qid"),
+            col("neighbor_id").as("nid"))
+        val (t, h) = edgeRecall(ndTruth, nd6)
+        Line("q_sim_neardup_topk_bits6", t, h) })
     ndTruth.unpersist(false)
     lines
   }
