@@ -1243,9 +1243,21 @@ object SimQueries {
     * the two-tier cost model a billion-vector deployment runs (codes
     * in RAM for the sweep, one bounded gather of raw vectors for the
     * re-rank). Output schema matches q_sim_topk so recall is directly
-    * comparable. */
+    * comparable.
+    *
+    * R is OCCUPANCY-CONSTANT like the neardup bits knob:
+    * `R = max(50, ⌈n/40⌉)` keeps the shortlist a fixed ~2.5% slice of
+    * the corpus (a fixed R=50 measured recall 0.465 → 0.244 from
+    * sf0.1 to the 10× replica purely because the slice shrank 10×;
+    * RECALL.json). The count probe is the same memoized (session,
+    * dir) scalar simNeardupTopk uses, and the oracle computes the
+    * identical width from count(*), so the gate checks whatever width
+    * the scale implies. */
   def simAnnPqRerank(s: SparkSession, d: String): DataFrame = {
-    val R = 50
+    val n = shared(s, d, "nvecs") {
+      java.lang.Long.valueOf(vecsShared(s, d).count())
+    }.longValue()
+    val R = math.max(50L, math.ceil(n / 40.0).toLong)
     val vecs = vecsShared(s, d)
     val short = pqAdc(s, d).groupBy("qid")
       .agg(expr(s"topk_pairs(CAST(-adc_s AS DOUBLE), vec_id, $R)")
@@ -1308,11 +1320,14 @@ object SimQueries {
       |  FROM a1 a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
       |  WHERE a.vec_id <> l.qid
       |  GROUP BY 1, 2),
+      |rr_r AS (
+      |  SELECT GREATEST(50, CAST(ceil(count(*) / 40.0) AS BIGINT)) AS r
+      |  FROM embeddings),
       |shortlist AS (
       |  SELECT qid, vec_id AS nid FROM (
       |    SELECT *, row_number() OVER (PARTITION BY qid
       |      ORDER BY adc_s, vec_id) AS rk FROM adc) t
-      |  WHERE rk <= 50),
+      |  WHERE rk <= (SELECT r FROM rr_r)),
       |nrm AS (
       |  SELECT vec_id,
       |    sqrt(sum(CAST(round(v * v * 1e12, 0) AS BIGINT)) / 1e12) AS nrm
