@@ -11,8 +11,22 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // cluster-idiom barrier mode (VERDICT r14 next #4): a persist-mode
     // suite run prices the executor-loss-safe barriers so a cluster
-    // operator knows the cost of the safe mode before choosing it
+    // operator knows the cost of the safe mode before choosing it.
+    // Validated HERE, not first inside a query: Barrier.mode's own
+    // require would only fire inside the measured loop, where every
+    // failure is caught and recorded — a typo'd mode would produce a
+    // "successful" all-errors artifact instead of refusing to start.
     val barrier = sys.env.getOrElse("SPARK_GRAFT_BARRIER", "local")
+    require(barrier == "local" || barrier == "persist",
+      s"SPARK_GRAFT_BARRIER must be 'local' or 'persist', got '$barrier'")
+    // raw-artifact name resolved AND validated before any work runs —
+    // a refused name must cost milliseconds, not a completed suite
+    // (see the BENCH_FULL note below for why the name is guarded)
+    val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_RAW_LAST.json")
+    require(!outName.contains("BENCH_FULL"),
+      "Bench never writes BENCH_FULL.json — min-merge raw runs via " +
+        "tools/min_merge_bench.py instead")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,6 +37,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // persist mode must price the deployment it advertises: the
+    // documented cluster configuration sets a checkpoint dir so the
+    // iterative barriers use reliable checkpoint() (Barrier scaladoc)
+    // — without one they fall back to localCheckpoint and the persist
+    // artifact would under-report the safe mode's real cost
+    if (barrier == "persist")
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-bench-ckpt")
+          .toString)
     // self-diagnosis: count codegen compile failures per query — an
     // interpreted fallback is invisible to correctness but 10×+ slower
     // (the round-2 mic_adaptive regression class)
@@ -72,13 +95,20 @@ object Bench {
     // loadStart above is read after ~30 s of 32-thread warm-up, which
     // alone lifts the 1-min figure to ~2-4 on an idle box — the
     // pre-launch number is the one that actually measures co-tenancy.
-    // Shape-validated (digits/dots/spaces only, ADVICE r14): the value
-    // is spliced into JSON verbatim, so a wrapper exporting anything
-    // with a quote or backslash would corrupt the artifact that the
-    // mk_bench_* hygiene guards then parse
-    val loadPre = sys.env.get("SPARK_GRAFT_LOADAVG_T0")
-      .filter(_.matches("[0-9. ]{1,40}"))
-      .map(v => s""""loadavg_prelaunch":"$v",""").getOrElse("")
+    // Shape-validated (digits/dots/spaces only, ADVICE r14) and
+    // FAIL-FAST on mismatch: the value is spliced into JSON verbatim,
+    // so a quote would corrupt the artifact — but silently DROPPING a
+    // malformed value would be worse: the mk_bench_* hygiene guards
+    // fall back from the strict prelaunch < 2.0 bound to the lenient
+    // loadavg_start < 8 check when the field is absent, quietly
+    // admitting contended runs as scale evidence. A wrapper exporting
+    // a bad shape is a wrapper to fix, not to tolerate.
+    val loadPre = sys.env.get("SPARK_GRAFT_LOADAVG_T0").map { v =>
+      require(v.matches("[0-9. ]{1,40}"),
+        s"SPARK_GRAFT_LOADAVG_T0 must be loadavg-shaped " +
+          s"(digits/dots/spaces), got '${v.take(60)}'")
+      s""""loadavg_prelaunch":"$v","""
+    }.getOrElse("")
     // optional subset (comma-separated names): scale probes bench the
     // expensive tail without paying the whole suite at every factor
     val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -164,12 +194,9 @@ object Bench {
     // three rounds running a driver end-of-round raw run clobbered
     // the committed idle-window merge (VERDICT r14 wrong #2). The
     // filename is overridable for probes but a BENCH_FULL target is
-    // refused outright, not silently redirected.
-    val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_RAW_LAST.json")
-    require(!outName.contains("BENCH_FULL"),
-      "Bench never writes BENCH_FULL.json — min-merge raw runs via " +
-        "tools/min_merge_bench.py instead")
+    // refused outright, not silently redirected — validated at
+    // startup (see outName above) so the refusal can never cost a
+    // completed suite.
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nQueries,"n_errors":$nErrors,"errors":$errs,"codegen_error_total":$cgTotal,"reps":$reps,$ctx,"sf":"$sfDir","queries_file":"$outName"}"""
     val full =

@@ -115,12 +115,20 @@ object SimQueries {
       (c2, asg.graftBarrier)
     }
 
+  /** THE fixed query subset every search query and every recall truth
+    * grades against: vec_id % 50 = 0 AND vec_id < 2500 (≤ 50 queries
+    * at any corpus size, so broadcast + per-row compare work stay
+    * corpus-constant). One definition — the rerank query joins its
+    * shortlist to the query set on qid, so a diverging copy would
+    * silently drop the mismatched queries' rows rather than error. */
+  private[graft] def queryVecFilter(df: DataFrame): DataFrame =
+    df.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
+
   /** Brute-force cosine top-5 neighbours for the fixed query subset
-    * (vec_id % 50 = 0, vec_id < 2500), excluding self. */
+    * ([[queryVecFilter]]), excluding self. */
   def simTopk(s: SparkSession, d: String): DataFrame = {
     val corpus = vecsShared(s, d)
-    val queries = corpus
-      .filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
+    val queries = queryVecFilter(corpus)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"))
     val sims = corpus.crossJoin(broadcast(queries))
@@ -637,7 +645,7 @@ object SimQueries {
       .graftBarrier
 
     // probe: each query searches its nprobe=4 nearest cells only
-    val qs = vecs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
+    val qs = queryVecFilter(vecs)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("n2s").as("q_n2s"), col("nrm").as("qnrm"))
     val wq = Window.partitionBy("qid").orderBy("qd2s", "cluster")
@@ -1217,7 +1225,7 @@ object SimQueries {
     * re-ranked query are the same stage-1 plan by construction. */
   private def pqAdc(s: SparkSession, d: String): DataFrame = {
     val (_, e, c1, codes) = pqTrainShared(s, d)
-    val qe = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
+    val qe = queryVecFilter(e)
       .select(col("vec_id").as("qid"), col("sub"), col("pos"),
         col("v").as("qv"))
     val lut = qe.join(broadcast(c1), Seq("sub", "pos"))
@@ -1264,10 +1272,9 @@ object SimQueries {
         .as("top"))
       .select(col("qid"), explode(col("top")).as("c"))
       .select(col("qid"), col("c.id").as("nid"))
-    val qs = broadcast(
-      vecs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
-        .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-          col("nrm").as("qnrm")))
+    val qs = broadcast(queryVecFilter(vecs)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm")))
     val wr = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("nid"))
     short

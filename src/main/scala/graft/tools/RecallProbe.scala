@@ -81,8 +81,10 @@ object RecallProbe {
     val v = s.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("n2s", expr("dot_scaled(emb, emb)"))
-    val qs = broadcast(v.filter(col("vec_id") % 50 === 0 &&
-        col("vec_id") < 2500)
+    // the SAME fixed query subset the registered queries use — the
+    // one shared definition, so the truth can never grade a different
+    // query set than the one PQ answers
+    val qs = broadcast(graft.sim.SimQueries.queryVecFilter(v)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("n2s").as("qn2s")))
     val w = Window.partitionBy("qid").orderBy(col("d2s"), col("vec_id"))
@@ -142,24 +144,32 @@ object RecallProbe {
     ndTruth.count()
     val rr = graft.SparkEntry.queries("q_sim_ann_pq_rerank")(s, d)
       .select("qid", "nid")
+    // persisted like ndTruth: three lines below grade against this
+    // truth, and without the pin the brute-force query × corpus pass
+    // re-evaluates per line
+    val topkT = topkTruth
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    topkT.count()
     val lines = Seq(
-      { val (t, h) = edgeRecall(topkTruth, ivf)
+      { val (t, h) = edgeRecall(topkT, ivf)
         Line("q_sim_ann_ivf", t, h) },
       { val (t, h) = edgeRecall(l2Truth(s, d, 5), pq)
         Line("q_sim_ann_pq_l2", t, h) },
-      { val (t, h) = edgeRecall(topkTruth, pq)
+      { val (t, h) = edgeRecall(topkT, pq)
         Line("q_sim_ann_pq_vs_cosine", t, h) },
-      { val (t, h) = edgeRecall(topkTruth, rr)
+      { val (t, h) = edgeRecall(topkT, rr)
         Line("q_sim_ann_pq_rerank", t, h) },
       { val (t, h) = edgeRecall(ndTruth, nd)
         Line("q_sim_neardup_topk", t, h) },
       { // exact 90th percentile of the truth similarities
         // (relativeError = 0), so the band is data-relative and
-        // deterministic
-        val q90 = ndTruth.stat
-          .approxQuantile("cos_sim", Array(0.9), 0.0)(0)
-        val (t, h) = edgeRecall(
-          ndTruth.filter(col("cos_sim") >= q90), nd)
+        // deterministic; empty-truth corpora (no pair reaches 0.4)
+        // report the empty band instead of crashing the quantile
+        val qs90 = ndTruth.stat
+          .approxQuantile("cos_sim", Array(0.9), 0.0)
+        val (t, h) =
+          if (qs90.isEmpty) (0L, 0L)
+          else edgeRecall(ndTruth.filter(col("cos_sim") >= qs90(0)), nd)
         Line("q_sim_neardup_topk_top_decile", t, h) },
       { val nd12 = graft.sim.SimQueries
           .simNeardupTopkAt(s, d, bits = 12, k = 5)
@@ -174,6 +184,7 @@ object RecallProbe {
         val (t, h) = edgeRecall(ndTruth, nd6)
         Line("q_sim_neardup_topk_bits6", t, h) })
     ndTruth.unpersist(false)
+    topkT.unpersist(false)
     lines
   }
 

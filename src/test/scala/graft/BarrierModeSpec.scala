@@ -76,8 +76,10 @@ class BarrierModeSpec extends AnyFunSuite {
       assert(run(sC) == expected)
       assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
         "reliable-checkpoint barriers must not register cache entries")
-      val wrote = java.nio.file.Files.walk(ckptDir)
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      val walk = java.nio.file.Files.walk(ckptDir)
+      val wrote =
+        try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally walk.close()
       assert(wrote > 0, "no checkpoint files written under the dir")
     } finally {
       // other suites expect the non-checkpoint path; SparkContext has
