@@ -637,14 +637,24 @@ object SimQueries {
     (c2, assign(c2))
   }
 
-  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+  def simAnnIvf(s: SparkSession, d: String): DataFrame =
+    simAnnIvfAt(s, d, nprobe = 4)
+
+  /** nprobe is IVF's recall/cost dial (the fraction of the corpus a
+    * query pays exact dots on is ~nprobe/K): the registered query
+    * pins 4 to match its oracle; RecallProbe grades nprobe 4 vs 8 so
+    * RECALL.json carries the measured dial, the same treatment as the
+    * neardup bits sweep. */
+  private[graft] def simAnnIvfAt(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"sim_ann_ivf: nprobe must be >= 1, got $nprobe")
     val vecs = vecsShared(s, d)
     val (c2, asg) = kmeansShared(s, d)
     val lists = vecs.join(asg, "vec_id")
       .select(col("vec_id"), col("cluster"), col("emb"), col("nrm"))
       .graftBarrier
 
-    // probe: each query searches its nprobe=4 nearest cells only
+    // probe: each query searches its nprobe nearest cells only
     val qs = queryVecFilter(vecs)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("n2s").as("q_n2s"), col("nrm").as("qnrm"))
@@ -653,7 +663,7 @@ object SimQueries {
       .withColumn("qd2s", col("q_n2s") + col("c_n2s") -
         expr(s"2 * ${dotScaled("qemb", "cemb")}"))
       .withColumn("crn", row_number().over(wq))
-      .filter(col("crn") <= 4)
+      .filter(col("crn") <= nprobe)
       .select("qid", "qemb", "qnrm", "cluster")
     val wr = Window.partitionBy("qid")
       .orderBy(col("cos_sim").desc, col("vec_id"))

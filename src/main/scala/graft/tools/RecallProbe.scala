@@ -153,6 +153,11 @@ object RecallProbe {
     val lines = Seq(
       { val (t, h) = edgeRecall(topkT, ivf)
         Line("q_sim_ann_ivf", t, h) },
+      { // IVF's recall/cost dial, measured like the neardup bits sweep
+        val ivf8 = graft.sim.SimQueries.simAnnIvfAt(s, d, nprobe = 8)
+          .select("qid", "nid")
+        val (t, h) = edgeRecall(topkT, ivf8)
+        Line("q_sim_ann_ivf_nprobe8", t, h) },
       { val (t, h) = edgeRecall(l2Truth(s, d, 5), pq)
         Line("q_sim_ann_pq_l2", t, h) },
       { val (t, h) = edgeRecall(topkT, pq)
