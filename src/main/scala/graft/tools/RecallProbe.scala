@@ -158,6 +158,13 @@ object RecallProbe {
           .select("qid", "nid")
         val (t, h) = edgeRecall(topkT, ivf8)
         Line("q_sim_ann_ivf_nprobe8", t, h) },
+      { // the occupancy-scaled quantizer (K ∝ √n): identical to the
+        // fixed fit below the 1024-vector floor, K = 71 at the 10×
+        // replica — the recall/cost point of the √n cost path
+        val sc = graft.SparkEntry.queries("q_sim_ann_ivf_scaled")(s, d)
+          .select("qid", "nid")
+        val (t, h) = edgeRecall(topkT, sc)
+        Line("q_sim_ann_ivf_scaled", t, h) },
       { val (t, h) = edgeRecall(l2Truth(s, d, 5), pq)
         Line("q_sim_ann_pq_l2", t, h) },
       { val (t, h) = edgeRecall(topkT, pq)
