@@ -670,11 +670,16 @@ object SimQueries {
     * per-query probed work both ∝ √n): K(n) = max(16, ⌈√n / 2⌉),
     * seeds = the same %25 ladder bounded at 25·K, oracle computing
     * the identical width from count(*). Below n = 1024 the knob
-    * floors at the fixed fit, so at every oracle-gate scale this
-    * query is bit-identical to q_sim_ann_ivf; at the 10× replica it
-    * trains K = 71 cells (RECALL.json grades the recall/cost point —
-    * finer cells sharpen the probe ranking while nprobe/K coverage
-    * shrinks, the documented IVF trade). Fit memoized per
+    * floors at the fixed fit, so at the sf0.01 driver gate (500
+    * vecs) this query is bit-identical to q_sim_ann_ivf; at the 10×
+    * replica it trains K = 71 and hash-matches its OWN K=71 oracle
+    * (CORRECTNESS_sf1.json) — there it genuinely differs from the
+    * fixed query. The measured recall shape (RECALL.json) is
+    * non-monotone: at 2k vectors (K = 23) recall dips below the
+    * fixed fit (0.550 vs 0.635 — coverage shrinks faster than the
+    * ranking sharpens), by 20k (K = 71) it wins outright (0.792 vs
+    * 0.616 at 4.5× less probed work) — the documented IVF trade,
+    * with both sides of it on the record. Fit memoized per
     * (session, dir, K) — the floor regime reuses the shared fixed
     * fit rather than training a duplicate. */
   def simAnnIvfScaled(s: SparkSession, d: String): DataFrame = {
@@ -807,16 +812,25 @@ object SimQueries {
 
   /** The same CTE chain with the seed bound swapped for a scalar
     * subquery over count(*) — derived from [[kmeansCtes]] by
-    * substitution so the two chains can never diverge. kk mirrors
-    * [[ivfK]] exactly: 25 · max(16, ⌈√n / 2⌉). */
-  private val kmeansCtesScaled: String =
+    * substitution (one source of truth for the 60-line fit chain).
+    * The substitution is GUARDED: a silent String.replace no-op
+    * (e.g. after a reformat of the c0 bound) would pin the scaled
+    * oracle at K = 16 while the Spark side scales — a divergence the
+    * sf0.01 floor-regime gate cannot see — so a failed anchor match
+    * refuses at class-init instead. kk mirrors [[ivfK]] exactly:
+    * 25 · max(16, ⌈√n / 2⌉). */
+  private val kmeansCtesScaled: String = {
+    val anchor = "AND vec_id < 400"
+    require(kmeansCtes.contains(anchor),
+      "kmeansCtes seed-bound anchor not found — the fit chain was " +
+        "reformatted; update kmeansCtesScaled's substitution anchor")
     """kk AS (
       |  SELECT 25 * GREATEST(16,
       |    CAST(ceil(sqrt(count(*)) / 2.0) AS BIGINT)) AS smax
       |  FROM embeddings),
       |""".stripMargin +
-      kmeansCtes.replace("AND vec_id < 400",
-        "AND vec_id < (SELECT smax FROM kk)")
+      kmeansCtes.replace(anchor, "AND vec_id < (SELECT smax FROM kk)")
+  }
 
   /** Probe + rank tail shared by the fixed and scaled IVF oracles
     * (appended after a kmeans CTE chain ending in c2/cn2/a2). */
