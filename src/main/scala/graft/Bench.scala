@@ -42,10 +42,16 @@ object Bench {
     // iterative barriers use reliable checkpoint() (Barrier scaladoc)
     // — without one they fall back to localCheckpoint and the persist
     // artifact would under-report the safe mode's real cost
-    if (barrier == "persist")
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-bench-ckpt")
-          .toString)
+    // the dir is remembered and deleted after spark.stop(): Spark does
+    // not remove reliable checkpoints on exit, so without cleanup every
+    // persist-mode bench leaks its iterative-round files into /tmp
+    // (ADVICE r15)
+    val ckptDir: Option[java.nio.file.Path] =
+      if (barrier == "persist") {
+        val p = java.nio.file.Files.createTempDirectory("graft-bench-ckpt")
+        spark.sparkContext.setCheckpointDir(p.toString)
+        Some(p)
+      } else None
     // self-diagnosis: count codegen compile failures per query — an
     // interpreted fallback is invisible to correctness but 10×+ slower
     // (the round-2 mic_adaptive regression class)
@@ -185,7 +191,8 @@ object Bench {
       s""","subset":true,"subset_n":${named.size}""" else ""
     val ctx = loadPre +
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd"""" +
-      s""","pass_totals":[${passTotals.map(t => f"$t%.2f").mkString(",")}]""" +
+      s""","pass_totals":[${passTotals.map(t => String.format(
+        java.util.Locale.ROOT, "%.2f", Double.box(t))).mkString(",")}]""" +
       s""","barrier":"$barrier"""" +
       subsetCtx
     // RAW runs land in BENCH_RAW_LAST.json (gitignored), NEVER in
@@ -214,5 +221,18 @@ object Bench {
     // so this line arrives unprefixed for the driver's JSON parse)
     println(line)
     spark.stop()
+    // delete reliable-checkpoint files only after the context is gone
+    // (nothing can still be reading them); best-effort — a failed
+    // delete must not fail a bench whose queries all ran
+    ckptDir.foreach { p =>
+      try {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] checkpoint-dir cleanup failed: $e")
+      }
+    }
   }
 }

@@ -124,6 +124,14 @@ object SimQueries {
   private[graft] def queryVecFilter(df: DataFrame): DataFrame =
     df.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
 
+  /** SQL twin of [[queryVecFilter]], parameterized on the column
+    * reference — interpolated into every oracle that fixes the query
+    * subset, so the Scala predicate and its SQL copies cannot drift
+    * independently (ADVICE r15: the rerank oracle had grown its own
+    * hand-copied literal). */
+  private def querySubsetSql(ref: String): String =
+    s"$ref % 50 = 0 AND $ref < 2500"
+
   /** Brute-force cosine top-5 neighbours for the fixed query subset
     * ([[queryVecFilter]]), excluding self. */
   def simTopk(s: SparkSession, d: String): DataFrame = {
@@ -146,7 +154,7 @@ object SimQueries {
   }
 
   private val simTopkSql =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
       |         CAST(unnest(embedding) AS DOUBLE) AS v
       |  FROM embeddings),
@@ -154,7 +162,7 @@ object SimQueries {
       |  SELECT vec_id,
       |    sqrt(sum(CAST(round(v * v * 1e12, 0) AS BIGINT)) / 1e12) AS nrm
       |  FROM e GROUP BY vec_id),
-      |q AS (SELECT * FROM e WHERE vec_id % 50 = 0 AND vec_id < 2500),
+      |q AS (SELECT * FROM e WHERE ${querySubsetSql("vec_id")}),
       |dots AS (
       |  SELECT q.vec_id AS qid, e.vec_id AS nid,
       |    sum(CAST(round(q.v * e.v * 1e12, 0) AS BIGINT)) AS dots
@@ -682,7 +690,15 @@ object SimQueries {
     * with both sides of it on the record. Fit memoized per
     * (session, dir, K) — the floor regime reuses the shared fixed
     * fit rather than training a duplicate. */
-  def simAnnIvfScaled(s: SparkSession, d: String): DataFrame = {
+  def simAnnIvfScaled(s: SparkSession, d: String): DataFrame =
+    simAnnIvfScaledAt(s, d, ivfNprobe)
+
+  /** The scaled quantizer with a parameterized nprobe policy — the
+    * registered query passes [[ivfNprobe]]; RecallProbe also grades
+    * the r15 fixed-nprobe-4 policy so RECALL.json keeps the
+    * before/after of the mid-scale dip on the record. */
+  private[graft] def simAnnIvfScaledAt(s: SparkSession, d: String,
+      nprobeOf: Int => Int): DataFrame = {
     val n = shared(s, d, "nvecs") {
       java.lang.Long.valueOf(vecsShared(s, d).count())
     }.longValue()
@@ -693,13 +709,28 @@ object SimQueries {
         val (c, a) = kmeansFitAt(vecsShared(s, d), seedMax = 25L * k)
         (c, a.graftBarrier)
       }
-    ivfSearch(vecsShared(s, d), c2, asg, nprobe = 4)
+    ivfSearch(vecsShared(s, d), c2, asg, nprobe = nprobeOf(k))
   }
 
   /** `max(16, ⌈√n / 2⌉)` — the occupancy-scaled cell count. */
   def ivfK(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(math.max(0L, n).toDouble) / 2.0)
       .toInt)
+
+  /** `max(4, ⌈√K⌉)` — the occupancy-scaled probe width (closes the
+    * r15 loose end): a FIXED nprobe over K ∝ √n cells probes a
+    * fraction nprobe/K that shrinks ~1/√n, and the measured recall
+    * dipped at mid scale (0.550 vs the fixed quantizer's 0.635 at 2k
+    * vectors, RECALL.json r15) before the finer ranking won at 20k.
+    * nprobe ∝ √K restores coverage where the cell count is still
+    * small while keeping the per-query probed work sub-linear:
+    * nprobe·(n/K) = n/√K ≈ √2·n^(3/4) under K = √n/2 — still a real
+    * inverted index at 100 TB, unlike nprobe ∝ K (constant fraction,
+    * linear work = brute force over a constant slice). At the K = 16
+    * floor this gives nprobe 4, so the sf0.01 gate regime stays
+    * bit-identical to q_sim_ann_ivf. */
+  def ivfNprobe(k: Int): Int =
+    math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
 
   /** The IVF search tail shared by the fixed and scaled quantizers:
     * probe the nprobe nearest cells, exact-cosine rank within them. */
@@ -824,23 +855,33 @@ object SimQueries {
     require(kmeansCtes.contains(anchor),
       "kmeansCtes seed-bound anchor not found — the fit chain was " +
         "reformatted; update kmeansCtesScaled's substitution anchor")
+    // kk carries BOTH scale knobs: smax = 25·K(n) (mirrors [[ivfK]])
+    // and np = max(4, ⌈√K⌉) (mirrors [[ivfNprobe]]), each derived
+    // from the same count(*) so the oracle checks whatever widths the
+    // corpus size implies
     """kk AS (
       |  SELECT 25 * GREATEST(16,
-      |    CAST(ceil(sqrt(count(*)) / 2.0) AS BIGINT)) AS smax
+      |    CAST(ceil(sqrt(count(*)) / 2.0) AS BIGINT)) AS smax,
+      |  GREATEST(4, CAST(ceil(sqrt(GREATEST(16,
+      |    CAST(ceil(sqrt(count(*)) / 2.0) AS BIGINT)))) AS BIGINT)) AS np
       |  FROM embeddings),
       |""".stripMargin +
       kmeansCtes.replace(anchor, "AND vec_id < (SELECT smax FROM kk)")
   }
 
   /** Probe + rank tail shared by the fixed and scaled IVF oracles
-    * (appended after a kmeans CTE chain ending in c2/cn2/a2). */
-  private val ivfSearchSqlTail =
-    """
+    * (appended after a kmeans CTE chain ending in c2/cn2/a2),
+    * parameterized on the nprobe SQL expression: the fixed oracle
+    * pins the literal `4`, the scaled oracle passes the
+    * count(*)-derived `(SELECT np FROM kk)` — interpolation, not
+    * string substitution, so there is no anchor to silently miss. */
+  private def ivfSearchSqlTail(nprobeSql: String): String =
+    s"""
       |qd AS (
       |  SELECT e.vec_id AS qid, c.cluster,
       |    sum(CAST(round(e.v * c.cv * 1e12, 0) AS BIGINT)) AS dot
       |  FROM e JOIN c2 c ON c.idx = e.idx
-      |  WHERE e.vec_id % 50 = 0 AND e.vec_id < 2500
+      |  WHERE ${querySubsetSql("e.vec_id")}
       |  GROUP BY 1, 2),
       |probes AS (
       |  SELECT qid, cluster FROM (
@@ -850,7 +891,7 @@ object SimQueries {
       |    FROM qd q
       |    JOIN n2 ON n2.vec_id = q.qid
       |    JOIN cn2 cn ON cn.cluster = q.cluster) t
-      |  WHERE crn <= 4),
+      |  WHERE crn <= $nprobeSql),
       |cand AS (
       |  SELECT p.qid, a.vec_id AS nid
       |  FROM probes p JOIN a2 a ON a.cluster = p.cluster
@@ -874,10 +915,10 @@ object SimQueries {
       |SELECT qid, CAST(rk AS BIGINT) AS rk, nid, cos_sim
       |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
-  private val simAnnIvfSql = s"WITH $kmeansCtes,$ivfSearchSqlTail"
+  private val simAnnIvfSql = s"WITH $kmeansCtes,${ivfSearchSqlTail("4")}"
 
   private val simAnnIvfScaledSql =
-    s"WITH $kmeansCtesScaled,$ivfSearchSqlTail"
+    s"WITH $kmeansCtesScaled,${ivfSearchSqlTail("(SELECT np FROM kk)")}"
 
   // ------------------------------------------------------------ SemDeDup
 
@@ -1385,19 +1426,25 @@ object SimQueries {
       .orderBy("qid", "rk")
   }
 
-  private val simAnnPqSql = pqTrainSql + """,
+  /** The LUT + ADC CTE chain both PQ oracles rank over — one copy,
+    * mirroring the Scala side's shared [[pqAdc]] stage (ADVICE r15:
+    * the rerank oracle had hand-copied these CTEs and the query-set
+    * literal; now both interpolate the same constants). */
+  private val pqAdcSqlCtes = s"""
       |lut AS (
       |  SELECT e.vec_id AS qid, c.sub, c.cid,
       |    CAST(sum(CAST(floor((e.v - c.cv) * (e.v - c.cv) * 1e12 + 5e-1)
       |      AS BIGINT)) AS BIGINT) AS d2s
       |  FROM e JOIN c1 c ON c.sub = e.sub AND c.pos = e.pos
-      |  WHERE e.vec_id % 50 = 0 AND e.vec_id < 2500
+      |  WHERE ${querySubsetSql("e.vec_id")}
       |  GROUP BY 1, 2, 3),
       |adc AS (
       |  SELECT l.qid, a.vec_id, CAST(sum(l.d2s) AS BIGINT) AS adc_s
       |  FROM a1 a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
       |  WHERE a.vec_id <> l.qid
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val simAnnPqSql = pqTrainSql + "," + pqAdcSqlCtes + """,
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY qid
       |    ORDER BY adc_s, vec_id) AS rk FROM adc)
@@ -1409,19 +1456,7 @@ object SimQueries {
     * order of the topk_pairs heap — then the in-row list-dot exact
     * cosine (the same arithmetic as simTopkSql: round-half-up scaled
     * BIGINT per element) over the shortlist only. */
-  private val simAnnPqRerankSql = pqTrainSql + """,
-      |lut AS (
-      |  SELECT e.vec_id AS qid, c.sub, c.cid,
-      |    CAST(sum(CAST(floor((e.v - c.cv) * (e.v - c.cv) * 1e12 + 5e-1)
-      |      AS BIGINT)) AS BIGINT) AS d2s
-      |  FROM e JOIN c1 c ON c.sub = e.sub AND c.pos = e.pos
-      |  WHERE e.vec_id % 50 = 0 AND e.vec_id < 2500
-      |  GROUP BY 1, 2, 3),
-      |adc AS (
-      |  SELECT l.qid, a.vec_id, CAST(sum(l.d2s) AS BIGINT) AS adc_s
-      |  FROM a1 a JOIN lut l ON l.sub = a.sub AND l.cid = a.cid
-      |  WHERE a.vec_id <> l.qid
-      |  GROUP BY 1, 2),
+  private val simAnnPqRerankSql = pqTrainSql + "," + pqAdcSqlCtes + """,
       |rr_r AS (
       |  SELECT GREATEST(50, CAST(ceil(count(*) / 40.0) AS BIGINT)) AS r
       |  FROM embeddings),

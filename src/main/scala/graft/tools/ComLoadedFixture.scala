@@ -36,8 +36,11 @@ object ComLoadedFixture {
 
   def mdcrdText: String = {
     val sb = new StringBuilder("graft com-loaded fixture\n")
+    // Locale-pinned (same rule as the PDB/GRO writers): a comma-decimal
+    // JVM locale would emit mdcrd fields no parser accepts
     def line(vs: Seq[Double]): String =
-      vs.map(v => f"$v%8.3f").mkString
+      vs.map(v => String.format(java.util.Locale.ROOT, "%8.3f",
+        Double.box(v))).mkString
     (0 until Frames).foreach { f =>
       val coords = (0 until Atoms).flatMap(a =>
         Seq(raw(f, a, 0), raw(f, a, 1), raw(f, a, 2)))

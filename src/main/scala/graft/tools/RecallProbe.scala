@@ -112,7 +112,8 @@ object RecallProbe {
       else hits.toDouble / truthRows
     def json: String =
       s"""{"query":"$query","truth_rows":$truthRows,"hits":$hits,""" +
-      f""""recall":$recall%.4f}"""
+      s""""recall":${String.format(java.util.Locale.ROOT, "%.4f",
+        Double.box(recall))}}"""
   }
 
   /** All recall lines for one dataset dir. Each component is graded

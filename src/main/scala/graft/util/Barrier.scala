@@ -66,16 +66,28 @@ object Barrier {
     * this returns — the iterative-loop form (each CC round must pin
     * before the next round plans on top of it, and keeping lineage
     * across rounds nests plans exponentially — see class scaladoc
-    * caveat). Reliable `checkpoint()` when a checkpoint dir is
-    * configured (cluster-safe: blocks recoverable from the
-    * fault-tolerant store); `localCheckpoint(eager = true)` otherwise,
-    * in BOTH modes — the mode() call is kept for its fail-fast
-    * validation of the conf value. */
-  def barrierEager(df: DataFrame): DataFrame = {
-    mode(df)
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+    * caveat). Reliable `checkpoint()` ONLY in `persist` mode with a
+    * checkpoint dir configured (cluster-safe: blocks recoverable from
+    * the fault-tolerant store); `localCheckpoint(eager = true)`
+    * otherwise. The mode gate matters (ADVICE r15): a default-`local`
+    * session that happens to carry a checkpoint dir for unrelated
+    * user code must NOT silently upgrade every loop round to
+    * double-compute-plus-disk-write reliable checkpointing — `local`
+    * means local, unconditionally.
+    *
+    * The persist leg caches before checkpointing: a bare
+    * `checkpoint()` runs the round's job twice (Spark recomputes the
+    * plan to write the checkpoint files), so the round is pinned to
+    * DISK_ONLY first, the checkpoint write reads those blocks instead
+    * of recomputing, and the transient cache entry is dropped once
+    * the reliable copy exists. */
+  def barrierEager(df: DataFrame): DataFrame = mode(df) match {
+    case "persist"
+        if df.sparkSession.sparkContext.getCheckpointDir.isDefined =>
+      val cached = df.persist(StorageLevel.DISK_ONLY)
+      try cached.checkpoint()
+      finally cached.unpersist(false)
+    case _ => df.localCheckpoint()
   }
 
   /** `df.graftBarrier` / `df.graftBarrierEager` postfix forms — the

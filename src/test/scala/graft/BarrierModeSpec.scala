@@ -69,26 +69,36 @@ class BarrierModeSpec extends AnyFunSuite {
     val ckptDir =
       java.nio.file.Files.createTempDirectory("graft-ckpt")
     sc.setCheckpointDir(ckptDir.toString)
-    try {
+    locally {
       val sC = spark.newSession()
       sC.conf.set("spark.graft.barrier", "persist")
       val before = sc.getPersistentRDDs.keySet
       assert(run(sC) == expected)
       assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
-        "reliable-checkpoint barriers must not register cache entries")
-      val walk = java.nio.file.Files.walk(ckptDir)
-      val wrote =
+        "reliable-checkpoint barriers must not leave cache entries " +
+          "behind (the transient pre-checkpoint persist must unpersist)")
+      def ckptFiles(): Long = {
+        val walk = java.nio.file.Files.walk(ckptDir)
         try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
         finally walk.close()
+      }
+      val wrote = ckptFiles()
       assert(wrote > 0, "no checkpoint files written under the dir")
-    } finally {
-      // other suites expect the non-checkpoint path; SparkContext has
-      // no public unset, so clear the private field rather than leak
-      // the dir into them
-      val f = sc.getClass.getDeclaredField("checkpointDir")
-      f.setAccessible(true)
-      f.set(sc, None)
+      // ADVICE r15: 'local' means local — a default-mode session must
+      // NOT be upgraded to reliable checkpoint() (double compute +
+      // disk writes) just because a checkpoint dir happens to be
+      // configured for unrelated user code
+      val sL = spark.newSession()
+      sL.conf.set("spark.graft.barrier", "local")
+      assert(run(sL) == expected)
+      assert(ckptFiles() == wrote,
+        "local mode wrote reliable checkpoints — barrierEager must " +
+          "gate checkpoint() on mode == persist")
     }
+    // no cleanup needed: with the mode gate, a lingering checkpoint
+    // dir cannot change behavior for the (default) local-mode suites,
+    // so the old reflection into SparkContext's private checkpointDir
+    // field (ADVICE r15: breaks under Spark upgrades / JPMS) is gone
   }
 
   test("unknown barrier mode fails fast with a named error") {
