@@ -159,13 +159,22 @@ object RecallProbe {
           .select("qid", "nid")
         val (t, h) = edgeRecall(topkT, ivf8)
         Line("q_sim_ann_ivf_nprobe8", t, h) },
-      { // the occupancy-scaled quantizer (K ∝ √n): identical to the
-        // fixed fit below the 1024-vector floor, K = 71 at the 10×
-        // replica — the recall/cost point of the √n cost path
+      { // the occupancy-scaled quantizer (K ∝ √n, nprobe ∝ √K):
+        // identical to the fixed fit below the 1024-vector floor,
+        // K = 71 / nprobe = 9 at the 10× replica — the recall/cost
+        // point of the sub-linear (n/√K) probe path
         val sc = graft.SparkEntry.queries("q_sim_ann_ivf_scaled")(s, d)
           .select("qid", "nid")
         val (t, h) = edgeRecall(topkT, sc)
         Line("q_sim_ann_ivf_scaled", t, h) },
+      { // the r15 fixed-nprobe-4 policy over the same scaled
+        // quantizer — kept on the record so the closed mid-scale dip
+        // (0.550 vs the fixed fit's 0.635 at 2k vectors) stays
+        // measured, not just remembered
+        val sc4 = graft.sim.SimQueries.simAnnIvfScaledAt(s, d, _ => 4)
+          .select("qid", "nid")
+        val (t, h) = edgeRecall(topkT, sc4)
+        Line("q_sim_ann_ivf_scaled_np4", t, h) },
       { val (t, h) = edgeRecall(l2Truth(s, d, 5), pq)
         Line("q_sim_ann_pq_l2", t, h) },
       { val (t, h) = edgeRecall(topkT, pq)

@@ -19,7 +19,7 @@ import org.scalatest.funsuite.AnyFunSuite
   *    boundary at n = 2^14 (⌈log₂ 16384⌉ = 14 → 16).
   */
 class KnobSpec extends AnyFunSuite {
-  import graft.sim.SimQueries.{ivfK, neardupTopkBits}
+  import graft.sim.SimQueries.{ivfK, ivfNprobe, neardupTopkBits}
 
   test("ivfK: floor regime, exact boundary, and √n growth") {
     assert(ivfK(0) == 16)
@@ -30,6 +30,17 @@ class KnobSpec extends AnyFunSuite {
     assert(ivfK(2000) == 23)   // sf0.1 (measured-recall point)
     assert(ivfK(20000) == 71)  // the 10× replica oracle regime
     assert(ivfK(2000000) == 708)
+  }
+
+  test("ivfNprobe = ⌈√(2K)⌉: explicit values at every regime the " +
+    "oracles and RECALL.json exercise, SQL twin " +
+    "CAST(ceil(sqrt(2 * K)) AS BIGINT)") {
+    assert(ivfNprobe(16) == 6)   // K floor (sf0.01 gate, sf0.001 suite)
+    assert(ivfNprobe(18) == 6)   // √36 = 6 exactly: last value-6 K
+    assert(ivfNprobe(19) == 7)   // first value-7 K
+    assert(ivfNprobe(23) == 7)   // sf0.1 — measured recall 0.690
+    assert(ivfNprobe(71) == 12)  // 10× replica — measured recall 0.848
+    assert(ivfNprobe(708) == 38) // the 2M-vector regime
   }
 
   test("neardupTopkBits: floor regime, exact power-of-two boundaries, " +

@@ -28,6 +28,15 @@ class RecallSpec extends AnyFunSuite {
     assert(l.recall >= 0.75, s"ivf recall ${l.recall} (${l.hits}/${l.truthRows})")
   }
 
+  test("occupancy-scaled IVF (nprobe = ⌈√(2K)⌉) never falls below " +
+    "the fixed fit — the r15 mid-scale dip stays closed") {
+    val sc = lines("q_sim_ann_ivf_scaled")
+    val fx = lines("q_sim_ann_ivf")
+    assert(sc.recall >= fx.recall,
+      s"scaled (${sc.recall}) below fixed (${fx.recall}) — the " +
+        "nprobe policy regressed (RECALL.json r15 dip class)")
+  }
+
   test("re-ranked PQ recovers most of the exact answer and beats raw " +
     "ADC by construction") {
     val rr = lines("q_sim_ann_pq_rerank")
