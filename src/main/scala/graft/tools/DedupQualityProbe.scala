@@ -1,0 +1,363 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quality grading for the text-dedup tiers (VERDICT r15 next #2):
+  * the oracle gate proves each tier matches its own DEFINITION, and
+  * RECALL.json grades the similarity tier as approximate search —
+  * this probe applies the same treatment to dedup, grading the tiers
+  * as CLASSIFIERS over planted near-duplicates whose ground truth is
+  * known by construction. It writes `DEDUP_QUALITY.json` with two
+  * layers per tier and scale:
+  *
+  *  1. **detection** — per plant type, the fraction of (source,
+  *     plant) pairs the tier reports. The plants are chosen to pull
+  *     the tiers apart (each is a real dedup case from the C4/CCNet/
+  *     Lee-et-al literature):
+  *     - `copy`          byte-identical duplicate (every tier's floor)
+  *     - `tail_chrome`   a shared boilerplate sentence appended —
+  *                       the crawler-chrome case n-gram dedup exists for
+  *     - `word_swap`     every 25th word replaced — small-edit near-dup,
+  *                       simhash's home turf, *below* minhash's J≥0.8
+  *                       for typical doc lengths (measured, not hidden)
+  *     - `shuffle_half`  the word sequence rotated by half — bag-of-words
+  *                       invariant (simhash hamming 0) but n-gram-visible
+  *     - `span_copy`     a 10-word span quoted inside otherwise-unique
+  *                       filler — only the span tier should fire
+  *     - `paraphrase`    every word rewritten (deterministically) — NO
+  *                       text tier should fire; the honest 0-recall line
+  *                       that motivates the semantic tier
+  *  2. **truth P/R** — precision/recall of the tier's reported pairs
+  *     against the EXACT brute-force evaluation of its own predicate
+  *     over the planted universe U = sources ∪ plants (|U| ≈ 7·S, so
+  *     U² brute force is feasible here precisely because it is the
+  *     quadratic plan the production tiers exist to avoid — the
+  *     RecallProbe.neardupTruth pattern). For minhash/ngram the
+  *     verify stage is exact, so precision is expected to be 1.0 and
+  *     recall isolates the LSH-band / (fp, lenb)-block candidate
+  *     loss; for simhash the 9-band cover is pigeonhole-exhaustive at
+  *     hamming ≤ 8, so BOTH should be 1.0 unless a bucket cap
+  *     engages — DedupQualitySpec pins these expectations at the
+  *     fixture scale.
+  *
+  * Embedding plants (`vec + 1e-3·e0`, cosine ≈ 1) grade the semantic
+  * tier the same way: detection = plant grouped with its source —
+  * misses are SemDeDup's documented cell-split failure mode, on the
+  * record rather than assumed away.
+  *
+  * Everything is deterministic (plants are closed-form functions of
+  * the source rows; no RNG), so the measured rates are exact
+  * reproducible numbers, pinned as lower bounds by DedupQualitySpec
+  * at sf0.01.
+  *
+  * Usage: `runMain graft.tools.DedupQualityProbe [dir ...]`
+  * (default: /root/testdata/sf0.1 /tmp/graft_sf1).
+  */
+object DedupQualityProbe {
+
+  /** The shared boilerplate sentence for tail_chrome (12 words). */
+  val Chrome: String =
+    "subscribe to our newsletter and follow us for more updates every day"
+
+  val PlantTypes: Seq[String] = Seq("copy", "tail_chrome", "word_swap",
+    "shuffle_half", "span_copy", "paraphrase")
+
+  private def fmt4(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
+
+  /** Build the planted corpus under `outDir` (documents.parquet +
+    * embeddings.parquet) and return (plants bookkeeping
+    * (src_id, plant_id, typ), embedding plants (src_vec, plant_vec),
+    * n_sources). Sources: every `step`-th document with ≥ 80 words
+    * (capped at 500 so the probe's brute-force truth stays bounded at
+    * any corpus size); plant ids are appended above max(doc_id). */
+  def plantCorpus(s: SparkSession, d: String, outDir: String)
+      : (DataFrame, DataFrame, Long) = {
+    val docs = graft.rel.Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "source")
+    val maxId = docs.agg(max("doc_id")).first().getLong(0)
+    val nDocs = docs.count()
+    val eligible = docs.withColumn("arr", split(col("text"), " "))
+      .filter(size(col("arr")) >= 80)
+    val nElig = eligible.count()
+    val sCap = math.min(math.max(nDocs / 20, 1), 500L)
+    val step = math.max(1L, nElig / sCap)
+    // single-partition window: fine for a ≤50k-row probe selection
+    val sources = eligible
+      .withColumn("rn", row_number().over(Window.orderBy("doc_id")))
+      .filter((col("rn") - 1) % step === 0)
+      .withColumn("srcRank", row_number().over(Window.orderBy("doc_id")))
+      .persist()
+    val nSources = sources.count()
+
+    val half = (size(col("arr")) / 2).cast("int")
+    def fillers(lo: Int, hi: Int): Column = expr(
+      s"transform(sequence($lo, $hi), j -> concat('fz', doc_id, 'w', j))")
+    val textOf: Map[String, Column] = Map(
+      "copy" -> col("text"),
+      "tail_chrome" -> concat(col("text"), lit(" " + Chrome)),
+      "word_swap" -> array_join(expr(
+        "transform(arr, (w, i) -> IF(i % 25 = 12, concat('zqx', i), w))"),
+        " "),
+      "shuffle_half" -> array_join(
+        concat(slice(col("arr"), half + lit(1), size(col("arr"))),
+          slice(col("arr"), lit(1), half)), " "),
+      "span_copy" -> array_join(
+        concat(fillers(0, 39), slice(col("arr"), half - lit(4), lit(10)),
+          fillers(40, 79)), " "),
+      "paraphrase" -> array_join(
+        expr("transform(arr, w -> reverse(w))"), " "))
+
+    val plantDocs = PlantTypes.zipWithIndex.map { case (typ, ti) =>
+      sources.select(
+        (lit(maxId + 1) + (col("srcRank") - 1) * PlantTypes.size + ti)
+          .cast("long").as("doc_id"),
+        textOf(typ).as("text"), col("lang"), col("source"),
+        col("doc_id").as("src_id"), lit(typ).as("typ"))
+    }.reduce(_.unionByName(_)).persist()
+    plantDocs.count()
+
+    val merged = docs
+      .unionByName(plantDocs.select("doc_id", "text", "lang", "source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    merged.repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    // embedding plants: every 20th vector, first coordinate nudged by
+    // 1e-3 — cosine ≈ 1 ≫ the tier's tau = 0.4
+    val emb = s.read.parquet(s"$d/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).first().getLong(0)
+    val embPlants = emb.filter(col("vec_id") % 20 === 10)
+      .select(col("vec_id").as("src_vec"),
+        (lit(maxVec + 1) + (col("vec_id") - 10) / 20).cast("long")
+          .as("plant_vec"),
+        expr("transform(embedding, (x, i) -> " +
+          "IF(i = 0, CAST(x + 0.001 AS FLOAT), x))").as("embedding"),
+        col("label"))
+      .persist()
+    embPlants.count()
+    emb.unionByName(embPlants.select(col("plant_vec").as("vec_id"),
+        col("embedding"), col("label")))
+      .repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+
+    val plants = plantDocs.select("src_id", "doc_id", "typ")
+      .withColumnRenamed("doc_id", "plant_id")
+    (plants, embPlants.select("src_vec", "plant_vec"), nSources)
+  }
+
+  /** (expected, found) per plant type: how many (src, plant) pairs the
+    * tier's (d1, d2) output contains. Plant ids exceed every base id,
+    * so the pair always orders (src, plant). */
+  def detection(pairs: DataFrame, plants: DataFrame)
+      : Seq[(String, Long, Long)] = {
+    val exp = plants.select(col("src_id").as("d1"),
+      col("plant_id").as("d2"), col("typ"))
+    val hit = exp.join(pairs.select("d1", "d2"), Seq("d1", "d2"),
+      "left_semi").groupBy("typ").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = exp.groupBy("typ").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    PlantTypes.map(t => (t, tot.getOrElse(t, 0L), hit.getOrElse(t, 0L)))
+  }
+
+  /** (truth, found, tp): the tier's U²-restricted pairs vs the exact
+    * predicate truth over the same universe. */
+  def prVsTruth(found: DataFrame, truth: DataFrame): (Long, Long, Long) = {
+    val t = truth.select("d1", "d2").distinct().persist()
+    val f = found.select("d1", "d2").distinct().persist()
+    val nT = t.count(); val nF = f.count()
+    val tp = t.join(f, Seq("d1", "d2"), "left_semi").count()
+    t.unpersist(false); f.unpersist(false)
+    (nT, nF, tp)
+  }
+
+  /** Exact word-3-gram Jaccard ≥ 0.8 over the universe — the minhash
+    * tier's verify predicate without its LSH candidate stage. Pairs
+    * via a shared-shingle inverted index (complete for J > 0). */
+  def minhashTruth(uDocs: DataFrame): DataFrame = {
+    val sh = uDocs.select(col("doc_id"), explode(array_distinct(expr(
+      """IF(size(arr) >= 3,
+        |  transform(sequence(0, size(arr) - 3), i -> concat_ws(' ',
+        |    element_at(arr, i + 1), element_at(arr, i + 2),
+        |    element_at(arr, i + 3))),
+        |  CAST(array() AS ARRAY<STRING>))""".stripMargin)))
+      .as("sh")).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.withColumnRenamed("doc_id", "doc2").as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("doc2"))
+      .groupBy(col("a.doc_id").as("d1"), col("doc2").as("d2"))
+      .agg(count(lit(1)).as("ni"))
+    val out = inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("s1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("s2")), "d2")
+      .filter(round(col("ni") / (col("s1") + col("s2") - col("ni")), 6)
+        >= 0.8)
+      .select("d1", "d2")
+    val pinned = out.localCheckpoint(true)
+    sh.unpersist(false)
+    pinned
+  }
+
+  /** Exact char-5-gram Jaccard ≥ 0.5 over the universe — the ngram
+    * tier's kernel predicate without its (fp, lenb) blocking stage.
+    * Uses the tier's own packed-gram kernel in 256-doc segment cells
+    * (the dedupNgramAt guarded-plan shape, minus the blocking), so
+    * truth and tier share arithmetic bit-for-bit. */
+  def ngramTruth(uDocs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(uDocs.sparkSession)
+    val rows = uDocs.select(col("doc_id"),
+      expr("ngram5_packed(text)").as("grams"))
+      .withColumn("rk", row_number().over(Window.orderBy("doc_id")))
+      .withColumn("seg", ((col("rk") - 1) / 256).cast("int"))
+    val segs = rows.groupBy("seg")
+      .agg(collect_list(struct(col("doc_id"), col("grams"))).as("m"))
+      .localCheckpoint(true)
+    val nSeg = segs.count().toInt
+    val sa = segs.select(col("seg").as("sa"), col("m").as("ma"))
+      .crossJoin(broadcast(
+        segs.select(col("seg").as("sb"), col("m").as("mb"))))
+      .filter(col("sa") <= col("sb"))
+    sa.select(explode(expr("ngram_close_pairs_x(ma, mb, sa = sb)"))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+  }
+
+  /** Exact 64-bit simhash Hamming ≤ 8 over the universe: the tier's
+    * own signature kernel, all-pairs XOR+popcount (no banding). */
+  def simhashTruth(uDocs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(uDocs.sparkSession)
+    val sig = uDocs
+      .select(col("doc_id"), expr("simhash64(text)").as("g"))
+      .select(col("doc_id"), col("g.sim_lo").as("lo"),
+        col("g.sim_hi").as("hi"))
+      .localCheckpoint(true)
+    val a = sig.select(col("doc_id").as("d1"), col("lo").as("lo1"),
+      col("hi").as("hi1"))
+    val b = sig.select(col("doc_id").as("d2"), col("lo").as("lo2"),
+      col("hi").as("hi2"))
+    a.crossJoin(broadcast(b)).filter(col("d1") < col("d2"))
+      .filter(expr("bit_count(lo1 ^ lo2) + bit_count(hi1 ^ hi2)") <= 8)
+      .select("d1", "d2")
+  }
+
+  case class TierLine(tier: String, det: Seq[(String, Long, Long)],
+      truth: Option[(Long, Long, Long)]) {
+    def json: String = {
+      val dj = det.map { case (t, e, h) =>
+        s""""$t":{"expected":$e,"found":$h,"rate":${fmt4(
+          if (e == 0) 1.0 else h.toDouble / e)}}"""
+      }.mkString("{", ",", "}")
+      val tj = truth.map { case (nT, nF, tp) =>
+        s""","truth_pairs":$nT,"found_pairs":$nF,"tp":$tp""" +
+        s""","precision":${fmt4(if (nF == 0) 1.0 else tp.toDouble / nF)}""" +
+        s""","recall":${fmt4(if (nT == 0) 1.0 else tp.toDouble / nT)}"""
+      }.getOrElse("")
+      s"""{"tier":"$tier","detection":$dj$tj}"""
+    }
+  }
+
+  /** All tier lines for one dataset dir (the probe body; also used by
+    * DedupQualitySpec at the fixture scale). */
+  def probe(s: SparkSession, d: String, scratch: String): Seq[TierLine] = {
+    val (plants, embPlants, _) = plantCorpus(s, d, scratch)
+    plants.persist(); plants.count()
+
+    // the planted universe U and its docs (from the merged corpus, so
+    // text bytes are exactly what the tiers saw)
+    val uIds = plants.select(col("src_id").as("doc_id"))
+      .unionByName(plants.select(col("plant_id").as("doc_id"))).distinct()
+    val uDocs = graft.rel.Tables.documents(s, scratch)
+      .join(uIds, Seq("doc_id"), "left_semi")
+      .withColumn("arr", split(col("text"), " "))
+      .localCheckpoint(true)
+
+    def uPairs(df: DataFrame): DataFrame =
+      df.join(uIds.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
+        .join(uIds.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
+
+    val q = graft.SparkEntry.queries
+    val mh = q("q_dedup_minhash")(s, scratch).select("d1", "d2")
+      .localCheckpoint(true)
+    val sh = q("q_dedup_simhash")(s, scratch).select("d1", "d2")
+      .localCheckpoint(true)
+    val ng = q("q_dedup_ngram")(s, scratch).select("d1", "d2")
+      .localCheckpoint(true)
+
+    val mhLine = TierLine("minhash", detection(mh, plants),
+      Some(prVsTruth(uPairs(mh), minhashTruth(uDocs))))
+    val shLine = TierLine("simhash", detection(sh, plants),
+      Some(prVsTruth(uPairs(sh), simhashTruth(uDocs))))
+    val ngLine = TierLine("ngram", detection(ng, plants),
+      Some(prVsTruth(uPairs(ng), ngramTruth(uDocs))))
+
+    // exact tier: a copy plant is detected iff its content-hash group
+    // reports n_copies >= 2 (keep_id may be an even-earlier base dup)
+    val ex = q("q_dedup_exact")(s, scratch)
+    val srcHash = uDocs.select(col("doc_id"), md5(col("text"))
+      .as("content_hash"))
+    val exHit = plants.filter(col("typ") === "copy")
+      .join(srcHash.withColumnRenamed("doc_id", "src_id"), "src_id")
+      .join(ex.filter(col("n_copies") >= 2), Seq("content_hash"),
+        "left_semi")
+    val exLine = TierLine("exact",
+      Seq(("copy", plants.filter(col("typ") === "copy").count(),
+        exHit.count())), None)
+
+    // span tier: a span_copy plant is detected iff the duplicated
+    // 10-word span was removed from it (>= 6 interior windows dup)
+    val sp = q("q_span_dedup")(s, scratch)
+    val spPlants = plants.filter(col("typ") === "span_copy")
+    val spHit = spPlants
+      .join(sp.withColumnRenamed("doc_id", "plant_id"), "plant_id")
+      .filter(col("n_tokens") - col("n_kept") >= 6)
+    val spLine = TierLine("span",
+      Seq(("span_copy", spPlants.count(), spHit.count())), None)
+
+    // semantic tier: plant grouped with its source vector
+    val sem = q("q_dedup_semantic")(s, scratch)
+      .select(col("vec_id"), col("sem_rep")).localCheckpoint(true)
+    val semHit = embPlants
+      .join(sem.select(col("vec_id").as("src_vec"),
+        col("sem_rep").as("rep_s")), "src_vec")
+      .join(sem.select(col("vec_id").as("plant_vec"),
+        col("sem_rep").as("rep_p")), "plant_vec")
+      .filter(col("rep_s") === col("rep_p"))
+    val semLine = TierLine("semantic",
+      Seq(("embed_nudge", embPlants.count(), semHit.count())), None)
+
+    Seq(exLine, mhLine, shLine, ngLine, spLine, semLine)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sections = dirs.map { d =>
+      val name = new java.io.File(d).getName
+      val scratch = s"/tmp/graft_dedupq_$name"
+      val lines = probe(spark, d, scratch)
+      lines.foreach(l => println(s"[dedupq] $d ${l.json}"))
+      s"""{"dir":"$d","tiers":[${lines.map(_.json).mkString(",")}]}"""
+    }
+    val base = sys.props.getOrElse("graft.base", sys.props("user.dir"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "DEDUP_QUALITY.json"),
+      s"""{"metric":"dedup_quality","sections":[${
+        sections.mkString(",")}]}""" + "\n")
+    println(s"[dedupq] wrote $base/DEDUP_QUALITY.json")
+    spark.stop()
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Classifier-quality lower bounds for the text-dedup tiers (VERDICT
+  * r15 next #2): the oracle gate proves each tier matches its own
+  * DEFINITION; DedupQualityProbe plants known near-duplicates and
+  * grades what each tier actually catches. This spec pins the
+  * fixture-scale rates so a plan change that silently guts candidate
+  * generation (broken bands, a blocking key that stopped matching, a
+  * kernel threshold drift) fails a test instead of only moving the
+  * committed DEDUP_QUALITY.json. All plants are deterministic, so
+  * the rates are exact reproducible numbers; bounds sit under the
+  * measured values (sf0.001: see DEDUP_QUALITY.json) only to survive
+  * driver-side testdata regeneration, not noise. */
+class DedupQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sf = SparkTestBase.sf
+
+  private lazy val lines =
+    graft.tools.DedupQualityProbe
+      .probe(spark, sf, "/tmp/graft_dedupq_spec")
+      .map(l => l.tier -> l).toMap
+
+  private def rate(tier: String, typ: String): Double = {
+    val (_, e, h) = lines(tier).det.find(_._1 == typ)
+      .getOrElse(fail(s"$tier has no $typ detection line"))
+    if (e == 0) fail(s"$tier/$typ planted nothing") else h.toDouble / e
+  }
+  private def pr(tier: String): (Double, Double) = {
+    val (t, f, tp) = lines(tier).truth
+      .getOrElse(fail(s"$tier has no truth P/R"))
+    assert(t > 0, s"$tier truth is empty — plants invisible to probe")
+    (if (f == 0) 1.0 else tp.toDouble / f, tp.toDouble / t)
+  }
+
+  test("exact copies are caught by every content tier") {
+    assert(rate("exact", "copy") == 1.0)
+    assert(rate("minhash", "copy") == 1.0)
+    assert(rate("simhash", "copy") == 1.0)
+    assert(rate("ngram", "copy") == 1.0)
+  }
+
+  test("minhash: exact verify ⇒ precision 1.0; banding loses almost " +
+    "nothing vs the exact J≥0.8 truth at fixture density") {
+    val (p, r) = pr("minhash")
+    assert(p == 1.0, s"minhash precision $p — the verify stage leaked")
+    assert(r >= 0.95, s"minhash recall $r — LSH bands lost real pairs")
+    assert(rate("minhash", "tail_chrome") >= 0.9)
+    assert(rate("minhash", "shuffle_half") >= 0.9)
+  }
+
+  test("simhash: 9-band pigeonhole cover is exhaustive at hamming ≤ 8 " +
+    "— precision AND recall 1.0 vs the all-pairs truth") {
+    val (p, r) = pr("simhash")
+    assert(p == 1.0, s"simhash precision $p")
+    assert(r == 1.0, s"simhash recall $r — the exhaustive cover broke")
+    // the signature is bag-of-words-weighted: reordering is invisible,
+    // small edits are small bit flips
+    assert(rate("simhash", "shuffle_half") == 1.0)
+    assert(rate("simhash", "word_swap") >= 0.9)
+  }
+
+  test("ngram: exact kernel verify ⇒ precision 1.0; the (fp, lenb) " +
+    "blocking loss is real, measured, and bounded") {
+    val (p, r) = pr("ngram")
+    assert(p == 1.0, s"ngram precision $p — kernel verify leaked")
+    assert(r >= 0.6, s"ngram recall $r — blocking lost more than the " +
+      "measured fixture loss")
+    assert(r < 1.0, s"ngram recall $r — if blocking suddenly became " +
+      "lossless the probe stopped exercising it (plant drift)")
+  }
+
+  test("paraphrase and span-quote plants are invisible to every " +
+    "n-gram/signature tier — the honest lines that motivate the " +
+    "semantic and span tiers") {
+    for (tier <- Seq("minhash", "simhash", "ngram")) {
+      assert(rate(tier, "paraphrase") == 0.0,
+        s"$tier claims to catch paraphrases — plant broken or " +
+          "threshold collapsed")
+      assert(rate(tier, "span_copy") == 0.0,
+        s"$tier fires on a 10-word quote inside unique filler — " +
+          "precision collapsed")
+    }
+  }
+
+  test("the span tier removes the planted duplicated span; the " +
+    "semantic tier groups the nudged embedding with its source") {
+    assert(rate("span", "span_copy") == 1.0)
+    assert(rate("semantic", "embed_nudge") >= 0.9)
+  }
+}
