@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("ngram5_packed",
       "ngram5_packed(text) - sorted distinct char 5-grams as packed longs",
       es => Ngram5Packed(es.head)))
+    ext.injectFunction(fn("ngram8_packed",
+      "ngram8_packed(text) - sorted distinct char 8-grams as packed longs",
+      es => Ngram8Packed(es.head)))
     ext.injectFunction(fn("ngram3_set",
       "ngram3_set(text) - distinct char 3-grams in first-occurrence order",
       es => Ngram3Set(es.head)))

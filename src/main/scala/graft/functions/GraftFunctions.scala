@@ -367,6 +367,24 @@ case class Ngram5Packed(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
+case class Ngram8Packed(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = false)
+  override def prettyName: String = "ngram8_packed"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.ngram8Packed(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.ngram8Packed($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 case class Ngram3Set(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType,
     containsNull = false)
@@ -919,6 +937,8 @@ object GraftFunctions {
       es => Ngram5Count(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("ngram5_packed",
       es => Ngram5Packed(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram8_packed",
+      es => Ngram8Packed(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("ngram3_set",
       es => Ngram3Set(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_count",

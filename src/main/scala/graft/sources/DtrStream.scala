@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
 /** Micro-batch streaming read over a COLLECTION directory of dtr
@@ -30,7 +30,24 @@ case class DtrSetOffset(setCount: Int) extends Offset {
 }
 
 class DtrMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
-    schema: StructType) extends MicroBatchStream {
+    schema: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** Frameset-granularity admission (see [[ShardStreams]] — the same
+    * backlog knob, counting completed framesets instead of files). */
+  private val maxSets: Int = ShardStreams.maxShardsPerTrigger()
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxSets > 0) ReadLimit.maxFiles(maxSets)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    DtrSetOffset(ShardStreams.admit(
+      start.asInstanceOf[DtrSetOffset].setCount,
+      listSets().length, limit, maxSets))
+
+  override def reportLatestOffset(): Offset =
+    DtrSetOffset(listSets().length)
 
   private def listSets(): Seq[String] = {
     if (!FsIO.isDirectory(dir)) Nil

@@ -1,7 +1,44 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.read.InputPartition
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+
+/** Session-conf plumbing shared by the shard-directory streams
+  * (public: the conf key is user-facing surface, and the bench/spec
+  * reference it by name). */
+object ShardStreams {
+  val MaxShardsKey = "spark.graft.stream.maxShardsPerTrigger"
+
+  /** Backlog admission knob (VERDICT r15 next #4): the number of new
+    * shards (framesets for dtr) one micro-batch may admit; 0 =
+    * unbounded (the r15 behavior). Without it, a restart against a
+    * large backlog — the 100 TB shard directories will not arrive
+    * empty — plans ONE batch over every outstanding shard: no
+    * checkpoint progress until the whole backlog commits, and a
+    * mid-drain failure re-reads all of it. Read from the session conf
+    * at stream construction (the options map is not threaded through
+    * the 14 format scans; a session-wide knob is how a deployment
+    * would set it anyway), validated fail-fast. */
+  def maxShardsPerTrigger(): Int = {
+    val v = org.apache.spark.sql.SparkSession.active.conf
+      .get(MaxShardsKey, "0")
+    val n = try v.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$MaxShardsKey must be a non-negative integer, got '$v'")
+    }
+    require(n >= 0,
+      s"$MaxShardsKey must be >= 0 (0 = unbounded), got $n")
+    n
+  }
+
+  /** The admission arithmetic shared by both offset shapes. */
+  def admit(start: Int, total: Int, limit: ReadLimit,
+      configured: Int): Int = limit match {
+    case mf: ReadMaxFiles => math.min(total, start + mf.maxFiles())
+    case _ if configured > 0 => math.min(total, start + configured)
+    case _ => total
+  }
+}
 
 /** Shared skeleton for the micro-batch shard-directory streams
   * (SURVEY §2.8): offsets are file counts over the name-sorted listing
@@ -16,7 +53,23 @@ case class ShardFileOffset(fileCount: Int) extends Offset {
 }
 
 private[sources] abstract class ShardDirMicroBatchStream(
-    dir: String, exts: Seq[String]) extends MicroBatchStream {
+    dir: String, exts: Seq[String])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** Captured at construction (driver-side, active session present). */
+  private val maxShards: Int = ShardStreams.maxShardsPerTrigger()
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxShards > 0) ReadLimit.maxFiles(maxShards)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    ShardFileOffset(ShardStreams.admit(
+      start.asInstanceOf[ShardFileOffset].fileCount,
+      listShards().length, limit, maxShards))
+
+  override def reportLatestOffset(): Offset =
+    ShardFileOffset(listShards().length)
 
   /** Frames in one shard (driver-side probe; cached). Only consulted
     * for PREDECESSOR shards whose count is not yet cached — i.e. after

@@ -867,13 +867,24 @@ object TextQueries {
       floor(length(col("text")) / 100).cast("long").as("lenb"),
       expr("min_fingerprint(text)").as("fp"),
       expr("ngram5_packed(text)").as("grams"))
+    ngramPairsFromRows(s, rows, blockCap, memoKeySuffix = s"fp-$d")
+  }
+
+  /** The blocked pair-enumeration tail shared by [[dedupNgramAt]] and
+    * [[dedupNgramDfAt]]: gather (fp, lenb) blocks, enumerate close
+    * pairs through the packed-gram kernel, with the segmented guarded
+    * plan when some block exceeds `blockCap`. `rows` must carry
+    * (doc_id, lenb, fp, grams-sorted-packed). */
+  private def ngramPairsFromRows(s: SparkSession, rows: DataFrame,
+      blockCap: Int, memoKeySuffix: String): DataFrame = {
     def computeMaxBlock(): Long = {
       // column-pruned: the probe aggregates (fp, lenb) counts only
       val r = rows.groupBy(col("fp"), col("lenb"))
         .agg(count(lit(1)).as("c")).agg(max(col("c"))).first()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    val maxBlock = memoMaxBucket(s, s"ngram-fp-$d")(computeMaxBlock())
+    val maxBlock =
+      memoMaxBucket(s, s"ngram-$memoKeySuffix")(computeMaxBlock())
     val pairs = if (maxBlock <= blockCap) {
       // single consumer → no lineage barrier needed: grams stream
       // straight from the scan projection into the gather shuffle
@@ -952,6 +963,226 @@ object TextQueries {
       ratio6Sql("ni", "n1 + n2 - ni") +
       """ AS jaccard
       |FROM cand
+      |WHERE 3 * ni >= n1 + n2
+      |ORDER BY d1, d2""".stripMargin
+
+  // ------------------------------------------------- ngram + DF filter
+
+  /** The registered DF threshold, shared by both DF-filtered queries
+    * and interpolated into their oracles (one source of truth).
+    * 25%, and the number is measured, not guessed — boilerplate is a
+    * LARGE-fraction phenomenon (the skew replica's planted chrome
+    * sits on 90% of docs; real crawl templates behave the same), and
+    * every lower setting was measured destroying something real:
+    *  - 1%: genuine duplicate clusters exceed it (7 near-copies of a
+    *    source > 1% of the fixture corpus → every source gram marked
+    *    hot → DedupQualityProbe detection collapsed to ~0);
+    *  - 5%: ordinary common-word char-grams exceed it on a
+    *    small-vocabulary corpus (sf0.1: 1728 of 2041 distinct grams
+    *    hot → median filtered set FOUR grams — the tier stops seeing
+    *    documents at all).
+    * At 25% the hot set is template-grade only (sf0.1: 120 grams;
+    * skew: 293, chrome included at 90% DF) and the probe's detection
+    * profile matches the unfiltered tier on every non-chrome plant. */
+  private[graft] val ChromeDfFrac = 0.25
+
+  def dedupNgramDf(s: SparkSession, d: String): DataFrame =
+    dedupNgramDfAt(s, d, NgramBlockCap, dfFrac = ChromeDfFrac)
+
+  /** Document-frequency chrome filter over the char-5-gram tier
+    * (VERDICT r15 next #3 — the standard C4/CCNet move): grams
+    * present in more than `dfFrac` of the corpus are boilerplate
+    * (navigation chrome, footers, licence blurbs), and similarity
+    * through them is similarity to the TEMPLATE, not between the
+    * documents. The r15 skew replica put the price of ignoring this
+    * on the record: its planted chrome made q_dedup_ngram's answer a
+    * genuinely-huge 15.2 s pair set. This variant drops hot grams
+    * from the similarity sets, so template-only pairs no longer
+    * qualify and the tail is answer-bounded by real prose overlap.
+    *
+    * The BLOCKING key is de-chromed too — this is what actually
+    * bounds the skew tail. The base tier's min-fingerprint is a min
+    * over raw char-8-grams, so shared chrome pins the SAME
+    * fingerprint across thousands of non-duplicate docs and the cost
+    * lands in hot-block candidate enumeration (the r15 skew
+    * replica's 15.2 s was block²-walk time, NOT answer size — its
+    * chrome pairs never reach J ≥ 0.5; a gram-set-only DF filter was
+    * measured leaving that tail untouched). The key is the BASE
+    * TIER'S OWN min-md5-of-char-8-grams, computed over the non-hot
+    * 8-grams only (a second DF census at the same threshold), in TWO
+    * salted bands. Each design decision here was paid for on a
+    * measurement:
+    *  - it must be a min over a HASH order, not the packed values'
+    *    order — packed order is last-character-first lexicographic,
+    *    and a rare token containing low-sorting characters (digits)
+    *    deterministically hijacks the minimum (word_swap detection
+    *    0.80 → 0.00 under a packed-min key);
+    *  - it must be over 8-GRAMS, not the 5-gram similarity alphabet —
+    *    a low-entropy corpus has only ~2k distinct 5-grams, so
+    *    min-hash minima collide massively (measured: blocks of ~950
+    *    docs and 11.6M candidate pairs on the PLAIN 10× replica,
+    *    where the base tier's 8-gram key blocks cleanly);
+    *  - ONE hashed min is a single global coin — a fixed inserted
+    *    sentence has one min-hash for the whole corpus, and whether
+    *    it undercuts typical documents' minima is decided once
+    *    (tail_chrome detection landed 0.00 under one band). TWO
+    *    salted bands (candidates from either — the minhash tier's
+    *    banding, at width 2) square the failure probability.
+    * Each band is a min over salted md5s of the packed 8-grams (the
+    * `ngram8_packed` kernel — the md5-hex-string-array form of this
+    * measured 12.7 s on the 10×-skew replica against the kernel's
+    * 1.3 s), so with an empty hot set each band is distributed
+    * exactly like the base tier's fingerprint; a pair caught by both
+    * bands dedups before the output. Docs whose every 8-gram is hot
+    * (pure chrome) drop out, like docs whose every 5-gram is.
+    *
+    * Scale shape: the DF aggregate is one map-side-combinable count
+    * over per-doc DISTINCT grams, and the hot set is broadcast-safe
+    * BY CONSTRUCTION at any corpus size — a gram needs > dfFrac·n
+    * docs to qualify, and there are at most (n·L)/(dfFrac·n) = L/dfFrac
+    * distinct such grams (L = avg grams/doc ≈ hundreds, so ≤ ~50k
+    * longs regardless of n). Docs whose every gram is chrome drop out
+    * of the tier entirely (an empty similarity set matches nothing) —
+    * the C4 convention, and the oracle applies the same rule. */
+  private[graft] def dedupNgramDfAt(s: SparkSession, d: String,
+      blockCap: Int, dfFrac: Double): DataFrame = {
+    require(dfFrac > 0.0 && dfFrac <= 1.0,
+      s"dedup_ngram_df: dfFrac must be in (0, 1], got $dfFrac")
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d).repartition(col("doc_id"))
+    val nDocs = memoMaxBucket(s, s"ngram-df-ndocs-$d")(docs.count())
+    val rows0 = docs.select(col("doc_id"),
+      floor(length(col("text")) / 100).cast("long").as("lenb"),
+      expr("ngram5_packed(text)").as("grams"),
+      // packed longs, not md5-hex strings: the expression-layer string
+      // arrays measured 12.7 s on the 10×-skew replica vs 1.3 s for
+      // the kernel's long arrays (G8 probe, r16)
+      expr("ngram8_packed(text)").as("g8"))
+      .graftBarrier // three consumers (2 censuses + rebuild): one pass
+    // ngram5_packed emits the per-doc DISTINCT packed set, so the
+    // exploded count IS document frequency (g8 is array_distinct'd
+    // for the same reason)
+    val hotDf = rows0.select(explode(col("grams")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") > lit(nDocs * dfFrac))
+      .select("g")
+    val hot8 = rows0.select(explode(col("g8")).as("h8"))
+      .groupBy("h8").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") > lit(nDocs * dfFrac))
+      .select("h8")
+    // the de-chromed two-band fingerprint: min md5 over the surviving
+    // 8-grams (base-10 rendering of the packed long), twice-salted
+    val fps = rows0.select(col("doc_id"), explode(col("g8")).as("h8"))
+      .join(broadcast(hot8), Seq("h8"), "left_anti")
+      .groupBy("doc_id")
+      .agg(min(md5(concat(lit("0:"), col("h8").cast("string"))))
+          .as("fp0"),
+        min(md5(concat(lit("1:"), col("h8").cast("string"))))
+          .as("fp1"))
+    // de-chrome the similarity sets via explode → broadcast ANTI-join
+    // → re-collect, NOT a per-row array_except against a broadcast hot
+    // array: array_except rebuilds the hot hash set for EVERY row
+    // (measured 5.3 s on the 10×-skew replica, 17× the 0.3 s of this
+    // form, hot ≈ 6.8k grams); the anti-join builds one broadcast hash
+    // table per task and the per-doc sets re-gather in a single linear
+    // shuffle. sort_array restores the kernel's sorted-merge
+    // precondition.
+    val rows = rows0
+      .select(col("doc_id"), col("lenb"), explode(col("grams")).as("g"))
+      .join(broadcast(hotDf), Seq("g"), "left_anti")
+      .groupBy("doc_id", "lenb")
+      .agg(sort_array(collect_list(col("g"))).as("grams"))
+      .join(fps, "doc_id")
+      .graftBarrier // two consumers (block-size probe + gather)
+    // band-explode: each doc gathers under both salted minima; the
+    // band id rides inside the key so the two bands cannot collide
+    val banded = rows.select(col("doc_id"), col("lenb"), col("grams"),
+      explode(array(concat(lit("0|"), col("fp0")),
+        concat(lit("1|"), col("fp1")))).as("fp"))
+    // a pair whose docs agree on BOTH minima is found twice with the
+    // identical (d1, d2, jaccard) row — distinct() collapses it
+    ngramPairsFromRows(s, banded, blockCap,
+      memoKeySuffix = s"df-fp-$d").distinct()
+      .orderBy("d1", "d2")
+  }
+
+  private val dedupNgramDfSql =
+    s"""WITH g0 AS (
+      |  SELECT doc_id, CAST(floor(length(text) / 100) AS BIGINT) AS lenb,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(length(text) - 4, 1) + 1),
+      |      i -> substr(text, CAST(i AS INT), 5))) AS grams
+      |  FROM documents),
+      |nd AS (SELECT count(*) AS n FROM documents),
+      |ex AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+      |hot AS (
+      |  SELECT gram FROM ex GROUP BY gram
+      |  HAVING count(*) > (SELECT n FROM nd) * $ChromeDfFrac),
+      |kept AS (
+      |  SELECT e.doc_id, e.gram FROM ex e
+      |  ANTI JOIN hot h ON h.gram = e.gram),
+      |g AS (
+      |  SELECT k.doc_id, g0.lenb, array_agg(k.gram) AS grams
+      |  FROM kept k JOIN g0 ON g0.doc_id = k.doc_id
+      |  GROUP BY 1, 2),
+      |e8 AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(length(text) - 7, 1) + 1),
+      |    i -> substr(text, CAST(i AS INT), 8)))) AS g8
+      |  FROM documents),
+      |hot8 AS (
+      |  SELECT g8 FROM e8 GROUP BY g8
+      |  HAVING count(*) > (SELECT n FROM nd) * $ChromeDfFrac),
+      |g8v AS (
+      |  -- the ngram8_packed kernel's long (seven bits per codepoint,
+      |  -- little-endian; short whole-text grams flagged with their
+      |  -- length in bits 56-58 and bit 61), rendered base-10 and
+      |  -- salted-md5'd — computed ONCE PER DISTINCT GRAM, not per
+      |  -- (doc, gram) row
+      |  SELECT g8, md5('0:' || pk) AS h0, md5('1:' || pk) AS h1
+      |  FROM (
+      |    SELECT g8,
+      |      CAST(CAST(list_sum(list_transform(
+      |        range(1, length(g8) + 1),
+      |        j -> CAST(ascii(substr(g8, CAST(j AS INT), 1)) AS BIGINT)
+      |             * CAST(power(2, 7 * (j - 1)) AS BIGINT)))
+      |        + CASE WHEN length(g8) < 8 THEN
+      |            length(g8) * CAST(power(2, 56) AS BIGINT)
+      |            + CAST(power(2, 61) AS BIGINT)
+      |          ELSE 0 END AS BIGINT) AS VARCHAR) AS pk
+      |    FROM (SELECT DISTINCT g8 FROM e8))),
+      |fp AS (
+      |  SELECT e.doc_id, min(v.h0) AS fp0, min(v.h1) AS fp1
+      |  FROM e8 e
+      |  JOIN g8v v ON v.g8 = e.g8
+      |  ANTI JOIN hot8 h ON h.g8 = e.g8
+      |  GROUP BY 1),
+      |gb AS (
+      |  SELECT g.doc_id, g.lenb, g.grams, fp.fp0, fp.fp1
+      |  FROM g JOIN fp ON fp.doc_id = g.doc_id),
+      |cand AS (
+      |  -- either band matches: two hash-joinable equi-joins, not an
+      |  -- OR join (which planned nested-loop and ran minutes at 10×)
+      |  SELECT DISTINCT d1, d2 FROM (
+      |    SELECT a.doc_id AS d1, b.doc_id AS d2
+      |    FROM gb a JOIN gb b ON a.lenb = b.lenb AND a.fp0 = b.fp0
+      |      AND a.doc_id < b.doc_id
+      |    UNION ALL
+      |    SELECT a.doc_id, b.doc_id
+      |    FROM gb a JOIN gb b ON a.lenb = b.lenb AND a.fp1 = b.fp1
+      |      AND a.doc_id < b.doc_id)),
+      |scored AS (
+      |  SELECT c.d1, c.d2,
+      |    len(list_intersect(x.grams, y.grams)) AS ni,
+      |    len(x.grams) AS n1, len(y.grams) AS n2
+      |  FROM cand c
+      |  JOIN g x ON x.doc_id = c.d1
+      |  JOIN g y ON y.doc_id = c.d2)
+      |SELECT d1, d2,
+      |  """.stripMargin +
+      ratio6Sql("ni", "n1 + n2 - ni") +
+      """ AS jaccard
+      |FROM scored
       |WHERE 3 * ni >= n1 + n2
       |ORDER BY d1, d2""".stripMargin
 
@@ -1346,6 +1577,105 @@ object TextQueries {
       |FROM train t JOIN bench b ON b.gram = t.gram
       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- decontamination + DF
+
+  def decontaminateDf(s: SparkSession, d: String): DataFrame =
+    decontaminateDfAt(s, d, dfFrac = ChromeDfFrac)
+
+  /** Decontamination with the document-frequency chrome filter
+    * (VERDICT r15 next #3, the [[dedupNgramDfAt]] treatment): a
+    * 5-gram present in more than `dfFrac` of the TRAIN corpus is
+    * boilerplate, and matching it against an eval suite is evidence
+    * of a shared template, not of leakage — Lee et al. 2021 and the
+    * C4 pipeline both drop such grams before the contamination join.
+    * The r15 skew replica measured the cost of skipping this: 11.1 s
+    * computing a 40M-pair answer that is ~all chrome. Hot grams are
+    * filtered from the train side before both joins (inner joins, so
+    * one side suffices); train docs whose only bench overlap was
+    * chrome now report clean — the behavior a decontamination
+    * pipeline actually wants.
+    *
+    * Scale shape: DF is one map-side-combinable count over the
+    * already-DISTINCT per-doc fingerprints, and the hot set is
+    * broadcast-safe by construction (≤ L/dfFrac distinct grams
+    * regardless of corpus size — each needs > dfFrac·n docs, and
+    * there are only n·L (doc, gram) rows to go around). */
+  private[graft] def decontaminateDfAt(s: SparkSession, d: String,
+      dfFrac: Double): DataFrame = {
+    require(dfFrac > 0.0 && dfFrac <= 1.0,
+      s"decontaminate_df: dfFrac must be in (0, 1], got $dfFrac")
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    def toks(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+    val bench = toks(docs.filter(col("doc_id") % 50 === 7))
+      .select(col("doc_id").as("bench_id"), col("w"),
+        explode(expr("span_gram_hashes(w, 5)")).as("gh"))
+      .select(col("bench_id"), col("gh.h1").as("h1"),
+        col("gh.h2").as("h2"),
+        expr("concat_ws(' ', slice(w, gh.pos + 1, 5))").as("gram"))
+      .distinct()
+    val trainToks = toks(docs.filter(col("doc_id") % 50 =!= 7))
+    val nTrain =
+      memoMaxBucket(s, s"decon-df-ntrain-$d")(trainToks.count())
+    val train0 = trainToks
+      .select(col("doc_id"),
+        explode(expr("span_gram_hashes(w, 5)")).as("gh"))
+      .select(col("doc_id"), col("gh.h1").as("h1"),
+        col("gh.h2").as("h2"))
+      .distinct()
+      .graftBarrier // two consumers: the DF census and the anti-join
+    val hot = train0.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") > lit(nTrain * dfFrac))
+      .select("h1", "h2")
+    val train = train0.join(broadcast(hot), Seq("h1", "h2"), "left_anti")
+    val benchGrams = bench.select("h1", "h2", "gram")
+      .groupBy("h1", "h2").agg(min("gram").as("gram"))
+    val gramStats = train.join(broadcast(benchGrams), Seq("h1", "h2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"),
+        min("gram").as("first_shared_gram"))
+    val benchPairs = train
+      .join(broadcast(bench.select("h1", "h2", "bench_id")),
+        Seq("h1", "h2"))
+      .select("doc_id", "bench_id").distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_docs"))
+    gramStats.join(benchPairs, "doc_id")
+      .select(col("doc_id"), col("n_shared_grams"),
+        col("n_bench_docs"), col("first_shared_gram"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateDfSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |pos AS (
+      |  SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram FROM pos),
+      |bench AS (
+      |  SELECT DISTINCT doc_id AS bench_id, gram FROM grams
+      |  WHERE doc_id % 50 = 7),
+      |train0 AS (
+      |  SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 50 <> 7),
+      |ntrain AS (SELECT count(DISTINCT doc_id) AS n FROM train0),
+      |hot AS (
+      |  SELECT gram FROM train0 GROUP BY gram
+      |  HAVING count(*) > (SELECT n FROM ntrain) * $ChromeDfFrac),
+      |train AS (
+      |  SELECT t.doc_id, t.gram FROM train0 t
+      |  ANTI JOIN hot h ON h.gram = t.gram)
+      |SELECT t.doc_id,
+      |  CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+      |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs,
+      |  min(t.gram) AS first_shared_gram
+      |FROM train t JOIN bench b ON b.gram = t.gram
+      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ sampling
 
   /** Deterministic stratified sampling (SURVEY §2.10 family): keep each
@@ -1647,6 +1977,7 @@ object TextQueries {
     QueryDef("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QueryDef("q_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
+    QueryDef("q_dedup_ngram_df", dedupNgramDf, Some(dedupNgramDfSql)),
     QueryDef("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     QueryDef("q_span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("q_text_stats", textStats, Some(textStatsSql)),
@@ -1657,6 +1988,8 @@ object TextQueries {
     QueryDef("q_lang_id_ngram", langIdNgram, Some(langIdNgramSql)),
     QueryDef("q_fingerprint", fingerprint, Some(fingerprintSql)),
     QueryDef("q_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("q_decontaminate_df", decontaminateDf,
+      Some(decontaminateDfSql)),
     QueryDef("q_sample_stratified", sampleStratified,
       Some(sampleStratifiedSql)),
     QueryDef("q_sample_split", sampleSplit, Some(sampleSplitSql)),

@@ -294,6 +294,14 @@ object DedupQualityProbe {
       Some(prVsTruth(uPairs(sh), simhashTruth(uDocs))))
     val ngLine = TierLine("ngram", detection(ng, plants),
       Some(prVsTruth(uPairs(ng), ngramTruth(uDocs))))
+    // the DF variant, detection-only: its predicate differs (hot
+    // grams dropped from the sets), so the base tier's truth does not
+    // apply — but the detection profile shows what de-chroming does
+    // to each plant type (at probe density the shared chrome IS hot,
+    // so tail_chrome plants become near-exact copies to this tier)
+    val ngDf = q("q_dedup_ngram_df")(s, scratch).select("d1", "d2")
+      .localCheckpoint(true)
+    val ngDfLine = TierLine("ngram_df", detection(ngDf, plants), None)
 
     // exact tier: a copy plant is detected iff its content-hash group
     // reports n_copies >= 2 (keep_id may be an even-earlier base dup)
@@ -330,7 +338,7 @@ object DedupQualityProbe {
     val semLine = TierLine("semantic",
       Seq(("embed_nudge", embPlants.count(), semHit.count())), None)
 
-    Seq(exLine, mhLine, shLine, ngLine, spLine, semLine)
+    Seq(exLine, mhLine, shLine, ngLine, ngDfLine, spLine, semLine)
   }
 
   def main(args: Array[String]): Unit = {

@@ -53,6 +53,16 @@ object StreamingBench {
       spark.readStream.format("xyz").load(xyzDir), "xyz1k")
     val xyzExpected = shards.toLong * atoms
 
+    // ---- 1b. the same backlog under admission control (VERDICT r15
+    // #4): maxShardsPerTrigger=100 must drain the identical corpus in
+    // >= 10 bounded batches with the same exact row accounting — the
+    // restart-against-a-backlog shape a 100 TB shard directory has
+    val sAdm = spark.newSession()
+    sAdm.conf.set(graft.sources.ShardStreams.MaxShardsKey, "100")
+    sAdm.conf.set("spark.sql.streaming.numRecentProgressUpdates", "200")
+    val (admRows, admBatches, admMaxBatchRows, admSec) = drainBatches(
+      sAdm.readStream.format("xyz").load(xyzDir), "xyz1kAdm")
+
     // ---- 2. dtr 1000-frameset drain ---------------------------------
     val dtrDir = Files.createTempDirectory("dtr1k_bench").toString
     val framesPerSet = 2
@@ -103,19 +113,28 @@ object StreamingBench {
       stateLate = stateRows
     } finally q.stop()
 
+    def f2(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+    def f0(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.0f", Double.box(x))
     val ok = xyzRows == xyzExpected && xyzProgressRows == xyzExpected &&
       dtrRows == dtrExpected && dtrProgressRows == dtrExpected &&
+      admRows == xyzExpected && admBatches >= 10 &&
+      admMaxBatchRows <= 100L * atoms &&
       statePeak >= 35 && stateLate >= 0 && stateLate <= 6
     val line =
       s"""{"metric":"streaming","ok":$ok,""" +
         s""""xyz_shards":$shards,"xyz_rows":$xyzRows,""" +
         s""""xyz_rows_expected":$xyzExpected,""" +
         s""""xyz_progress_rows":$xyzProgressRows,""" +
-        f""""xyz_sec":$xyzSec%.2f,"xyz_rows_per_sec":${xyzRows / xyzSec}%.0f,""" +
+        s""""xyz_sec":${f2(xyzSec)},"xyz_rows_per_sec":${f0(xyzRows / xyzSec)},""" +
+        s""""adm_max_shards_per_trigger":100,"adm_rows":$admRows,""" +
+        s""""adm_batches":$admBatches,"adm_max_batch_rows":$admMaxBatchRows,""" +
+        s""""adm_sec":${f2(admSec)},""" +
         s""""dtr_framesets":$shards,"dtr_rows":$dtrRows,""" +
         s""""dtr_rows_expected":$dtrExpected,""" +
         s""""dtr_progress_rows":$dtrProgressRows,""" +
-        f""""dtr_sec":$dtrSec%.2f,"dtr_rows_per_sec":${dtrRows / dtrSec}%.0f,""" +
+        s""""dtr_sec":${f2(dtrSec)},"dtr_rows_per_sec":${f0(dtrRows / dtrSec)},""" +
         s""""attr_state_peak":$statePeak,"attr_state_after_watermark":$stateLate,""" +
         s""""state_bound_rule":"peak >= 35 buffered, <= 6 retained after watermark advance"}"""
     args.headOption.foreach(p =>
@@ -123,6 +142,27 @@ object StreamingBench {
     println(line)
     spark.stop()
     if (!ok) sys.exit(1)
+  }
+
+  /** [[drain]] plus per-batch accounting for the admission-control
+    * line: (sink rows, non-empty batches, max batch rows, seconds). */
+  private def drainBatches(stream: DataFrame, name: String)
+      : (Long, Long, Long, Double) = {
+    val counter = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        counter.addAndGet(b.count()); ()
+      }
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      (counter.get(), batches.length.toLong,
+        if (batches.isEmpty) 0L else batches.map(_.numInputRows).max,
+        sec)
+    } finally q.stop()
   }
 
   /** Drain a bounded shard-directory stream through a counting

@@ -71,10 +71,22 @@ class DedupQualitySpec extends AnyFunSuite {
       "lossless the probe stopped exercising it (plant drift)")
   }
 
+  test("the DF-filtered ngram tier: nothing planted is hot at fixture " +
+    "density, so detection must match or beat the unfiltered tier " +
+    "(the 2-band hashed block key beats the raw min-8-gram key on " +
+    "token-swap plants)") {
+    assert(rate("ngram_df", "copy") == 1.0)
+    assert(rate("ngram_df", "tail_chrome") >= rate("ngram", "tail_chrome"),
+      "the DF variant lost chrome plants the base tier catches — " +
+        "the filter fired on sub-threshold content or a band broke")
+    assert(rate("ngram_df", "word_swap") >= 0.9)
+    assert(rate("ngram_df", "shuffle_half") >= 0.9)
+  }
+
   test("paraphrase and span-quote plants are invisible to every " +
     "n-gram/signature tier — the honest lines that motivate the " +
     "semantic and span tiers") {
-    for (tier <- Seq("minhash", "simhash", "ngram")) {
+    for (tier <- Seq("minhash", "simhash", "ngram", "ngram_df")) {
       assert(rate(tier, "paraphrase") == 0.0,
         s"$tier claims to catch paraphrases — plant broken or " +
           "threshold collapsed")

@@ -167,6 +167,71 @@ class StreamingFormatsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxShardsPerTrigger bounds the backlog batch: a 1000-shard " +
+    "directory drains in >= 10 batches of <= 100 shards with exact " +
+    "row accounting (VERDICT r15 #4)") {
+    // a restart against a big backlog must NOT plan one giant batch:
+    // no checkpoint progress until the whole backlog commits, and a
+    // mid-drain failure re-reads all of it. The knob is a session
+    // conf (read at stream construction), so use a dedicated session.
+    val dir = Files.createTempDirectory("xyzadm").toString
+    val shards = 1000
+    (0 until shards).foreach { i =>
+      Files.writeString(
+        java.nio.file.Paths.get(dir, f"part-$i%05d.xyz"),
+        s"2\n# Step: $i\nC $i.0 1.0 2.0\nO $i.0 3.0 4.0\n")
+    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.stream.maxShardsPerTrigger", "100")
+    // keep every progress record: 10 batches + bookkeeping must not
+    // rotate out of recentProgress before the assertions read it
+    s2.conf.set("spark.sql.streaming.numRecentProgressUpdates", "200")
+    val q = s2.readStream.format("xyz").load(dir)
+      .writeStream.format("memory").queryName("xyzadm_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val t = s2.table("xyzadm_stream")
+      assert(t.count() == 2L * shards)
+      val frames = t.select("frame_id").distinct().count()
+      val maxF = t.agg(max("frame_id")).collect()(0).getLong(0)
+      assert(frames == shards && maxF == shards - 1,
+        s"expected contiguous frame ids 0..${shards - 1}, got " +
+          s"$frames distinct, max $maxF")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 10,
+        s"expected >= 10 admitted batches at 100 shards/trigger, " +
+          s"got ${batches.length} — the knob did not engage")
+      val maxBatchRows = batches.map(_.numInputRows).max
+      assert(maxBatchRows <= 200,
+        s"a batch admitted $maxBatchRows rows (> 100 shards x 2)")
+      assert(batches.map(_.numInputRows).sum == 2L * shards,
+        "progress rows do not sum to the corpus")
+    } finally q.stop()
+  }
+
+  test("an invalid maxShardsPerTrigger fails fast with a named error") {
+    val dir = Files.createTempDirectory("xyzadmbad").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "part-00000.xyz"),
+      "1\n# Step: 0\nC 0.0 1.0 2.0\n")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.stream.maxShardsPerTrigger", "-3")
+    // the conf is validated at stream construction, which happens in
+    // the stream-execution thread — the error surfaces wherever the
+    // first query interaction rethrows it
+    val e = intercept[Exception] {
+      val q = s2.readStream.format("xyz").load(dir)
+        .writeStream.format("memory").queryName("xyzadmbad_stream")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("maxShardsPerTrigger")),
+      s"error chain does not name the knob: ${chain(e).mkString(" | ")}")
+  }
+
   test("restart from checkpoint resumes at the committed offset with " +
     "exactly-once rows and contiguous global frame ids (VERDICT r14 " +
     "#5)") {
