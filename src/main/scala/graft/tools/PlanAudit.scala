@@ -22,7 +22,11 @@ object PlanAudit {
       "q_join_orders_customer",// expect BroadcastHashJoin, no fact shuffle
       "q_traj_distances",      // expect ReusedExchange for the 2nd role
       "q_sim_topk",            // expect broadcast query side, no explode
-      "q_traj_closest_contact")// expect TakeOrderedAndProject
+      "q_traj_closest_contact",// expect TakeOrderedAndProject
+      "q_dedup_ngram_df",      // expect broadcast anti-joins (hot sets),
+                               // no cross join, barriered rebuilds
+      "q_decontaminate_df")    // expect broadcast hot anti-join +
+                               // broadcast bench joins
     interesting.foreach { name =>
       println(s"\n=============== $name ===============")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
