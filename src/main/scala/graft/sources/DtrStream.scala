@@ -44,7 +44,7 @@ class DtrMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     DtrSetOffset(ShardStreams.admit(
       start.asInstanceOf[DtrSetOffset].setCount,
-      listSets().length, limit, maxSets))
+      listSets().length, limit))
 
   override def reportLatestOffset(): Offset =
     DtrSetOffset(listSets().length)

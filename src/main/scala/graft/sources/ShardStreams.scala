@@ -31,13 +31,19 @@ object ShardStreams {
     n
   }
 
-  /** The admission arithmetic shared by both offset shapes. */
-  def admit(start: Int, total: Int, limit: ReadLimit,
-      configured: Int): Int = limit match {
-    case mf: ReadMaxFiles => math.min(total, start + mf.maxFiles())
-    case _ if configured > 0 => math.min(total, start + configured)
-    case _ => total
-  }
+  /** The admission arithmetic shared by both offset shapes. Honors
+    * the ENGINE-passed limit only (ADVICE r16): the configured knob
+    * already reaches the engine via `getDefaultReadLimit`, and the
+    * engine deliberately overrides it — `Trigger.Once` passes
+    * `ReadLimit.allAvailable()` to mean "one batch containing
+    * everything". Capping that batch at the configured size would
+    * make a Trigger.Once run terminate "successfully" with most of
+    * the backlog silently unread. */
+  def admit(start: Int, total: Int, limit: ReadLimit): Int =
+    limit match {
+      case mf: ReadMaxFiles => math.min(total, start + mf.maxFiles())
+      case _ => total
+    }
 }
 
 /** Shared skeleton for the micro-batch shard-directory streams
@@ -66,7 +72,7 @@ private[sources] abstract class ShardDirMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     ShardFileOffset(ShardStreams.admit(
       start.asInstanceOf[ShardFileOffset].fileCount,
-      listShards().length, limit, maxShards))
+      listShards().length, limit))
 
   override def reportLatestOffset(): Offset =
     ShardFileOffset(listShards().length)

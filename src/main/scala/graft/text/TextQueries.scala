@@ -1136,20 +1136,38 @@ object TextQueries {
       |g8v AS (
       |  -- the ngram8_packed kernel's long (seven bits per codepoint,
       |  -- little-endian; short whole-text grams flagged with their
-      |  -- length in bits 56-58 and bit 61), rendered base-10 and
-      |  -- salted-md5'd — computed ONCE PER DISTINCT GRAM, not per
-      |  -- (doc, gram) row
+      |  -- length in bits 56-58 and bit 61; ADVICE r16: mirror the
+      |  -- kernel OFF-ASCII too — any gram with a code point >= 128
+      |  -- falls back to the first 8 md5 bytes with bit 63 set, and
+      |  -- the empty gram packs to the bare 2^61 sentinel), rendered
+      |  -- base-10 and salted-md5'd — computed ONCE PER DISTINCT
+      |  -- GRAM, not per (doc, gram) row
       |  SELECT g8, md5('0:' || pk) AS h0, md5('1:' || pk) AS h1
       |  FROM (
-      |    SELECT g8,
-      |      CAST(CAST(list_sum(list_transform(
-      |        range(1, length(g8) + 1),
-      |        j -> CAST(ascii(substr(g8, CAST(j AS INT), 1)) AS BIGINT)
-      |             * CAST(power(2, 7 * (j - 1)) AS BIGINT)))
-      |        + CASE WHEN length(g8) < 8 THEN
-      |            length(g8) * CAST(power(2, 56) AS BIGINT)
-      |            + CAST(power(2, 61) AS BIGINT)
-      |          ELSE 0 END AS BIGINT) AS VARCHAR) AS pk
+      |    SELECT g8, CAST(CASE
+      |      WHEN strlen(g8) = length(g8) THEN
+      |        -- every char is 1 UTF-8 byte <=> every code point < 128
+      |        -- (the kernel's packable test); coalesce: list_sum of
+      |        -- the empty gram's empty list is NULL, the kernel packs 0
+      |        CAST(coalesce(list_sum(list_transform(
+      |          range(1, length(g8) + 1),
+      |          j -> CAST(ascii(substr(g8, CAST(j AS INT), 1)) AS BIGINT)
+      |               * CAST(power(2, 7 * (j - 1)) AS BIGINT))), 0)
+      |          + CASE WHEN length(g8) < 8 THEN
+      |              length(g8) * CAST(power(2, 56) AS BIGINT)
+      |              + CAST(power(2, 61) AS BIGINT)
+      |            ELSE 0 END AS BIGINT)
+      |      ELSE
+      |        -- kernel md5 fallback: first 16 md5 hex digits as a u64
+      |        -- (big-endian), bit 63 forced, reinterpreted as the
+      |        -- signed long Spark renders: (u mod 2^63) - 2^63
+      |        CAST(list_sum(list_transform(range(1, 17),
+      |          j -> CAST(strpos('0123456789abcdef',
+      |                 substr(md5(g8), CAST(j AS INT), 1)) - 1 AS HUGEINT)
+      |               * CAST(power(2, 4 * (16 - j)) AS HUGEINT)))
+      |          % CAST(power(2, 63) AS HUGEINT)
+      |          - CAST(power(2, 63) AS HUGEINT) AS BIGINT)
+      |      END AS VARCHAR) AS pk
       |    FROM (SELECT DISTINCT g8 FROM e8))),
       |fp AS (
       |  SELECT e.doc_id, min(v.h0) AS fp0, min(v.h1) AS fp1

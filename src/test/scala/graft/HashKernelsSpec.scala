@@ -135,6 +135,29 @@ class HashKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram8_packed pinned values: ASCII pack, short-gram length " +
+    "flag, empty-text 2^61 sentinel, and the non-ASCII md5 fallback " +
+    "(the dedupNgramDfSql oracle mirrors exactly these — ADVICE r16)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // independently derived (python hashlib mirror of the contract):
+    // 'abcdefgh' -> 7-bit little-endian pack; 'abc' -> pack | 3<<56 |
+    // 1<<61; '' -> bare 1<<61; non-ASCII -> first 8 md5 bytes | bit 63
+    val expect = Map(
+      "abcdefgh" -> 59003325963104609L,
+      "abc" -> 2522015791329112417L,
+      "" -> 2305843009213693952L,
+      "ñé中abcde" -> -1718411569919223735L)
+    val got = expect.keys.toSeq.toDF("text")
+      .select(col("text"), expr("ngram8_packed(text)").as("g8"))
+      .collect()
+      .map(r => r.getAs[String]("text") ->
+        r.getAs[scala.collection.Seq[Long]]("g8").toSeq).toMap
+    expect.foreach { case (t, v) =>
+      assert(got(t) == Seq(v), s"ngram8_packed('$t')")
+    }
+  }
+
   test("sortedIntersectAtLeast: exact count when the bound is met, " +
     "-1 otherwise — differential vs the full walk over random arrays") {
     val rnd = new scala.util.Random(7)

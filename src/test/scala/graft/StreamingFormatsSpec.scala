@@ -210,6 +210,50 @@ class StreamingFormatsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.Once drains the WHOLE backlog in one batch even with " +
+    "maxShardsPerTrigger set — the engine-passed allAvailable limit " +
+    "wins over the configured knob (ADVICE r16)") {
+    // Trigger.Once passes ReadLimit.allAvailable() to mean "one batch
+    // containing everything". Capping that batch at the configured
+    // size made the run terminate "successfully" with most of the
+    // backlog silently unread.
+    val dir = Files.createTempDirectory("xyzonce").toString
+    val shards = 30
+    (0 until shards).foreach { i =>
+      Files.writeString(
+        java.nio.file.Paths.get(dir, f"part-$i%05d.xyz"),
+        s"2\n# Step: $i\nC $i.0 1.0 2.0\nO $i.0 3.0 4.0\n")
+    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.stream.maxShardsPerTrigger", "10")
+    val q = s2.readStream.format("xyz").load(dir)
+      .writeStream.format("memory").queryName("xyzonce_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    try {
+      q.awaitTermination()
+      val t = s2.table("xyzonce_stream")
+      assert(t.count() == 2L * shards,
+        s"Trigger.Once left backlog unread: ${t.count()} rows of " +
+          s"${2L * shards}")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 1 &&
+        batches.head.numInputRows == 2L * shards,
+        s"expected ONE all-available batch, got " +
+          s"${batches.map(_.numInputRows).mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("ShardStreams.admit honors the engine limit verbatim: " +
+    "ReadMaxFiles caps, anything else admits the full backlog") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.ShardStreams
+    assert(ShardStreams.admit(0, 1000, ReadLimit.maxFiles(100)) == 100)
+    assert(ShardStreams.admit(950, 1000, ReadLimit.maxFiles(100)) == 1000)
+    assert(ShardStreams.admit(0, 1000, ReadLimit.allAvailable()) == 1000)
+  }
+
   test("an invalid maxShardsPerTrigger fails fast with a named error") {
     val dir = Files.createTempDirectory("xyzadmbad").toString
     Files.writeString(java.nio.file.Paths.get(dir, "part-00000.xyz"),

@@ -42,23 +42,42 @@ for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
     con.execute(
         f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Sorted columns + rows, numerics coerced to float64. Float values
-    are kept UNROUNDED (compared later with np.isclose); rounding is
-    used only to build a deterministic sort key, so boundary-straddling
-    values (e.g. x.4999995 vs x.5000005) can't false-FAIL an exact
-    compare of rounded representations."""
+def float_treated(s: pd.Series) -> bool:
+    """Columns that force float treatment on BOTH frames: genuine
+    floats, plus decimal/object columns (DuckDB returns HUGEINT sums
+    and DECIMAL aggregates that way) which may carry fractional or
+    beyond-int64 values."""
+    return (pd.api.types.is_float_dtype(s)
+            or str(s.dtype).startswith("decimal")
+            or s.dtype == object)
+
+def joint_float_cols(a: pd.DataFrame, b: pd.DataFrame) -> set:
+    """Decide the float set ONCE across both frames so canon() builds
+    identical sort-key orders for each (a column float-treated in one
+    frame but exact in the other would misalign the row sort)."""
+    return {c for c in a.columns
+            if float_treated(a[c]) or (c in b.columns
+                                       and float_treated(b[c]))}
+
+def canon(df: pd.DataFrame, as_float: set) -> pd.DataFrame:
+    """Sorted columns + rows. Columns in `as_float` are coerced to
+    float64 and later compared with np.isclose; integer columns stay
+    int64 and are compared EXACTLY (ADVICE r16: casting ints to
+    float64 loses precision above 2^53 and gives large ids/counts a
+    magnitude-proportional tolerance — a false-pass risk). Float
+    values are kept UNROUNDED (compared later with np.isclose);
+    rounding is used only to build a deterministic sort key, so
+    boundary-straddling values (e.g. x.4999995 vs x.5000005) can't
+    false-FAIL an exact compare of rounded representations."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif str(df[c].dtype).startswith("decimal") or df[c].dtype == object:
+        if c in as_float:
             try:
                 df[c] = df[c].astype("float64")
             except (ValueError, TypeError):
                 df[c] = df[c].astype(str)
         elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("float64")
+            df[c] = df[c].astype("int64")
     key = df.copy()
     for c in key.columns:
         if pd.api.types.is_float_dtype(key[c]):
@@ -156,7 +175,9 @@ for qi, name in enumerate(names):
         continue
     try:
         oracle_df = con.execute(sql).fetchdf()
-        a, b = canon(spark_df), canon(oracle_df)
+        as_float = (joint_float_cols(spark_df, oracle_df)
+                    | joint_float_cols(oracle_df, spark_df))
+        a, b = canon(spark_df, as_float), canon(oracle_df, as_float)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs "
                   f"{list(b.columns)}")
