@@ -57,17 +57,20 @@ case class MinHashDoc(child: Expression) extends UnaryExpression {
       : Expression = copy(child = newChild)
 }
 
-/** `minhash_doc_banded(text, seeds, rows_per_band)` — the banded
-  * generalization of `minhash_doc` (≡ (8, 2); kernel scaladoc explains
-  * the S-curve knob and the aligned-band subset property). Both
-  * parameters must be literals: the band layout is part of the PLAN. */
+/** `minhash_doc_banded(text, seeds, rows_per_band[, shingle_k])` —
+  * the banded generalization of `minhash_doc` (≡ (8, 2, 3); kernel
+  * scaladoc explains the S-curve and shingle-width knobs and the
+  * aligned-band subset property). All parameters must be literals:
+  * the band/shingle layout is part of the PLAN. */
 case class MinHashDocBanded(child: Expression, seeds: Int,
-    rowsPerBand: Int) extends UnaryExpression {
+    rowsPerBand: Int, shingleK: Int = 3) extends UnaryExpression {
   require(seeds >= 1 && seeds <= 64,
     s"minhash_doc_banded: seeds must be in [1, 64], got $seeds")
   require(rowsPerBand >= 1 && seeds % rowsPerBand == 0,
     s"minhash_doc_banded: rows_per_band ($rowsPerBand) must divide " +
       s"seeds ($seeds)")
+  require(shingleK >= 1 && shingleK <= 16,
+    s"minhash_doc_banded: shingle_k must be in [1, 16], got $shingleK")
   override def dataType: DataType = StructType(Seq(
     StructField("sh", ArrayType(StringType, containsNull = false)),
     StructField("bkeys", ArrayType(StringType, containsNull = false))))
@@ -76,13 +79,13 @@ case class MinHashDocBanded(child: Expression, seeds: Int,
   override protected def nullSafeEval(input: Any): Any =
     HashKernels.minhashDocBandedRow(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
-      seeds, rowsPerBand)
+      seeds, rowsPerBand, shingleK)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.HashKernels.minhashDocBandedRow(" +
-        s"$c, $seeds, $rowsPerBand);")
+        s"$c, $seeds, $rowsPerBand, $shingleK);")
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
@@ -90,11 +93,15 @@ case class MinHashDocBanded(child: Expression, seeds: Int,
 
 object MinHashDocBanded {
   def build(es: Seq[Expression]): MinHashDocBanded = {
-    require(es.length == 3,
-      "minhash_doc_banded(text, seeds, rows_per_band) takes 3 arguments")
+    require(es.length == 3 || es.length == 4,
+      "minhash_doc_banded(text, seeds, rows_per_band[, shingle_k]) " +
+        "takes 3 or 4 arguments")
     MinHashDocBanded(es.head,
       LiteralArg.int("minhash_doc_banded", es(1), "seeds"),
-      LiteralArg.int("minhash_doc_banded", es(2), "rows_per_band"))
+      LiteralArg.int("minhash_doc_banded", es(2), "rows_per_band"),
+      if (es.length == 4)
+        LiteralArg.int("minhash_doc_banded", es(3), "shingle_k")
+      else 3)
   }
 }
 

@@ -139,6 +139,10 @@ object HashKernels {
   def minhashDoc(text: String): (Array[String], Array[String]) =
     minhashDocBanded(text, 8, 2)
 
+  def minhashDocBanded(text: String, seeds: Int, rowsPerBand: Int)
+      : (Array[String], Array[String]) =
+    minhashDocBanded(text, seeds, rowsPerBand, 3)
+
   /** Banded minhash signature over `seeds` hash functions grouped into
     * `seeds / rowsPerBand` bands — the LSH S-curve knob for the text
     * near-dup tier: a pair is a candidate iff ALL rows of some band
@@ -148,14 +152,24 @@ object HashKernels {
     * larger rowsPerBand are a strict subset of those at a divisor —
     * widening the knob can only shrink the verified output. The
     * default (8, 2) is byte-identical to the original fixed layout. */
-  def minhashDocBanded(text: String, seeds: Int, rowsPerBand: Int)
-      : (Array[String], Array[String]) = {
+  /** `shingleK` is the shingle-width dial (VERDICT r16 next #4): the
+    * word-k-gram window the Jaccard predicate sees. Smaller k makes
+    * small edits cheaper (a single swapped word kills k shingles, so
+    * at swap rate 1/25, J ≈ (25−k)/(25+k): k=3 → 0.79 < the 0.8
+    * verify bar, k=2 → 0.85 ≥ it) at the cost of less-discriminative
+    * shingles. MinhashShingleProbe measures the detection/cost curve;
+    * the registered tier stays at the oracle-pinned k=3. */
+  def minhashDocBanded(text: String, seeds: Int, rowsPerBand: Int,
+      shingleK: Int): (Array[String], Array[String]) = {
     val ws = tokens(text)
-    if (ws.length < 3) return (Array.empty, Array.empty)
+    if (ws.length < shingleK) return (Array.empty, Array.empty)
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
-    while (i <= ws.length - 3) {
-      seen.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))
+    while (i <= ws.length - shingleK) {
+      val sb = new java.lang.StringBuilder(ws(i))
+      var j = 1
+      while (j < shingleK) { sb.append(' ').append(ws(i + j)); j += 1 }
+      seen.add(sb.toString)
       i += 1
     }
     val sh = seen.toArray(new Array[String](seen.size))
@@ -196,8 +210,9 @@ object HashKernels {
   }
 
   def minhashDocBandedRow(text: UTF8String, seeds: Int,
-      rowsPerBand: Int): InternalRow = {
-    val (sh, bkeys) = minhashDocBanded(text.toString, seeds, rowsPerBand)
+      rowsPerBand: Int, shingleK: Int): InternalRow = {
+    val (sh, bkeys) =
+      minhashDocBanded(text.toString, seeds, rowsPerBand, shingleK)
     new GenericInternalRow(Array[Any](
       new GenericArrayData(sh.map(UTF8String.fromString(_: String))),
       new GenericArrayData(bkeys.map(UTF8String.fromString(_: String)))))

@@ -51,7 +51,7 @@ object TextQueries {
     docShinglesAt(s, d, seeds = 8, rowsPerBand = 2)
 
   private def docShinglesAt(s: SparkSession, d: String, seeds: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int, shingleK: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, d)
       // documents is a single parquet split; spread it so the kernel
@@ -59,7 +59,8 @@ object TextQueries {
       // frame-chunk fan-out
       .repartition(col("doc_id"))
       .select(col("doc_id"),
-        expr(s"minhash_doc_banded(text, $seeds, $rowsPerBand)").as("m"))
+        expr(s"minhash_doc_banded(text, $seeds, $rowsPerBand, " +
+          s"$shingleK)").as("m"))
       .select(col("doc_id"), col("m.sh").as("sh"),
         col("m.bkeys").as("bkeys"))
       .filter(size(col("sh")) > 0)
@@ -79,11 +80,19 @@ object TextQueries {
     * suppresses sub-threshold candidates, more bands raises recall.
     * Aligned bands ⇒ candidates at a larger rowsPerBand are a strict
     * subset of those at a divisor (spec-pinned). The registered query
-    * pins (8, 2) to match its oracle. */
+    * pins (8, 2) to match its oracle. shingleK is the measured
+    * word-swap dial (VERDICT r16 #4, DEDUP_QUALITY.json minhash_dial):
+    * k=2 lifts word_swap detection 0.23 → 1.0 (a single swapped word
+    * kills k shingles, so J crosses the 0.8 bar at k=2 but not k=3)
+    * at a 3.7–5.5× tier cost and +22–33% reported pairs — the default
+    * stays the oracle-pinned k=3; corpora dominated by small edits
+    * should dial k=2 knowingly. */
   def dedupMinhashAt(s: SparkSession, d: String, seeds: Int,
-      rowsPerBand: Int): DataFrame =
-    (if (seeds == 8 && rowsPerBand == 2) minhashPairsShared(s, d)
-     else minhashPairsAt(s, d, seeds, rowsPerBand)).orderBy("d1", "d2")
+      rowsPerBand: Int, shingleK: Int = 3): DataFrame =
+    (if (seeds == 8 && rowsPerBand == 2 && shingleK == 3)
+       minhashPairsShared(s, d)
+     else minhashPairsAt(s, d, seeds, rowsPerBand, shingleK))
+      .orderBy("d1", "d2")
 
   /** Probe access to the pair set (tools/CcProbe only). */
   private[graft] def minhashPairsProbe(s: SparkSession, d: String): DataFrame =
@@ -141,15 +150,15 @@ object TextQueries {
 
   /** The verified near-dup PAIR SET (unordered) — shared by the
     * registered pair query above and the cluster query below. */
-  private def minhashPairsAt(s: SparkSession, d: String, seeds: Int,
-      rowsPerBand: Int): DataFrame = {
+  private[graft] def minhashPairsAt(s: SparkSession, d: String,
+      seeds: Int, rowsPerBand: Int, shingleK: Int = 3): DataFrame = {
     // lineage barrier: without it PushPredicateThroughJoin folds the
     // Jaccard filter into the self-join condition and the optimizer
     // re-derives the shingle/signature arrays per candidate PAIR
     // (interpreted HOFs, O(pairs × doc_len)). The barrier pins one
     // evaluation per doc. At cluster scale this would be a persisted
     // signature table instead of RDD-local blocks.
-    val ds = docShinglesAt(s, d, seeds, rowsPerBand)
+    val ds = docShinglesAt(s, d, seeds, rowsPerBand, shingleK)
       .graftBarrier
     val bands = ds.select(col("doc_id"),
       posexplode(col("bkeys")).as(Seq("band", "bkey")))

@@ -138,15 +138,43 @@ object DedupQualityProbe {
           "IF(i = 0, CAST(x + 0.001 AS FLOAT), x))").as("embedding"),
         col("label"))
       .persist()
-    embPlants.count()
+    val nNudge = embPlants.count()
+    // PARAPHRASE-correlated plants (VERDICT r16 next #1): the text
+    // tiers' measured paraphrase blind spot (0.0 across minhash/
+    // simhash/ngram) is the semantic tier's reason to exist — grade it
+    // on that plant type, not only on near-identical nudges. A
+    // paraphrase pair's embeddings agree on meaning but not bytes:
+    // model it as v' = v + 0.3·shift(v) (each coordinate picks up 30%
+    // of its right neighbor, deterministic, no RNG) — cosine ≈
+    // 1/√1.09 ≈ 0.958 for i.i.d.-ish coords, the "same meaning,
+    // different words" regime reported for sentence encoders, well
+    // above the tier's τ = 0.4 but far enough from 1 that IVF
+    // cell-splits can actually happen (the honest failure mode).
+    val embPara = emb.filter(col("vec_id") % 20 === 5)
+      .select(col("vec_id").as("src_vec"),
+        (lit(maxVec + 1) + lit(nNudge)
+          + (col("vec_id") - 5) / 20).cast("long").as("plant_vec"),
+        expr("transform(embedding, (x, i) -> CAST(x + 0.3 * " +
+          "element_at(embedding, (CAST(i AS INT) + 1) % " +
+          "size(embedding) + 1) AS FLOAT))").as("embedding"),
+        col("label"))
+      .persist()
+    embPara.count()
     emb.unionByName(embPlants.select(col("plant_vec").as("vec_id"),
+        col("embedding"), col("label")))
+      .unionByName(embPara.select(col("plant_vec").as("vec_id"),
         col("embedding"), col("label")))
       .repartition(8).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
 
     val plants = plantDocs.select("src_id", "doc_id", "typ")
       .withColumnRenamed("doc_id", "plant_id")
-    (plants, embPlants.select("src_vec", "plant_vec"), nSources)
+    (plants,
+      embPlants.select("src_vec", "plant_vec")
+        .withColumn("typ", lit("embed_nudge"))
+        .unionByName(embPara.select("src_vec", "plant_vec")
+          .withColumn("typ", lit("paraphrase"))),
+      nSources)
   }
 
   /** (expected, found) per plant type: how many (src, plant) pairs the
@@ -203,28 +231,59 @@ object DedupQualityProbe {
     pinned
   }
 
-  /** Exact char-5-gram Jaccard ≥ 0.5 over the universe — the ngram
-    * tier's kernel predicate without its (fp, lenb) blocking stage.
-    * Uses the tier's own packed-gram kernel in 256-doc segment cells
-    * (the dedupNgramAt guarded-plan shape, minus the blocking), so
-    * truth and tier share arithmetic bit-for-bit. */
-  def ngramTruth(uDocs: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(uDocs.sparkSession)
-    val rows = uDocs.select(col("doc_id"),
-      expr("ngram5_packed(text)").as("grams"))
+  /** All-pairs J ≥ 0.5 over (doc_id, sorted packed grams) rows via the
+    * tier's own close-pairs kernel in 256-doc segment cells (the
+    * dedupNgramAt guarded-plan shape, minus the blocking) — truth and
+    * tier share arithmetic bit-for-bit. */
+  private def closePairsExhaustive(rows: DataFrame): DataFrame = {
+    val segs = rows
       .withColumn("rk", row_number().over(Window.orderBy("doc_id")))
       .withColumn("seg", ((col("rk") - 1) / 256).cast("int"))
-    val segs = rows.groupBy("seg")
+      .groupBy("seg")
       .agg(collect_list(struct(col("doc_id"), col("grams"))).as("m"))
       .localCheckpoint(true)
-    val nSeg = segs.count().toInt
-    val sa = segs.select(col("seg").as("sa"), col("m").as("ma"))
+    segs.select(col("seg").as("sa"), col("m").as("ma"))
       .crossJoin(broadcast(
         segs.select(col("seg").as("sb"), col("m").as("mb"))))
       .filter(col("sa") <= col("sb"))
-    sa.select(explode(expr("ngram_close_pairs_x(ma, mb, sa = sb)"))
+      .select(explode(expr("ngram_close_pairs_x(ma, mb, sa = sb)"))
         .as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+  }
+
+  /** Exact char-5-gram Jaccard ≥ 0.5 over the universe — the ngram
+    * tier's kernel predicate without its (fp, lenb) blocking stage. */
+  def ngramTruth(uDocs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(uDocs.sparkSession)
+    closePairsExhaustive(uDocs.select(col("doc_id"),
+      expr("ngram5_packed(text)").as("grams")))
+  }
+
+  /** Exact DE-CHROMED char-5-gram Jaccard ≥ 0.5 over the universe —
+    * the DF-filtered ngram tier's own predicate (VERDICT r16 next #1)
+    * without its (lenb, two-band fp) blocking stage. The hot set is
+    * computed over the FULL merged corpus with the tier's own census
+    * (packed distinct grams, df > ChromeDfFrac·n), exactly as the
+    * tier does, so precision isolates verify leaks (expected 1.0) and
+    * recall isolates the blocking loss. Docs whose every gram is
+    * chrome drop out on both sides (the C4 convention). */
+  def ngramDfTruth(s: SparkSession, scratch: String,
+      uDocs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = graft.rel.Tables.documents(s, scratch)
+    val nDocs = docs.count()
+    val hot = docs
+      .select(explode(expr("ngram5_packed(text)")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") >
+        lit(nDocs * graft.text.TextQueries.ChromeDfFrac))
+      .select("g")
+    val dechromed = uDocs
+      .select(col("doc_id"), explode(expr("ngram5_packed(text)")).as("g"))
+      .join(broadcast(hot), Seq("g"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("g"))).as("grams"))
+    closePairsExhaustive(dechromed)
   }
 
   /** Exact 64-bit simhash Hamming ≤ 8 over the universe: the tier's
@@ -261,9 +320,10 @@ object DedupQualityProbe {
     }
   }
 
-  /** All tier lines for one dataset dir (the probe body; also used by
-    * DedupQualitySpec at the fixture scale). */
-  def probe(s: SparkSession, d: String, scratch: String): Seq[TierLine] = {
+  /** All tier lines + the minhash dial for one dataset dir (the probe
+    * body; also used by DedupQualitySpec at the fixture scale). */
+  def probe(s: SparkSession, d: String, scratch: String)
+      : (Seq[TierLine], Seq[DialLine]) = {
     val (plants, embPlants, _) = plantCorpus(s, d, scratch)
     plants.persist(); plants.count()
 
@@ -294,14 +354,17 @@ object DedupQualityProbe {
       Some(prVsTruth(uPairs(sh), simhashTruth(uDocs))))
     val ngLine = TierLine("ngram", detection(ng, plants),
       Some(prVsTruth(uPairs(ng), ngramTruth(uDocs))))
-    // the DF variant, detection-only: its predicate differs (hot
-    // grams dropped from the sets), so the base tier's truth does not
-    // apply — but the detection profile shows what de-chroming does
-    // to each plant type (at probe density the shared chrome IS hot,
-    // so tail_chrome plants become near-exact copies to this tier)
+    // the DF variant: its predicate differs from the base tier's (hot
+    // grams dropped from the sets), so it gets its OWN brute-forced
+    // truth — de-chromed J ≥ 0.5 with the corpus-wide hot census
+    // (VERDICT r16 next #1). The detection profile additionally shows
+    // what de-chroming does to each plant type (at probe density the
+    // shared chrome IS hot, so tail_chrome plants become near-exact
+    // copies to this tier).
     val ngDf = q("q_dedup_ngram_df")(s, scratch).select("d1", "d2")
       .localCheckpoint(true)
-    val ngDfLine = TierLine("ngram_df", detection(ngDf, plants), None)
+    val ngDfLine = TierLine("ngram_df", detection(ngDf, plants),
+      Some(prVsTruth(uPairs(ngDf), ngramDfTruth(s, scratch, uDocs))))
 
     // exact tier: a copy plant is detected iff its content-hash group
     // reports n_copies >= 2 (keep_id may be an even-earlier base dup)
@@ -326,7 +389,9 @@ object DedupQualityProbe {
     val spLine = TierLine("span",
       Seq(("span_copy", spPlants.count(), spHit.count())), None)
 
-    // semantic tier: plant grouped with its source vector
+    // semantic tier: plant grouped with its source vector, per plant
+    // type — embed_nudge (cosine ≈ 1) and PARAPHRASE (cosine ≈ 0.958,
+    // the plant the text tiers measurably miss; see plantCorpus)
     val sem = q("q_dedup_semantic")(s, scratch)
       .select(col("vec_id"), col("sem_rep")).localCheckpoint(true)
     val semHit = embPlants
@@ -335,11 +400,54 @@ object DedupQualityProbe {
       .join(sem.select(col("vec_id").as("plant_vec"),
         col("sem_rep").as("rep_p")), "plant_vec")
       .filter(col("rep_s") === col("rep_p"))
+      .groupBy("typ").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val semTot = embPlants.groupBy("typ").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val semLine = TierLine("semantic",
-      Seq(("embed_nudge", embPlants.count(), semHit.count())), None)
+      Seq("embed_nudge", "paraphrase").map(t =>
+        (t, semTot.getOrElse(t, 0L), semHit.getOrElse(t, 0L))), None)
 
-    Seq(exLine, mhLine, shLine, ngLine, ngDfLine, spLine, semLine)
+    (Seq(exLine, mhLine, shLine, ngLine, ngDfLine, spLine, semLine),
+      minhashDial(s, scratch, plants))
   }
+
+  case class DialLine(shingleK: Int, seeds: Int, rowsPerBand: Int,
+      pairs: Long, sec: Double, det: Seq[(String, Long, Long)]) {
+    def json: String = {
+      val dj = det.map { case (t, e, h) =>
+        s""""$t":{"expected":$e,"found":$h,"rate":${fmt4(
+          if (e == 0) 1.0 else h.toDouble / e)}}"""
+      }.mkString("{", ",", "}")
+      s"""{"shingle_k":$shingleK,"seeds":$seeds,""" +
+        s""""rows_per_band":$rowsPerBand,"bands":${seeds / rowsPerBand},""" +
+        s""""pairs":$pairs,"sec":${fmt4(sec)},"detection":$dj}"""
+    }
+  }
+
+  /** The minhash shingle/band dial (VERDICT r16 next #4): the tier's
+    * word_swap detection is 0.23 at k=3 because a single swapped word
+    * kills 3 shingles (J ≈ 22/28 = 0.79, just under the 0.8 verify
+    * bar); at k=2 the same edit costs 2 shingles (J ≈ 23/27 = 0.85,
+    * over the bar). This sweep measures that detection/cost curve —
+    * shingle k ∈ {2, 3} × bands ∈ {4, 8} (seeds 8/16, 2 rows per
+    * band) — on the planted corpus, pairs + wall time as the cost
+    * axis. The registered tier keeps the oracle-pinned (k=3, 4 bands)
+    * unless the curve says otherwise: k=2 buys word_swap recall at a
+    * measured pair-volume price (less-discriminative shingles ⇒ more
+    * candidates AND more sub-0.8-at-k=3 pairs now passing, a
+    * PREDICATE change, not just a blocking change). */
+  def minhashDial(s: SparkSession, scratch: String,
+      plants: DataFrame): Seq[DialLine] =
+    for (shingleK <- Seq(2, 3); seeds <- Seq(8, 16)) yield {
+      val t0 = System.nanoTime()
+      val pairs = graft.text.TextQueries
+        .minhashPairsAt(s, scratch, seeds, 2, shingleK)
+        .select("d1", "d2").localCheckpoint(true)
+      val n = pairs.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      DialLine(shingleK, seeds, 2, n, sec, detection(pairs, plants))
+    }
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
@@ -356,9 +464,11 @@ object DedupQualityProbe {
     val sections = dirs.map { d =>
       val name = new java.io.File(d).getName
       val scratch = s"/tmp/graft_dedupq_$name"
-      val lines = probe(spark, d, scratch)
+      val (lines, dial) = probe(spark, d, scratch)
       lines.foreach(l => println(s"[dedupq] $d ${l.json}"))
-      s"""{"dir":"$d","tiers":[${lines.map(_.json).mkString(",")}]}"""
+      dial.foreach(l => println(s"[dedupq] $d dial ${l.json}"))
+      s"""{"dir":"$d","tiers":[${lines.map(_.json).mkString(",")}],""" +
+        s""""minhash_dial":[${dial.map(_.json).mkString(",")}]}"""
     }
     val base = sys.props.getOrElse("graft.base", sys.props("user.dir"))
     java.nio.file.Files.writeString(

@@ -42,5 +42,9 @@ base["value"] = sum(qs.values())
 base["min_of_runs"] = len(runs)
 base["loadavg_runs"] = [
     [r.get("loadavg_start"), r.get("loadavg_end")] for r in runs]
+# pre-JVM idleness per contributing run (mk_bench_scale gates on
+# these: EVERY run of a merged ratio input must have started idle)
+base["loadavg_prelaunch_runs"] = [
+    r.get("loadavg_prelaunch") for r in runs]
 json.dump(base, open(sys.argv[1], "w"), indent=1)
 print(f"merged {len(runs)} runs -> total {base['value']:.1f}s")
