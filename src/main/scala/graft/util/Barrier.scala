@@ -100,15 +100,18 @@ object Barrier {
     * The persist leg caches before checkpointing: a bare
     * `checkpoint()` runs the round's job twice (Spark recomputes the
     * plan to write the checkpoint files), so the round is pinned to
-    * a transient MEMORY_AND_DISK cache first, the checkpoint write
-    * reads those blocks instead of recomputing, and the cache entry
-    * is dropped once the reliable copy exists. */
+    * a transient row-block persist first (the same BarrierShim leg
+    * the lazy barrier uses — cheaper to write AND to read back than
+    * the DataFrame columnar cache), the checkpoint write reads those
+    * blocks instead of recomputing, and the transient blocks are
+    * dropped once the reliable copy exists. */
   def barrierEager(df: DataFrame): DataFrame = mode(df) match {
     case "persist"
         if df.sparkSession.sparkContext.getCheckpointDir.isDefined =>
-      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val (cached, rdd) = org.apache.spark.sql.graftshim.BarrierShim
+        .persistRowBlocksHandle(df, StorageLevel.MEMORY_AND_DISK)
       try cached.checkpoint()
-      finally cached.unpersist(false)
+      finally rdd.unpersist(false)
     case _ => df.localCheckpoint()
   }
 
