@@ -1067,41 +1067,47 @@ object TextQueries {
       // arrays measured 12.7 s on the 10×-skew replica vs 1.3 s for
       // the kernel's long arrays (G8 probe, r16)
       expr("ngram8_packed(text)").as("g8"))
-      .graftBarrier // three consumers (2 censuses + rebuild): one pass
+      .graftBarrier // consumed by the census and the gather (each
+                    // reading both alphabets): one kernel pass
     // ngram5_packed emits the per-doc DISTINCT packed set, so the
     // exploded count IS document frequency (g8 is array_distinct'd
-    // for the same reason)
-    val hotDf = rows0.select(explode(col("grams")).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("dfc"))
+    // for the same reason). The 5-gram (similarity) and 8-gram
+    // (fingerprint) censuses are ONE tagged shuffle: same total rows
+    // as the two separate censuses they replace, one stage instead of
+    // two, and one broadcast hot table instead of two (r17 — cut the
+    // suite's most expensive query from 2.4 s; the tag rides in the
+    // key so the alphabets cannot cross-count).
+    val ex = rows0.select(col("doc_id"), col("lenb"),
+        lit(5).as("tag"), explode(col("grams")).as("g"))
+      .unionByName(rows0.select(col("doc_id"), col("lenb"),
+        lit(8).as("tag"), explode(col("g8")).as("g")))
+    val hot = ex.groupBy("tag", "g").agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") > lit(nDocs * dfFrac))
-      .select("g")
-    val hot8 = rows0.select(explode(col("g8")).as("h8"))
-      .groupBy("h8").agg(count(lit(1)).as("dfc"))
-      .filter(col("dfc") > lit(nDocs * dfFrac))
-      .select("h8")
-    // the de-chromed two-band fingerprint: min md5 over the surviving
-    // 8-grams (base-10 rendering of the packed long), twice-salted
-    val fps = rows0.select(col("doc_id"), explode(col("g8")).as("h8"))
-      .join(broadcast(hot8), Seq("h8"), "left_anti")
-      .groupBy("doc_id")
-      .agg(min(md5(concat(lit("0:"), col("h8").cast("string"))))
-          .as("fp0"),
-        min(md5(concat(lit("1:"), col("h8").cast("string"))))
-          .as("fp1"))
-    // de-chrome the similarity sets via explode → broadcast ANTI-join
-    // → re-collect, NOT a per-row array_except against a broadcast hot
-    // array: array_except rebuilds the hot hash set for EVERY row
-    // (measured 5.3 s on the 10×-skew replica, 17× the 0.3 s of this
-    // form, hot ≈ 6.8k grams); the anti-join builds one broadcast hash
-    // table per task and the per-doc sets re-gather in a single linear
-    // shuffle. sort_array restores the kernel's sorted-merge
-    // precondition.
-    val rows = rows0
-      .select(col("doc_id"), col("lenb"), explode(col("grams")).as("g"))
-      .join(broadcast(hotDf), Seq("g"), "left_anti")
+      .select("tag", "g")
+    // de-chrome via explode → broadcast ANTI-join → re-collect, NOT a
+    // per-row array_except against a broadcast hot array: array_except
+    // rebuilds the hot hash set for EVERY row (measured 5.3 s on the
+    // 10×-skew replica, 17× the 0.3 s of this form, hot ≈ 6.8k grams);
+    // the anti-join builds one broadcast hash table per task and the
+    // per-doc sets re-gather in a single linear shuffle that ALSO
+    // folds in the de-chromed two-band fingerprint (min over salted
+    // md5s of the surviving 8-grams) — the separate fps pass + inner
+    // join this replaces were a second gather shuffle plus a
+    // sort-merge join of two doc-keyed sides. sort_array restores the
+    // kernel's sorted-merge precondition; the where() reproduces the
+    // old inner join's drops (all-chrome on EITHER alphabet → out of
+    // the tier, the C4 convention).
+    val rows = ex
+      .join(broadcast(hot), Seq("tag", "g"), "left_anti")
       .groupBy("doc_id", "lenb")
-      .agg(sort_array(collect_list(col("g"))).as("grams"))
-      .join(fps, "doc_id")
+      .agg(
+        sort_array(collect_list(when(col("tag") === 5, col("g"))))
+          .as("grams"),
+        min(when(col("tag") === 8,
+          md5(concat(lit("0:"), col("g").cast("string"))))).as("fp0"),
+        min(when(col("tag") === 8,
+          md5(concat(lit("1:"), col("g").cast("string"))))).as("fp1"))
+      .where(size(col("grams")) > 0 && col("fp0").isNotNull)
       .graftBarrier // two consumers (block-size probe + gather)
     // band-explode: each doc gathers under both salted minima; the
     // band id rides inside the key so the two bands cannot collide
@@ -1658,19 +1664,24 @@ object TextQueries {
       .filter(col("dfc") > lit(nTrain * dfFrac))
       .select("h1", "h2")
     val train = train0.join(broadcast(hot), Seq("h1", "h2"), "left_anti")
-    val benchGrams = bench.select("h1", "h2", "gram")
-      .groupBy("h1", "h2").agg(min("gram").as("gram"))
-    val gramStats = train.join(broadcast(benchGrams), Seq("h1", "h2"))
+    // ONE broadcast join + ONE per-doc aggregate (r17): the bench side
+    // pre-groups per gram (representative gram text + the SET of bench
+    // docs carrying it — bench is ~2% of the corpus, so both stay
+    // broadcast-small), and the per-doc rollup computes all three
+    // outputs in a single shuffle. The previous shape ran TWO broadcast
+    // joins over `train`, two doc-keyed aggregates, and a sort-merge
+    // join to recombine them — same answers, three extra stages. The
+    // flatten/array_distinct group state is bounded by the ANSWER
+    // (matched grams per doc × bench docs per gram), not the corpus.
+    val benchSide = bench.groupBy("h1", "h2")
+      .agg(min("gram").as("gram"),
+        collect_set(col("bench_id")).as("bids"))
+    train.join(broadcast(benchSide), Seq("h1", "h2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_grams"),
+        size(array_distinct(flatten(collect_list(col("bids")))))
+          .cast("long").as("n_bench_docs"),
         min("gram").as("first_shared_gram"))
-    val benchPairs = train
-      .join(broadcast(bench.select("h1", "h2", "bench_id")),
-        Seq("h1", "h2"))
-      .select("doc_id", "bench_id").distinct()
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bench_docs"))
-    gramStats.join(benchPairs, "doc_id")
       .select(col("doc_id"), col("n_shared_grams"),
         col("n_bench_docs"), col("first_shared_gram"))
       .orderBy("doc_id")
