@@ -97,6 +97,13 @@ def main():
         "loadavg": {"big": [big.get("loadavg_start"), big.get("loadavg_end")],
                     "sf01": [base.get("loadavg_start"),
                              base.get("loadavg_end")]},
+        # the untainted idle-gate evidence (VERDICT r16 next #3): the
+        # pre-JVM loadavg of EVERY contributing run, as asserted above
+        "loadavg_prelaunch": {
+            "big": big.get("loadavg_prelaunch_runs",
+                           [big.get("loadavg_prelaunch")]),
+            "sf01": base.get("loadavg_prelaunch_runs",
+                             [base.get("loadavg_prelaunch")])},
         "codegen_error_total": [big.get("codegen_error_total"),
                                 base.get("codegen_error_total")],
         "errors": [big.get("errors"), base.get("errors")],

@@ -57,6 +57,12 @@ out = {
     "total_ratio": round(a["value"] / b["value"], 2),
     "loadavg": {"sf1": [a.get("loadavg_start"), a.get("loadavg_end")],
                 "sf01": [b.get("loadavg_start"), b.get("loadavg_end")]},
+    # pre-JVM loadavg of every contributing run (the idle-gate evidence)
+    "loadavg_prelaunch": {
+        "sf1": a.get("loadavg_prelaunch_runs",
+                     [a.get("loadavg_prelaunch")]),
+        "sf01": b.get("loadavg_prelaunch_runs",
+                      [b.get("loadavg_prelaunch")])},
     "codegen_error_total": [a.get("codegen_error_total"),
                             b.get("codegen_error_total")],
     "flag_threshold": "ratio > 12 and sf1 >= 2s",

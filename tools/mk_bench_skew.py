@@ -123,6 +123,12 @@ def main():
                              skewed.get("loadavg_end")],
                     "sf01": [base.get("loadavg_start"),
                              base.get("loadavg_end")]},
+        # pre-JVM loadavg of every contributing run (idle-gate evidence)
+        "loadavg_prelaunch": {
+            "skew": skewed.get("loadavg_prelaunch_runs",
+                               [skewed.get("loadavg_prelaunch")]),
+            "sf01": base.get("loadavg_prelaunch_runs",
+                             [base.get("loadavg_prelaunch")])},
         "codegen_error_total": [skewed.get("codegen_error_total"),
                                 base.get("codegen_error_total")],
         "errors": [skewed.get("errors"), base.get("errors")],
