@@ -84,6 +84,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(c("window") == 0, c.toString)
   }
 
+  test("q_decontaminate_df: the r17 fused shape — ONE broadcast hot " +
+    "anti-join + ONE broadcast bench join + ONE per-doc rollup, no " +
+    "sort-merge join anywhere") {
+    val c = counts("q_decontaminate_df")
+    // floor: train0's distinct + the census groupBy (inside the
+    // broadcast build) + benchSide's groupBy (inside the other build)
+    // + the per-doc rollup + presentation sort = 4 plain exchanges +
+    // 2 broadcast exchanges ("Exchange" matches both). The pre-fusion
+    // plan recombined two doc-keyed aggregates through a sort-merge
+    // join — smj must stay ZERO, and a third join or a second doc
+    // rollup fails the ceilings.
+    assert(c("smj") == 0, c.toString)
+    assert(c("bhj") == 2, c.toString)
+    assert(c("exchanges") <= 6, c.toString)
+    assert(c("generate") <= 1, c.toString) // one gram-hash explode
+  }
+
+  test("q_dedup_ngram_df: post-barrier gather-kernel plan — band " +
+    "explode + (fp, lenb) gather + kernel pair list, no join at all") {
+    val c = counts("q_dedup_ngram_df")
+    // The censuses and the fused fingerprint gather live BEHIND the
+    // row-block barrier (audited in scaladoc/SCALING.md); the
+    // consumer plan pinned here is band-explode → gather → kernel →
+    // distinct → sort. Exactly two Generates: the 2-band explode and
+    // the kernel's bounded result list. Any join here means the
+    // barrier stopped cutting the plan.
+    assert(c("exchanges") <= 3, c.toString)
+    assert(c("smj") + c("bhj") == 0, c.toString)
+    assert(c("generate") <= 2, c.toString)
+    assert(planOf("q_dedup_ngram_df").contains("ngram_close_pairs"))
+  }
+
   test("q_dedup_simhash: the r12 adaptive common path — plain gather " +
     "kernel plan with NO window and no segment-cell join on a " +
     "sub-cap corpus") {
