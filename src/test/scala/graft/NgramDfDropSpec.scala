@@ -1,5 +1,6 @@
 package graft
 
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Drop semantics of the DF-filtered n-gram tier (r17 fused plan).
@@ -15,8 +16,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * built to hit it, so a refactor that loses the filter (or turns it
   * into keep-with-empty-set) fails a test instead of silently
   * changing production answers on boilerplate-heavy crawls. */
-class NgramDfDropSpec extends AnyFunSuite {
+class NgramDfDropSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkTestBase.spark
+
+  // per-suite managed temp root (ADVICE r17: repeated runs were
+  // accumulating /tmp/ngram_df_* corpora); both corpora build under it
+  // and afterAll removes the tree
+  private val root = java.nio.file.Files.createTempDirectory("ngram_df_spec")
+
+  override def afterAll(): Unit = {
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+    super.afterAll()
+  }
 
   test("pure-chrome docs drop out of the DF-filtered tier; " +
     "de-chromed prose near-dups still pair") {
@@ -48,7 +62,7 @@ class NgramDfDropSpec extends AnyFunSuite {
       // row is what makes the assertion able to fail
       (8L, chrome))
     val dir = java.nio.file.Files
-      .createTempDirectory("ngram_df_drop").toString
+      .createDirectories(root.resolve("drop")).toString
     docs.toDF("doc_id", "text")
       .selectExpr("doc_id", "text", "'en' as lang",
         "'spec' as source", "length(text) as n_chars")
@@ -102,7 +116,7 @@ class NgramDfDropSpec extends AnyFunSuite {
       (10L, "completely unrelated filler document number ten"),
       (11L, "yet another unrelated filler text eleven"))
     val dir = java.nio.file.Files
-      .createTempDirectory("ngram_df_asym").toString
+      .createDirectories(root.resolve("asym")).toString
     docs.toDF("doc_id", "text")
       .selectExpr("doc_id", "text", "'en' as lang",
         "'spec' as source", "length(text) as n_chars")

@@ -39,8 +39,10 @@ for spec in sys.argv[2:]:
         "local_sec": round(l["value"], 2),
         "delta_pct": round(100.0 * (p["value"] - l["value"]) / l["value"], 1),
         "n_queries": len(pq),
-        "loadavg_prelaunch_persist": p.get("loadavg_prelaunch"),
-        "loadavg_prelaunch_local": l.get("loadavg_prelaunch"),
+        "loadavg_prelaunch_persist": p.get("loadavg_prelaunch",
+                                           "unrecorded"),
+        "loadavg_prelaunch_local": l.get("loadavg_prelaunch",
+                                         "unrecorded"),
         # the ten queries paying the most for the safe mode, absolute
         "top_deltas": [
             {"query": k, "delta_sec": d, "persist_sec": ps, "local_sec": ls}

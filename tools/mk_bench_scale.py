@@ -20,6 +20,17 @@ reader never mistakes an exemption for an oversight.
 import json
 import sys
 
+
+def prelaunch_of(r):
+    """Pre-JVM loadavg of every contributing run. ADVICE r17: when an
+    input artifact predates the field, a bare [null] reads as idle-gate
+    evidence that is actually absent — emit an explicit marker."""
+    if r.get("loadavg_prelaunch_runs"):
+        return r["loadavg_prelaunch_runs"]
+    if r.get("loadavg_prelaunch") is not None:
+        return [r["loadavg_prelaunch"]]
+    return "unrecorded"
+
 # name -> (budget_ratio_fn(factor), reason)
 OVERRIDES = {
     # The TRUE answer is Theta(n^2): the synthetic embeddings are
@@ -68,7 +79,7 @@ def main():
         else:
             ok = float(str(r.get("loadavg_start", "0")).split()[0]) < 8.0
         assert ok or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
-            f"{name} artifact started under load (prelaunch={pre!r}, " \
+            f"{name} artifact started under load (prelaunch={pres!r}, " \
             f"start={r.get('loadavg_start')!r}); re-run on an idle machine"
     qa, qb = big["queries"], base["queries"]
     rows = {}
@@ -99,11 +110,8 @@ def main():
                              base.get("loadavg_end")]},
         # the untainted idle-gate evidence (VERDICT r16 next #3): the
         # pre-JVM loadavg of EVERY contributing run, as asserted above
-        "loadavg_prelaunch": {
-            "big": big.get("loadavg_prelaunch_runs",
-                           [big.get("loadavg_prelaunch")]),
-            "sf01": base.get("loadavg_prelaunch_runs",
-                             [base.get("loadavg_prelaunch")])},
+        "loadavg_prelaunch": {"big": prelaunch_of(big),
+                              "sf01": prelaunch_of(base)},
         "codegen_error_total": [big.get("codegen_error_total"),
                                 base.get("codegen_error_total")],
         "errors": [big.get("errors"), base.get("errors")],

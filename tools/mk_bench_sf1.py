@@ -14,6 +14,17 @@ flag additionally requires the 10x side to cost >= 2 s — a 0.2 s ->
 import json
 import sys
 
+
+def prelaunch_of(r):
+    """Pre-JVM loadavg of every contributing run. ADVICE r17: when an
+    input artifact predates the field, a bare [null] reads as idle-gate
+    evidence that is actually absent — emit an explicit marker."""
+    if r.get("loadavg_prelaunch_runs"):
+        return r["loadavg_prelaunch_runs"]
+    if r.get("loadavg_prelaunch") is not None:
+        return [r["loadavg_prelaunch"]]
+    return "unrecorded"
+
 a = json.load(open(sys.argv[1]))  # 10x
 b = json.load(open(sys.argv[2]))  # sf0.1
 # artifact-hygiene guards (VERDICT r13 wrong #1): scale and fullness
@@ -58,11 +69,7 @@ out = {
     "loadavg": {"sf1": [a.get("loadavg_start"), a.get("loadavg_end")],
                 "sf01": [b.get("loadavg_start"), b.get("loadavg_end")]},
     # pre-JVM loadavg of every contributing run (the idle-gate evidence)
-    "loadavg_prelaunch": {
-        "sf1": a.get("loadavg_prelaunch_runs",
-                     [a.get("loadavg_prelaunch")]),
-        "sf01": b.get("loadavg_prelaunch_runs",
-                      [b.get("loadavg_prelaunch")])},
+    "loadavg_prelaunch": {"sf1": prelaunch_of(a), "sf01": prelaunch_of(b)},
     "codegen_error_total": [a.get("codegen_error_total"),
                             b.get("codegen_error_total")],
     "flag_threshold": "ratio > 12 and sf1 >= 2s",

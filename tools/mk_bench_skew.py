@@ -15,6 +15,17 @@ Usage: mk_bench_skew.py <bench_skew_raw.json> <bench_sf01_raw.json>
 import json
 import sys
 
+
+def prelaunch_of(r):
+    """Pre-JVM loadavg of every contributing run. ADVICE r17: when an
+    input artifact predates the field, a bare [null] reads as idle-gate
+    evidence that is actually absent — emit an explicit marker."""
+    if r.get("loadavg_prelaunch_runs"):
+        return r["loadavg_prelaunch_runs"]
+    if r.get("loadavg_prelaunch") is not None:
+        return [r["loadavg_prelaunch"]]
+    return "unrecorded"
+
 # name -> (budget_ratio, reason). Default budget mirrors mk_bench_sf1:
 # 12x for 10x data, flag needs big >= 2 s.
 OVERRIDES = {
@@ -124,11 +135,8 @@ def main():
                     "sf01": [base.get("loadavg_start"),
                              base.get("loadavg_end")]},
         # pre-JVM loadavg of every contributing run (idle-gate evidence)
-        "loadavg_prelaunch": {
-            "skew": skewed.get("loadavg_prelaunch_runs",
-                               [skewed.get("loadavg_prelaunch")]),
-            "sf01": base.get("loadavg_prelaunch_runs",
-                             [base.get("loadavg_prelaunch")])},
+        "loadavg_prelaunch": {"skew": prelaunch_of(skewed),
+                              "sf01": prelaunch_of(base)},
         "codegen_error_total": [skewed.get("codegen_error_total"),
                                 base.get("codegen_error_total")],
         "errors": [skewed.get("errors"), base.get("errors")],
