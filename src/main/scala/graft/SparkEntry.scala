@@ -17,6 +17,10 @@ object SparkEntry {
       traj.TrajQueries.defs ++
       text.TextQueries.defs ++
       sim.SimQueries.defs :+
+      // cross-domain (text + sim): the composed end-to-end dedup
+      // pipeline lives outside the per-domain inventories
+      QueryDef("q_dedup_pipeline", text.DedupPipeline.dedupPipeline,
+        Some(text.DedupPipeline.dedupPipelineSql)) :+
       QueryDef("q_multimodal_features",
         multimodal.MultimodalPipeline.multimodalFeatures,
         Some(multimodal.MultimodalPipeline.multimodalFeaturesSql)) :+

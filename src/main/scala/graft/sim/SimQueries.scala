@@ -957,6 +957,18 @@ object SimQueries {
     shared(s, d, "semclusters")(semClustersAt(s, d, 0.4))
 
   private def semClustersAt(s: SparkSession, d: String,
+      tau: Double): DataFrame =
+    graft.graph.GraphOps.connectedComponents(semPairsAt(s, d, tau))
+      .graftBarrier
+
+  /** The within-cell cosine ≥ tau pair set ("v1", "v2") — the
+    * SemDeDup edge source, split out so the composed dedup pipeline
+    * ([[graft.text.DedupPipeline]]) can union it with the text-tier
+    * edges before ONE connected-components pass. No barrier here: the
+    * sole consumers are CC loops, which eagerly pin their input
+    * anyway (SCALING.md placement rule — a second barrier on the raw
+    * pairs would be pure added write cost). */
+  private[graft] def semPairsAt(s: SparkSession, d: String,
       tau: Double): DataFrame = {
     val vecs = vecsShared(s, d)
     val (_, asg) = kmeansShared(s, d)
@@ -968,15 +980,13 @@ object SimQueries {
     val r = av.select(col("cluster").as("cluster2"),
       col("vec_id").as("v2"), col("emb").as("e2"),
       col("nrm").as("nrm2"))
-    val pairs = l.join(r, col("cluster") === col("cluster2") &&
+    l.join(r, col("cluster") === col("cluster2") &&
         col("v1") < col("v2"))
       .withColumn("cos_sim", round(
         (expr(dotScaled("e1", "e2")) / expr(S)) /
           (col("nrm1") * col("nrm2")), 6))
       .filter(col("cos_sim") >= tau)
       .select("v1", "v2")
-    graft.graph.GraphOps.connectedComponents(pairs)
-      .graftBarrier
   }
 
   /** The registered SemDeDup query over [[semClustersShared]] — the
@@ -1010,7 +1020,11 @@ object SimQueries {
       .orderBy("vec_id")
   }
 
-  private val dedupSemanticSql = s"WITH RECURSIVE $kmeansCtes," +
+  /** DuckDB CTE chain ending in `sedges0`(v1, v2) — the oracle twin
+    * of [[semPairsAt]] at tau = 0.4 (k-means fit + within-cell cosine
+    * filter), shared by the SemDeDup oracle and the composed pipeline
+    * oracle. */
+  private[graft] lazy val semPairCtes: String = s"$kmeansCtes," +
     """
       |wpairs AS (
       |  SELECT x.vec_id AS v1, y.vec_id AS v2
@@ -1030,7 +1044,10 @@ object SimQueries {
       |  FROM wdots d
       |  JOIN n2 x ON x.vec_id = d.v1
       |  JOIN n2 y ON y.vec_id = d.v2
-      |  WHERE round((d.dot / 1e12) / (x.nrm * y.nrm), 6) >= 0.4),
+      |  WHERE round((d.dot / 1e12) / (x.nrm * y.nrm), 6) >= 0.4)""".stripMargin
+
+  private val dedupSemanticSql = s"WITH RECURSIVE $semPairCtes," +
+    """
       |sedges AS (SELECT v1 AS a, v2 AS b FROM sedges0
       |           UNION SELECT v2 AS a, v1 AS b FROM sedges0),
       |sreach AS (

@@ -94,7 +94,8 @@ object TextQueries {
      else minhashPairsAt(s, d, seeds, rowsPerBand, shingleK))
       .orderBy("d1", "d2")
 
-  /** Probe access to the pair set (tools/CcProbe only). */
+  /** Package access to the shared verified pair set (tools/CcProbe and
+    * the composed [[DedupPipeline]]). */
   private[graft] def minhashPairsProbe(s: SparkSession, d: String): DataFrame =
     minhashPairsShared(s, d)
 
@@ -182,18 +183,28 @@ object TextQueries {
   }
 
   /** DuckDB CTE chain ending in `pairs`(d1, d2, jaccard) — the oracle
-    * twin of [[minhashPairsAt]] at (8, 2), shared by the pair and
-    * cluster oracles. */
-  private val minhashPairsCtes =
-    """tok AS (
+    * twin of [[minhashPairsAt]] at (8, 2, shingleK = k), shared by the
+    * pair, k2-dial, cluster and pipeline oracles. Only the shingle
+    * construction depends on k; the signature/band/verify chain is
+    * k-independent. */
+  private[graft] def minhashPairsCtesAt(k: Int): String = {
+    val shingle = (1 until k).map(i => s"lead(w, $i) OVER win")
+      .mkString("w || ' ' || ", " || ' ' || ", "")
+    s"""tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
       |         generate_subscripts(string_split(text, ' '), 1) AS pos
       |  FROM documents),
       |sh0 AS (
       |  SELECT doc_id,
-      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
-      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-      |shd AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
+      |    $shingle AS shingle
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),""".stripMargin +
+      "\n" + minhashPairsCtesTail
+  }
+
+  private[graft] lazy val minhashPairsCtes: String = minhashPairsCtesAt(3)
+
+  private val minhashPairsCtesTail =
+    """shd AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
       |sig AS (
       |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
       |  FROM shd, (SELECT unnest(range(8)) AS seed) seeds
@@ -233,6 +244,26 @@ object TextQueries {
 
   private val dedupMinhashSql =
     s"WITH $minhashPairsCtes\nSELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2"
+
+  /** The measured word_swap dial, registered first-class (VERDICT r17
+    * next #2): word-2-gram shingles at the same (8 seeds, 4 bands,
+    * J ≥ 0.8) chain. At k=3 a single swapped word kills three
+    * shingles, so the every-25th-word edit lands at J ≈ 0.79 — just
+    * under the verify bar — and the tier's word_swap detection is 0.23
+    * (DEDUP_QUALITY.json); at k=2 the same edit costs two shingles
+    * (J ≈ 0.85) and detection is 1.00, at a measured 3.7–5.5× pair
+    * volume and ~6× tier cost (less-discriminative shingles make more
+    * candidates AND more sub-0.8-at-k=3 pairs genuinely pass — a
+    * PREDICATE change, not just a blocking change). The default tier
+    * keeps the k=3 oracle pin; corpora dominated by small edits run
+    * this variant knowingly. Scale shape is identical to the default
+    * tier: banded LSH candidates, never all-pairs. */
+  def dedupMinhashK2(s: SparkSession, d: String): DataFrame =
+    dedupMinhashAt(s, d, seeds = 8, rowsPerBand = 2, shingleK = 2)
+
+  private val dedupMinhashK2Sql =
+    s"WITH ${minhashPairsCtesAt(2)}\n" +
+      "SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2"
 
   // ---------------------------------------------------- dedup clusters
 
@@ -333,11 +364,24 @@ object TextQueries {
     * registered query pins to match its oracle). C4 itself uses
     * three-sentence spans; Lee et al. 2021 use 50-token substrings —
     * the right n grows with how much boilerplate the corpus shares. */
-  def spanDedupAt(s: SparkSession, d: String, span: Int): DataFrame = {
+  def spanDedupAt(s: SparkSession, d: String, span: Int): DataFrame =
+    spanDedupOn(s,
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("arr")),
+      span)
+      .orderBy("doc_id")
+
+  /** The span-dedup body over an arbitrary (doc_id, arr) corpus —
+    * split out so the composed pipeline ([[DedupPipeline]]) can run
+    * it on cluster SURVIVORS only (gram statistics computed over the
+    * post-doc-dedup corpus, the order a production pass uses). Output
+    * (doc_id, n_tokens, n_kept, clean_hash), unordered. */
+  private[graft] def spanDedupOn(s: SparkSession, docs0: DataFrame,
+      span: Int): DataFrame = {
     require(span >= 2, s"span_dedup: span must be >= 2, got $span")
     graft.functions.GraftFunctions.register(s)
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+    val docs = docs0
+      .select(col("doc_id"), col("arr"))
       .repartition(col("doc_id"))
     // per-window 128-bit fingerprints straight off the token array —
     // the kernel hashes each token once and mixes 5 multiply-adds per
@@ -375,7 +419,6 @@ object TextQueries {
       .select(col("doc_id"), col("n_tokens"),
         col("st.n_kept").as("n_kept"),
         md5(col("st.clean")).as("clean_hash"))
-      .orderBy("doc_id")
   }
 
   private val spanDedupSql =
@@ -1054,6 +1097,13 @@ object TextQueries {
     * of the tier entirely (an empty similarity set matches nothing) —
     * the C4 convention, and the oracle applies the same rule. */
   private[graft] def dedupNgramDfAt(s: SparkSession, d: String,
+      blockCap: Int, dfFrac: Double): DataFrame =
+    ngramDfPairsAt(s, d, blockCap, dfFrac).orderBy("d1", "d2")
+
+  /** The tier's unordered verified pair set — split out so the
+    * composed dedup pipeline ([[DedupPipeline]]) can consume the
+    * edges without the presentation sort. */
+  private[graft] def ngramDfPairsAt(s: SparkSession, d: String,
       blockCap: Int, dfFrac: Double): DataFrame = {
     require(dfFrac > 0.0 && dfFrac <= 1.0,
       s"dedup_ngram_df: dfFrac must be in (0, 1], got $dfFrac")
@@ -1118,11 +1168,15 @@ object TextQueries {
     // identical (d1, d2, jaccard) row — distinct() collapses it
     ngramPairsFromRows(s, banded, blockCap,
       memoKeySuffix = s"df-fp-$d").distinct()
-      .orderBy("d1", "d2")
   }
 
-  private val dedupNgramDfSql =
-    s"""WITH g0 AS (
+  /** DuckDB CTE chain ending in `dfpairs`(d1, d2, jaccard) — the
+    * oracle twin of [[ngramDfPairsAt]] at (NgramBlockCap,
+    * ChromeDfFrac), shared by the registered query and the composed
+    * pipeline oracle. CTE names are unique across the pipeline's
+    * combined chains (minhash, k-means/semantic, span). */
+  private[graft] lazy val ngramDfCtes: String =
+    s"""g0 AS (
       |  SELECT doc_id, CAST(floor(length(text) / 100) AS BIGINT) AS lenb,
       |    list_distinct(list_transform(
       |      range(1, greatest(length(text) - 4, 1) + 1),
@@ -1193,7 +1247,7 @@ object TextQueries {
       |gb AS (
       |  SELECT g.doc_id, g.lenb, g.grams, fp.fp0, fp.fp1
       |  FROM g JOIN fp ON fp.doc_id = g.doc_id),
-      |cand AS (
+      |gcand AS (
       |  -- either band matches: two hash-joinable equi-joins, not an
       |  -- OR join (which planned nested-loop and ran minutes at 10×)
       |  SELECT DISTINCT d1, d2 FROM (
@@ -1208,16 +1262,19 @@ object TextQueries {
       |  SELECT c.d1, c.d2,
       |    len(list_intersect(x.grams, y.grams)) AS ni,
       |    len(x.grams) AS n1, len(y.grams) AS n2
-      |  FROM cand c
+      |  FROM gcand c
       |  JOIN g x ON x.doc_id = c.d1
-      |  JOIN g y ON y.doc_id = c.d2)
-      |SELECT d1, d2,
-      |  """.stripMargin +
+      |  JOIN g y ON y.doc_id = c.d2),
+      |dfpairs AS (
+      |  SELECT d1, d2,
+      |    """.stripMargin +
       ratio6Sql("ni", "n1 + n2 - ni") +
       """ AS jaccard
-      |FROM scored
-      |WHERE 3 * ni >= n1 + n2
-      |ORDER BY d1, d2""".stripMargin
+      |  FROM scored
+      |  WHERE 3 * ni >= n1 + n2)""".stripMargin
+
+  private val dedupNgramDfSql =
+    s"WITH $ngramDfCtes\nSELECT d1, d2, jaccard FROM dfpairs ORDER BY d1, d2"
 
   // ------------------------------------------------------------ text stats
 
@@ -2013,6 +2070,7 @@ object TextQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
+    QueryDef("q_dedup_minhash_k2", dedupMinhashK2, Some(dedupMinhashK2Sql)),
     QueryDef("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QueryDef("q_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("q_dedup_ngram_df", dedupNgramDf, Some(dedupNgramDfSql)),

@@ -25,8 +25,11 @@ object PlanAudit {
       "q_traj_closest_contact",// expect TakeOrderedAndProject
       "q_dedup_ngram_df",      // expect broadcast anti-joins (hot sets),
                                // no cross join, barriered rebuilds
-      "q_decontaminate_df")    // expect broadcast hot anti-join +
+      "q_decontaminate_df",    // expect broadcast hot anti-join +
                                // broadcast bench joins
+      "q_dedup_pipeline")      // composed post-cluster consumer: no
+                               // cartesian, one cluster-size window,
+                               // span kernel over survivors
     interesting.foreach { name =>
       println(s"\n=============== $name ===============")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -116,6 +116,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf("q_dedup_ngram_df").contains("ngram_close_pairs"))
   }
 
+  test("q_dedup_pipeline: composed-plan budget — no cartesian/nested-" +
+    "loop join anywhere, one window for cluster sizes, bounded " +
+    "exchanges (VERDICT r17 next #1)") {
+    val c = counts("q_dedup_pipeline")
+    val p = planOf("q_dedup_pipeline")
+    // The union edge set is materialized by CC's own eager barrier
+    // before this plan exists, so the plan pinned here is the
+    // POST-CLUSTER consumer: doc labeling (cc join), the rep-keyed
+    // cluster-size window, the survivor semi-join, the span chain
+    // over survivors, and the final doc-keyed assembly. Measured 19
+    // exchanges / 7 static sort-merge joins at sf0.001 AND sf0.01
+    // (scale-stable); the r18 pre-window form paid 22/9 for a
+    // groupBy+re-join cluster-size. Ceilings, not pins: AQE converts
+    // the small-side smj to broadcasts at runtime, but a structural
+    // regression (a second window shuffle, a lost semi-join, a
+    // cartesian) must fail here.
+    assert(c("exchanges") <= 20, c.toString)
+    assert(c("smj") <= 8, c.toString)
+    assert(c("window") == 1, c.toString)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // the span kernel must run over the survivor corpus in-plan
+    assert(p.contains("span_clean"), p.take(4000))
+  }
+
   test("q_dedup_simhash: the r12 adaptive common path — plain gather " +
     "kernel plan with NO window and no segment-cell join on a " +
     "sub-cap corpus") {
