@@ -203,15 +203,17 @@ object DedupQualityProbe {
     (nT, nF, tp)
   }
 
-  /** Exact word-3-gram Jaccard ≥ 0.8 over the universe — the minhash
-    * tier's verify predicate without its LSH candidate stage. Pairs
+  /** Exact word-k-gram Jaccard ≥ 0.8 over the universe — the minhash
+    * tier's verify predicate without its LSH candidate stage (k = 3
+    * for the default tier, k = 2 for the registered dial). Pairs
     * via a shared-shingle inverted index (complete for J > 0). */
-  def minhashTruth(uDocs: DataFrame): DataFrame = {
+  def minhashTruth(uDocs: DataFrame, k: Int = 3): DataFrame = {
+    val parts = (1 to k).map(j => s"element_at(arr, i + $j)")
+      .mkString(", ")
     val sh = uDocs.select(col("doc_id"), explode(array_distinct(expr(
-      """IF(size(arr) >= 3,
-        |  transform(sequence(0, size(arr) - 3), i -> concat_ws(' ',
-        |    element_at(arr, i + 1), element_at(arr, i + 2),
-        |    element_at(arr, i + 3))),
+      s"""IF(size(arr) >= $k,
+        |  transform(sequence(0, size(arr) - $k), i -> concat_ws(' ',
+        |    $parts)),
         |  CAST(array() AS ARRAY<STRING>))""".stripMargin)))
       .as("sh")).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -305,7 +307,7 @@ object DedupQualityProbe {
   }
 
   case class TierLine(tier: String, det: Seq[(String, Long, Long)],
-      truth: Option[(Long, Long, Long)]) {
+      truth: Option[(Long, Long, Long)], extra: String = "") {
     def json: String = {
       val dj = det.map { case (t, e, h) =>
         s""""$t":{"expected":$e,"found":$h,"rate":${fmt4(
@@ -316,8 +318,101 @@ object DedupQualityProbe {
         s""","precision":${fmt4(if (nF == 0) 1.0 else tp.toDouble / nF)}""" +
         s""","recall":${fmt4(if (nT == 0) 1.0 else tp.toDouble / nT)}"""
       }.getOrElse("")
-      s"""{"tier":"$tier","detection":$dj$tj}"""
+      s"""{"tier":"$tier","detection":$dj$tj$extra}"""
     }
+  }
+
+  /** Build the PIPELINE probe corpus under `outDir`: the SAME merged
+    * documents [[plantCorpus]] wrote to `docsDir`, plus embeddings
+    * ALIGNED to them (vec_id == doc_id for every doc — the pipeline's
+    * contract; plantCorpus's embed-only plants live in a separate id
+    * region that would alias the doc plants, so they are replaced
+    * here). Base vectors are unchanged; each doc plant carries a
+    * deterministic transform of its source's vector modeling the text
+    * relation: identical for copy; neighbor-shift mixes of growing
+    * weight for tail_chrome (0.05), word_swap (0.15), shuffle_half
+    * (0.2); the plantCorpus paraphrase model (0.3, cos ≈ 0.958 — the
+    * plant only the semantic tier can catch). span_copy plants get NO
+    * embedding: their content is genuinely unique, and any synthetic
+    * direction risks a spurious cosine hit on the structured corpus
+    * (measured: a pure neighbor-shift — cos ≈ 0 to its OWN source —
+    * still landed ≥ 0.4 from unrelated base vectors and merged 4 of
+    * 25 plants); a vector-less doc is also the common production case
+    * the pipeline must handle (no semantic edges, text tiers only). */
+  def plantPipelineCorpus(s: SparkSession, d: String, docsDir: String,
+      outDir: String, plants: DataFrame): Unit = {
+    s.read.parquet(s"$docsDir/documents.parquet")
+      .repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    val emb = s.read.parquet(s"$d/embeddings.parquet")
+    val shift =
+      "element_at(embedding, (CAST(i AS INT) + 1) % size(embedding) + 1)"
+    val plantVecs = plants
+      .filter(col("typ") =!= "span_copy")
+      .join(emb.withColumnRenamed("vec_id", "src_id"), "src_id")
+      .select(col("plant_id").as("vec_id"),
+        expr(s"""transform(embedding, (x, i) -> CAST(
+          |  CASE typ
+          |    WHEN 'copy' THEN x
+          |    WHEN 'tail_chrome' THEN x + 0.05 * $shift
+          |    WHEN 'word_swap' THEN x + 0.15 * $shift
+          |    WHEN 'shuffle_half' THEN x + 0.2 * $shift
+          |    ELSE x + 0.3 * $shift
+          |  END AS FLOAT))""".stripMargin).as("embedding"),
+        col("label"))
+    emb.unionByName(plantVecs)
+      .repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** Grade the composed `q_dedup_pipeline` on the aligned corpus:
+    * merge types are detected when (src, plant) share a cluster rep;
+    * span_copy when the plant SURVIVES doc-dedup and its planted
+    * 10-word span was removed (≥ 6 duplicated interior windows, the
+    * span-tier criterion) — CONDITIONED on the source itself
+    * surviving: when the source is merged under a lower-id base
+    * near-dup, the span's only surviving occurrence IS the plant and
+    * C4 semantics on the deduped corpus keeps it (the unconditional
+    * rate would punish correct behavior; the conditioning shows in
+    * the expected count). The extra fields record the end-to-end
+    * wall time and the survivor count — the pipeline's actual
+    * production outputs. */
+  def pipelineLine(s: SparkSession, scratch2: String,
+      plants: DataFrame): TierLine = {
+    val t0 = System.nanoTime()
+    val out = graft.SparkEntry.queries("q_dedup_pipeline")(s, scratch2)
+      .select("doc_id", "rep", "keep", "n_tokens", "n_kept")
+      .localCheckpoint(true)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val rep = out.select("doc_id", "rep")
+    val merged = plants.filter(col("typ") =!= "span_copy")
+      .join(rep.select(col("doc_id").as("src_id"),
+        col("rep").as("rep_s")), "src_id")
+      .join(rep.select(col("doc_id").as("plant_id"),
+        col("rep").as("rep_p")), "plant_id")
+      .filter(col("rep_s") === col("rep_p"))
+      .groupBy("typ").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcSurvived = out.filter(col("keep"))
+      .select(col("doc_id").as("src_id"))
+    val spEligible = plants.filter(col("typ") === "span_copy")
+      .join(srcSurvived, Seq("src_id"), "left_semi")
+      .localCheckpoint(true)
+    val spExp = spEligible.count()
+    val spHit = spEligible
+      .join(out.withColumnRenamed("doc_id", "plant_id"), "plant_id")
+      .filter(col("keep") && col("n_tokens") - col("n_kept") >= 6)
+      .count()
+    val tot = plants.groupBy("typ").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val det = PlantTypes.map { t =>
+      if (t == "span_copy") (t, spExp, spHit)
+      else (t, tot.getOrElse(t, 0L), merged.getOrElse(t, 0L))
+    }
+    val nDocs = out.count()
+    val nSurv = out.filter(col("keep")).count()
+    TierLine("pipeline", det, None,
+      s""","n_docs":$nDocs,"n_survivors":$nSurv,"sec":${fmt4(sec)}""")
   }
 
   /** All tier lines + the minhash dial for one dataset dir (the probe
@@ -350,6 +445,15 @@ object DedupQualityProbe {
 
     val mhLine = TierLine("minhash", detection(mh, plants),
       Some(prVsTruth(uPairs(mh), minhashTruth(uDocs))))
+    // the registered k=2 dial (VERDICT r17 next #2): same banded
+    // chain, word-2-gram shingles — its own brute-forced truth at the
+    // SAME predicate (word-2-gram J ≥ 0.8), so precision isolates
+    // verify leaks and recall the banding loss, exactly like the
+    // default tier's row
+    val mhK2 = q("q_dedup_minhash_k2")(s, scratch).select("d1", "d2")
+      .localCheckpoint(true)
+    val mhK2Line = TierLine("minhash_k2", detection(mhK2, plants),
+      Some(prVsTruth(uPairs(mhK2), minhashTruth(uDocs, k = 2))))
     val shLine = TierLine("simhash", detection(sh, plants),
       Some(prVsTruth(uPairs(sh), simhashTruth(uDocs))))
     val ngLine = TierLine("ngram", detection(ng, plants),
@@ -408,7 +512,14 @@ object DedupQualityProbe {
       Seq("embed_nudge", "paraphrase").map(t =>
         (t, semTot.getOrElse(t, 0L), semHit.getOrElse(t, 0L))), None)
 
-    (Seq(exLine, mhLine, shLine, ngLine, ngDfLine, spLine, semLine),
+    // the composed pipeline, on its own ALIGNED corpus (same docs,
+    // vec_id == doc_id embeddings — see plantPipelineCorpus)
+    val scratch2 = s"${scratch}_pipe"
+    plantPipelineCorpus(s, d, scratch, scratch2, plants)
+    val pipeLine = pipelineLine(s, scratch2, plants)
+
+    (Seq(exLine, mhLine, mhK2Line, shLine, ngLine, ngDfLine, spLine,
+      semLine, pipeLine),
       minhashDial(s, scratch, plants))
   }
 
