@@ -120,12 +120,51 @@ object DedupPipeline {
       .orderBy("doc_id")
   }
 
+  /** Unrolled min-label connected components over `pedges`(a, b):
+    * per round, one PROPAGATE (each node takes the min label among
+    * its neighbors — an edge-sized aggregation) and one POINTER JUMP
+    * (each node takes its label's own label — label chains contract
+    * exponentially, the hash-to-min doubling). One label row per node
+    * per round, so total work is O(rounds × |E|) — the recursive
+    * min-label FLOODING this replaces accumulates the full (node,
+    * reachable-label) relation, O(k²) rows for a k-member component,
+    * and at the 10× replica (where verbatim-replicated embeddings
+    * legitimately chain semantic groups across copies into a
+    * 15,881-member cluster) it spilled past the machine's disk.
+    * Propagation alone covers `rounds` hops; jumping doubles covered
+    * distance per round, so 20 rounds converge for any component a
+    * test corpus can hold. An under-unrolled chain cannot false-pass:
+    * unconverged labels differ from the Spark side's fixpoint and
+    * fail the driver's hash gate loudly. Labels stay within the
+    * `documents` id set (initialization), so the inner jump join is
+    * total; edge endpoints outside `documents` (no `vec_id ⊆ doc_id`
+    * alignment) never label anything — the same contract the Spark
+    * side's left join enforces. */
+  private def ccCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      "pl0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents)")
+    for (t <- 1 to rounds) {
+      val prev = s"pl${t - 1}"
+      sb ++= s""",
+         |pp$t AS MATERIALIZED (
+         |  SELECT e.b AS node, min(l.lbl) AS lbl
+         |  FROM $prev l JOIN pedges e ON e.a = l.node GROUP BY e.b),
+         |pm$t AS MATERIALIZED (
+         |  SELECT l.node, least(l.lbl, coalesce(p.lbl, l.lbl)) AS lbl
+         |  FROM $prev l LEFT JOIN pp$t p ON p.node = l.node),
+         |pl$t AS MATERIALIZED (
+         |  SELECT a.node, least(a.lbl, b.lbl) AS lbl
+         |  FROM pm$t a JOIN pm$t b ON b.node = a.lbl)""".stripMargin
+    }
+    sb.toString
+  }
+
   /** The end-to-end oracle: every tier's own CTE chain (minhash,
     * DF-blocked ngram, k-means + within-cell cosine), the exact-hash
-    * edges, min-label flooding over the union as a recursive CTE, and
-    * the span chain restricted to survivors. CTE names are disjoint
-    * across the reused chains (the ngram chain's candidate CTE is
-    * `gcand`; the span chain here is `sp_`-prefixed). */
+    * edges, the unrolled propagate+jump min-label CC ([[ccCtes]]),
+    * and the span chain restricted to survivors. CTE names are
+    * disjoint across the reused chains (the ngram chain's candidate
+    * CTE is `gcand`; the span chain here is `sp_`-prefixed). */
   lazy val dedupPipelineSql: String =
     s"WITH RECURSIVE ${graft.sim.SimQueries.semPairCtes},\n" +
       TextQueries.minhashPairsCtes + ",\n" +
@@ -133,26 +172,21 @@ object DedupPipeline {
       """exg AS (
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m
         |  FROM documents),
-        |alledges AS (
+        |alledges AS MATERIALIZED (
         |  SELECT m AS d1, doc_id AS d2 FROM exg WHERE doc_id <> m
         |  UNION SELECT d1, d2 FROM pairs
         |  UNION SELECT d1, d2 FROM dfpairs
         |  UNION SELECT v1 AS d1, v2 AS d2 FROM sedges0),
-        |pedges AS (SELECT d1 AS a, d2 AS b FROM alledges
-        |           UNION SELECT d2 AS a, d1 AS b FROM alledges),
-        |preach AS (
-        |  SELECT doc_id AS node, doc_id AS lbl FROM documents
-        |  UNION
-        |  SELECT e.b AS node, r.lbl FROM preach r
-        |  JOIN pedges e ON e.a = r.node),
-        |pcomp AS (SELECT node AS doc_id, min(lbl) AS rep
-        |          FROM preach GROUP BY node),
+        |pedges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM alledges
+        |           UNION SELECT d2 AS a, d1 AS b FROM alledges),""".stripMargin +
+      "\n" + ccCtes(rounds = 20) + ",\n" +
+      """pcomp AS MATERIALIZED (SELECT node AS doc_id, lbl AS rep FROM pl20),
         |pcsz AS (SELECT rep, count(*) AS n FROM pcomp GROUP BY 1),
         |surv AS (
         |  SELECT d.doc_id, d.text FROM documents d
         |  JOIN pcomp c ON c.doc_id = d.doc_id
         |  WHERE c.doc_id = c.rep),
-        |sp_tok AS (
+        |sp_tok AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
         |         generate_subscripts(string_split(text, ' '), 1) AS pos
         |  FROM surv),
