@@ -93,8 +93,15 @@ object DedupQualityProbe {
     val nSources = sources.count()
 
     val half = (size(col("arr")) / 2).cast("int")
+    // filler tokens are HASH-derived, not decimal-id-derived: the old
+    // 'fz<doc_id>w<j>' form gave numerically adjacent plants shared
+    // char-5-gram prefixes ('fz504…'), and at the 10× replica's
+    // 6-digit contiguous id range that similarity genuinely crossed
+    // the ngram tier's J ≥ 0.5 bar — span plants merged with EACH
+    // OTHER (91 of 512), a plant-design leak, not a tier error
     def fillers(lo: Int, hi: Int): Column = expr(
-      s"transform(sequence($lo, $hi), j -> concat('fz', doc_id, 'w', j))")
+      s"transform(sequence($lo, $hi), j -> concat('fz', " +
+        s"substr(md5(concat(CAST(doc_id AS STRING), 'w', j)), 1, 8)))")
     val textOf: Map[String, Column] = Map(
       "copy" -> col("text"),
       "tail_chrome" -> concat(col("text"), lit(" " + Chrome)),
@@ -403,10 +410,30 @@ object DedupQualityProbe {
       .join(out.withColumnRenamed("doc_id", "plant_id"), "plant_id")
       .filter(col("keep") && col("n_tokens") - col("n_kept") >= 6)
       .count()
+    // paraphrase is detectable ONLY through a semantic edge, and a
+    // semantic edge needs the plant's vector to exist — at sf0.1 only
+    // 40% of docs carry embeddings (the multimodal-corpus reality),
+    // so the unconditional rate would measure embedding COVERAGE, not
+    // the pipeline. Condition on the plant having a vector (the
+    // expected count shows the coverage); every other merge type is
+    // text-detectable and stays unconditional.
+    val emb2 = s.read.parquet(s"$scratch2/embeddings.parquet")
+      .select(col("vec_id").as("plant_id"))
+    val paraEligible = plants.filter(col("typ") === "paraphrase")
+      .join(emb2, Seq("plant_id"), "left_semi")
+      .select("src_id", "plant_id").localCheckpoint(true)
+    val paraExp = paraEligible.count()
+    val paraHit = paraEligible
+      .join(rep.select(col("doc_id").as("src_id"),
+        col("rep").as("rep_s")), "src_id")
+      .join(rep.select(col("doc_id").as("plant_id"),
+        col("rep").as("rep_p")), "plant_id")
+      .filter(col("rep_s") === col("rep_p")).count()
     val tot = plants.groupBy("typ").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val det = PlantTypes.map { t =>
       if (t == "span_copy") (t, spExp, spHit)
+      else if (t == "paraphrase") (t, paraExp, paraHit)
       else (t, tot.getOrElse(t, 0L), merged.getOrElse(t, 0L))
     }
     val nDocs = out.count()
