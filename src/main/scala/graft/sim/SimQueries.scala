@@ -969,9 +969,38 @@ object SimQueries {
     * anyway (SCALING.md placement rule — a second barrier on the raw
     * pairs would be pure added write cost). */
   private[graft] def semPairsAt(s: SparkSession, d: String,
+      tau: Double): DataFrame =
+    semPairsOn(s, d, kmeansShared(s, d)._2, tau)
+
+  /** The within-cell pair set over the OCCUPANCY-SCALED fit
+    * (K = ivfK(n) ∝ √n, the simAnnIvfScaled quantizer policy) — the
+    * composed pipeline's semantic edge source. The fixed K = 16 fit
+    * keeps within-cell pair work at Σk² ≈ n²/16, which is quadratic
+    * at any scale (measured: 200k vectors → 16 cells of 12.5k →
+    * ~1.25B candidate dots carrying full vectors through the join —
+    * the 100× replica ran the pipeline for an hour in exactly this
+    * join); K ∝ √n bounds cells at ~2√n and the pair work at ~2n^1.5.
+    * Below ~1k vectors ivfK floors at 16 and this IS the fixed fit
+    * (same shared artifact, bit-identical answers — the sf0.01 oracle
+    * regime). */
+  private[graft] def semPairsScaled(s: SparkSession, d: String,
+      tau: Double): DataFrame = {
+    val n = shared(s, d, "nvecs") {
+      java.lang.Long.valueOf(vecsShared(s, d).count())
+    }.longValue()
+    val k = ivfK(n)
+    val (_, asg) =
+      if (k == 16) kmeansShared(s, d)
+      else shared(s, d, s"kmeans-k$k") {
+        val (c, a) = kmeansFitAt(vecsShared(s, d), seedMax = 25L * k)
+        (c, a.graftBarrier)
+      }
+    semPairsOn(s, d, asg, tau)
+  }
+
+  private def semPairsOn(s: SparkSession, d: String, asg: DataFrame,
       tau: Double): DataFrame = {
     val vecs = vecsShared(s, d)
-    val (_, asg) = kmeansShared(s, d)
     val av = vecs.join(asg, "vec_id")
       .select(col("vec_id"), col("cluster"), col("emb"), col("nrm"))
       .graftBarrier
@@ -1022,9 +1051,17 @@ object SimQueries {
 
   /** DuckDB CTE chain ending in `sedges0`(v1, v2) — the oracle twin
     * of [[semPairsAt]] at tau = 0.4 (k-means fit + within-cell cosine
-    * filter), shared by the SemDeDup oracle and the composed pipeline
-    * oracle. */
-  private[graft] lazy val semPairCtes: String = s"$kmeansCtes," +
+    * filter), shared by the SemDeDup oracle; [[semPairCtesScaled]] is
+    * the same body over the occupancy-scaled fit ([[ivfK]]-derived
+    * seed bound), the twin of [[semPairsScaled]] for the composed
+    * pipeline oracle. */
+  private[graft] lazy val semPairCtes: String =
+    s"$kmeansCtes,$semPairBody"
+
+  private[graft] lazy val semPairCtesScaled: String =
+    s"$kmeansCtesScaled,$semPairBody"
+
+  private lazy val semPairBody: String =
     """
       |wpairs AS (
       |  SELECT x.vec_id AS v1, y.vec_id AS v2

@@ -81,8 +81,13 @@ object DedupPipeline {
       TextQueries.NgramBlockCap, TextQueries.ChromeDfFrac)
       .select("d1", "d2")
 
-    // 3) semantic edges (vec_id ≡ doc_id contract)
-    val sem = graft.sim.SimQueries.semPairsAt(s, d, tau = 0.4)
+    // 3) semantic edges (vec_id ≡ doc_id contract) — over the
+    //    OCCUPANCY-SCALED fit (K ∝ √n, the IVF quantizer policy):
+    //    the fixed K=16 fit's within-cell pair work is n²/16 at any
+    //    scale (the 100× replica measured the pipeline living in that
+    //    join); K ∝ √n bounds it at ~2n^1.5. Identical to the fixed
+    //    fit below the ivfK floor (n ≲ 1k — the oracle-gate regime).
+    val sem = graft.sim.SimQueries.semPairsScaled(s, d, tau = 0.4)
       .select(col("v1").as("d1"), col("v2").as("d2"))
 
     // 4) one CC pass over the union — CC canonicalizes, dedups and
@@ -128,12 +133,15 @@ object DedupPipeline {
     * per round, so total work is O(rounds × |E|) — the recursive
     * min-label FLOODING this replaces accumulates the full (node,
     * reachable-label) relation, O(k²) rows for a k-member component,
-    * and at the 10× replica (where verbatim-replicated embeddings
-    * legitimately chain semantic groups across copies into a
-    * 15,881-member cluster) it spilled past the machine's disk.
-    * Propagation alone covers `rounds` hops; jumping doubles covered
-    * distance per round, so 20 rounds converge for any component a
-    * test corpus can hold. An under-unrolled chain cannot false-pass:
+    * and at the 10× replica's 15,881-member cluster it spilled past
+    * the machine's disk. Propagation alone covers `rounds` hops;
+    * jumping contracts label chains on top. The unroll is 40: 20
+    * rounds converged on the K = 16 fit's dense clique-heavy
+    * components but measurably did NOT on the scaled fit's chainier
+    * K = 71 topology at 10× (39,337 label rows short of the fixpoint
+    * — caught by the hash gate, exactly as designed), and 40 passes
+    * both at negligible cost (each round is one edge-sized
+    * aggregation). An under-unrolled chain cannot false-pass:
     * unconverged labels differ from the Spark side's fixpoint and
     * fail the driver's hash gate loudly. Labels stay within the
     * `documents` id set (initialization), so the inner jump join is
@@ -166,7 +174,7 @@ object DedupPipeline {
     * disjoint across the reused chains (the ngram chain's candidate
     * CTE is `gcand`; the span chain here is `sp_`-prefixed). */
   lazy val dedupPipelineSql: String =
-    s"WITH RECURSIVE ${graft.sim.SimQueries.semPairCtes},\n" +
+    s"WITH RECURSIVE ${graft.sim.SimQueries.semPairCtesScaled},\n" +
       TextQueries.minhashPairsCtes + ",\n" +
       TextQueries.ngramDfCtes + ",\n" +
       """exg AS (
@@ -179,8 +187,8 @@ object DedupPipeline {
         |  UNION SELECT v1 AS d1, v2 AS d2 FROM sedges0),
         |pedges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM alledges
         |           UNION SELECT d2 AS a, d1 AS b FROM alledges),""".stripMargin +
-      "\n" + ccCtes(rounds = 20) + ",\n" +
-      """pcomp AS MATERIALIZED (SELECT node AS doc_id, lbl AS rep FROM pl20),
+      "\n" + ccCtes(rounds = 40) + ",\n" +
+      """pcomp AS MATERIALIZED (SELECT node AS doc_id, lbl AS rep FROM pl40),
         |pcsz AS (SELECT rep, count(*) AS n FROM pcomp GROUP BY 1),
         |surv AS (
         |  SELECT d.doc_id, d.text FROM documents d

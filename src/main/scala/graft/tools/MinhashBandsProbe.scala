@@ -18,13 +18,16 @@ object MinhashBandsProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val configs = Seq((8, 2), (8, 4), (16, 4))
-    val results = configs.map { case (seeds, rpb) =>
+    // (seeds, rowsPerBand, shingleK): the band knob plus the k=2 dial
+    // (r18 — q_dedup_minhash_k2's answer census on skew corpora)
+    val configs = Seq((8, 2, 3), (8, 4, 3), (16, 4, 3), (8, 2, 2))
+    val results = configs.map { case (seeds, rpb, k) =>
       val t0 = System.nanoTime()
       val n = graft.text.TextQueries
-        .dedupMinhashAt(spark, sfDir, seeds, rpb).count()
+        .dedupMinhashAt(spark, sfDir, seeds, rpb, k).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      s""""s${seeds}_r$rpb":{"sec":$sec,"pairs":$n}"""
+      val tag = s"s${seeds}_r$rpb" + (if (k != 3) s"_k$k" else "")
+      s""""$tag":{"sec":$sec,"pairs":$n}"""
     }
     val sims = Seq(8, 4).map { h =>
       val t0 = System.nanoTime()

@@ -51,6 +51,15 @@ OVERRIDES = {
         100,
         "answer-bound: chrome grams raise banded-jaccard candidates "
         "and qualifying pairs on the planted band"),
+    "q_dedup_minhash_k2": (
+        100,
+        "answer-bound: the same chrome band blow-up as q_dedup_minhash "
+        "amplified by the k=2 predicate (less-discriminative 2-gram "
+        "shingles -> more band collisions AND more genuinely "
+        "qualifying J>=0.8 pairs; the dial's DEDUP_QUALITY curve and "
+        "the skew pair census record both). Production guidance for "
+        "chrome corpora is to de-chrome first — the composed "
+        "q_dedup_pipeline does, and holds ~4x here"),
     "q_span_dedup": (
         50,
         "answer-bound: chrome/menu spans repeat corpus-wide, so the "
