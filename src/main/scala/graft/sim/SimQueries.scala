@@ -700,6 +700,20 @@ object SimQueries {
     * before/after of the mid-scale dip on the record. */
   private[graft] def simAnnIvfScaledAt(s: SparkSession, d: String,
       nprobeOf: Int => Int): DataFrame = {
+    val (k, c2, asg) = kmeansScaledShared(s, d)
+    ivfSearch(vecsShared(s, d), c2, asg, nprobe = nprobeOf(k))
+  }
+
+  /** The shared OCCUPANCY-SCALED fit: (K, centroids, checkpointed
+    * assignment) at K = [[ivfK]](n) — one fit per session+dir shared
+    * by the scaled IVF index, the scaled SemDeDup tier and the
+    * composed pipeline's semantic edges (the kmeansShared build-once
+    * contract, at the scaled cell count). Below the ivfK floor
+    * (n ≤ 1024) this IS the fixed fit — same shared artifact,
+    * bit-identical assignments. The count() here is scalar planning
+    * (picks K), not a data collect. */
+  private def kmeansScaledShared(s: SparkSession, d: String)
+      : (Int, DataFrame, DataFrame) = {
     val n = shared(s, d, "nvecs") {
       java.lang.Long.valueOf(vecsShared(s, d).count())
     }.longValue()
@@ -710,7 +724,7 @@ object SimQueries {
         val (c, a) = kmeansFitAt(vecsShared(s, d), seedMax = 25L * k)
         (c, a.graftBarrier)
       }
-    ivfSearch(vecsShared(s, d), c2, asg, nprobe = nprobeOf(k))
+    (k, c2, asg)
   }
 
   /** `max(16, ⌈√n / 2⌉)` — the occupancy-scaled cell count. */
@@ -984,19 +998,18 @@ object SimQueries {
     * (same shared artifact, bit-identical answers — the sf0.01 oracle
     * regime). */
   private[graft] def semPairsScaled(s: SparkSession, d: String,
-      tau: Double): DataFrame = {
-    val n = shared(s, d, "nvecs") {
-      java.lang.Long.valueOf(vecsShared(s, d).count())
-    }.longValue()
-    val k = ivfK(n)
-    val (_, asg) =
-      if (k == 16) kmeansShared(s, d)
-      else shared(s, d, s"kmeans-k$k") {
-        val (c, a) = kmeansFitAt(vecsShared(s, d), seedMax = 25L * k)
-        (c, a.graftBarrier)
-      }
-    semPairsOn(s, d, asg, tau)
-  }
+      tau: Double): DataFrame =
+    semPairsOn(s, d, kmeansScaledShared(s, d)._3, tau)
+
+  /** CC clusters over the occupancy-scaled pair set at the registered
+    * tau — the scaled twin of [[semClustersShared]], shared by the
+    * registered scaled tier (build-once, like the fit itself). */
+  private def semClustersScaledShared(s: SparkSession, d: String)
+      : DataFrame =
+    shared(s, d, "semclusters-scaled") {
+      graft.graph.GraphOps.connectedComponents(
+        semPairsScaled(s, d, tau = 0.4)).graftBarrier
+    }
 
   private def semPairsOn(s: SparkSession, d: String, asg: DataFrame,
       tau: Double): DataFrame = {
@@ -1036,6 +1049,31 @@ object SimQueries {
     val (_, asg) = kmeansShared(s, d)
     val cc = if (tau == 0.4) semClustersShared(s, d)
              else semClustersAt(s, d, tau)
+    semDedupOut(s, d, asg, cc)
+  }
+
+  /** The occupancy-scaled SemDeDup tier (VERDICT r18 next #1): the
+    * SAME grouping semantics as [[dedupSemantic]] but over the
+    * K = [[ivfK]](n) ∝ √n fit the composed pipeline already rides
+    * ([[semPairsScaled]]) — within-cell pair work bounded at ~2n^1.5
+    * instead of the fixed K = 16 fit's Σk² ≈ n²/16 (quadratic at any
+    * scale; ~2.5 B candidate dots at the 100× replica). This is the
+    * production tier at corpus scale; the fixed-fit query stays
+    * registered as the oracle-pinned K = 16 reference, exactly the
+    * q_sim_ann_ivf → _scaled precedent. `kcluster` reports the scaled
+    * fit's cell, so the oracle checks the fit itself, not just the
+    * grouping. Below the ivfK floor (n ≤ 1024) the two tiers are
+    * bit-identical by construction. */
+  def dedupSemanticScaled(s: SparkSession, d: String): DataFrame =
+    semDedupOut(s, d, kmeansScaledShared(s, d)._3,
+      semClustersScaledShared(s, d))
+
+  /** Output shape shared by the fixed-fit and scaled tiers: label
+    * every embedding with its component rep (singletons label
+    * themselves via the left join), attach group size + the fit's
+    * cell, keeper = min vec_id. */
+  private def semDedupOut(s: SparkSession, d: String, asg: DataFrame,
+      cc: DataFrame): DataFrame = {
     val sem = Tables.embeddings(s, d).select(col("vec_id"))
       .join(cc, col("vec_id") === col("node"), "left")
       .select(col("vec_id"),
@@ -1083,7 +1121,19 @@ object SimQueries {
       |  JOIN n2 y ON y.vec_id = d.v2
       |  WHERE round((d.dot / 1e12) / (x.nrm * y.nrm), 6) >= 0.4)""".stripMargin
 
-  private val dedupSemanticSql = s"WITH RECURSIVE $semPairCtes," +
+  private val dedupSemanticSql =
+    s"WITH RECURSIVE $semPairCtes,$semDedupSqlTail"
+
+  private val dedupSemanticScaledSql =
+    s"WITH RECURSIVE $semPairCtesScaled,$semDedupSqlTail"
+
+  /** Grouping + output tail shared by the fixed and scaled SemDeDup
+    * oracles (appended after a pair chain ending in sedges0/a2): the
+    * recursive min-label flooding is fine here because within-cell
+    * cosine components are small at the oracle gates — the composed
+    * pipeline's oracle, whose exact tier builds giant clusters, uses
+    * the unrolled propagate+jump instead. */
+  private lazy val semDedupSqlTail: String =
     """
       |sedges AS (SELECT v1 AS a, v2 AS b FROM sedges0
       |           UNION SELECT v2 AS a, v1 AS b FROM sedges0),
@@ -1559,6 +1609,8 @@ object SimQueries {
     QueryDef("q_sim_ann_ivf_scaled", simAnnIvfScaled,
       Some(simAnnIvfScaledSql)),
     QueryDef("q_dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
+    QueryDef("q_dedup_semantic_scaled", dedupSemanticScaled,
+      Some(dedupSemanticScaledSql)),
     QueryDef("q_emb_quantize", embQuantize, Some(embQuantizeSql)),
     QueryDef("q_emb_pq", embPq, Some(embPqSql)),
     QueryDef("q_sim_ann_pq", simAnnPq, Some(simAnnPqSql)),

@@ -87,8 +87,20 @@ object DedupPipeline {
     //    scale (the 100× replica measured the pipeline living in that
     //    join); K ∝ √n bounds it at ~2n^1.5. Identical to the fixed
     //    fit below the ivfK floor (n ≲ 1k — the oracle-gate regime).
+    //    Endpoints are semi-joined against documents BEFORE CC: the
+    //    testdata contract says vec_id ⊆ doc_id, but if it were ever
+    //    violated the oracle's CC (labels initialized from documents
+    //    only) would ignore the foreign node while Spark's CC would
+    //    let it become a cluster rep (no doc satisfies doc_id = rep →
+    //    the whole cluster silently dropped with no keeper) or
+    //    transitively bridge two doc clusters. Both semi-join sides
+    //    key on the id; the edge side is candidate-bounded, so AQE
+    //    broadcasts it against the pruned doc_id scan on a cluster.
+    val docIds = Tables.documents(s, d).select(col("doc_id"))
     val sem = graft.sim.SimQueries.semPairsScaled(s, d, tau = 0.4)
       .select(col("v1").as("d1"), col("v2").as("d2"))
+      .join(docIds.select(col("doc_id").as("d1")), Seq("d1"), "left_semi")
+      .join(docIds.select(col("doc_id").as("d2")), Seq("d2"), "left_semi")
 
     // 4) one CC pass over the union — CC canonicalizes, dedups and
     //    eagerly pins the edge set itself
@@ -120,8 +132,18 @@ object DedupPipeline {
         col("cluster_size").cast("long").as("cluster_size"),
         (col("doc_id") === col("rep")).as("keep"),
         col("n_tokens"),
-        coalesce(col("n_kept"), lit(-1L)).cast("long").as("n_kept"),
-        coalesce(col("clean_hash"), lit("")).as("clean_hash"))
+        // sentinels gated on keep, mirroring the oracle's CASE: a
+        // survivor missing its span row reports 0/md5('') (span of an
+        // empty doc), only NON-survivors carry -1/''. Today
+        // spanDedupOn emits one row per survivor so the coalesce
+        // branch never fires, but an ungated coalesce(-1) would
+        // silently diverge from the oracle if that ever changed.
+        when(col("doc_id") === col("rep"),
+          coalesce(col("n_kept"), lit(0L))).otherwise(lit(-1L))
+          .cast("long").as("n_kept"),
+        when(col("doc_id") === col("rep"),
+          coalesce(col("clean_hash"), md5(lit(""))))
+          .otherwise(lit("")).as("clean_hash"))
       .orderBy("doc_id")
   }
 
@@ -146,8 +168,11 @@ object DedupPipeline {
     * fail the driver's hash gate loudly. Labels stay within the
     * `documents` id set (initialization), so the inner jump join is
     * total; edge endpoints outside `documents` (no `vec_id ⊆ doc_id`
-    * alignment) never label anything — the same contract the Spark
-    * side's left join enforces. */
+    * alignment) never label anything, never become reps and never
+    * bridge — the same contract the Spark side enforces by
+    * semi-joining the semantic edge endpoints against `documents`
+    * BEFORE its CC pass (a left join after CC would only hide foreign
+    * rows from the output, not stop them relabeling clusters). */
   private def ccCtes(rounds: Int): String = {
     val sb = new StringBuilder(
       "pl0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM documents)")

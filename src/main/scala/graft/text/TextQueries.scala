@@ -88,11 +88,16 @@ object TextQueries {
     * stays the oracle-pinned k=3; corpora dominated by small edits
     * should dial k=2 knowingly. */
   def dedupMinhashAt(s: SparkSession, d: String, seeds: Int,
-      rowsPerBand: Int, shingleK: Int = 3): DataFrame =
+      rowsPerBand: Int, shingleK: Int = 3): DataFrame = {
+    require(shingleK >= 2,
+      s"dedup_minhash: shingleK must be >= 2 (a 1-gram 'shingle' is " +
+        s"a bag-of-words test, and the oracle CTE builder cannot " +
+        s"express it), got $shingleK")
     (if (seeds == 8 && rowsPerBand == 2 && shingleK == 3)
        minhashPairsShared(s, d)
      else minhashPairsAt(s, d, seeds, rowsPerBand, shingleK))
       .orderBy("d1", "d2")
+  }
 
   /** Package access to the shared verified pair set (tools/CcProbe and
     * the composed [[DedupPipeline]]). */
@@ -188,6 +193,8 @@ object TextQueries {
     * construction depends on k; the signature/band/verify chain is
     * k-independent. */
   private[graft] def minhashPairsCtesAt(k: Int): String = {
+    require(k >= 2, s"minhashPairsCtesAt: k must be >= 2 — k = 1 " +
+      s"would emit the dangling invalid prefix \"w || ' ' || \", got $k")
     val shingle = (1 until k).map(i => s"lead(w, $i) OVER win")
       .mkString("w || ' ' || ", " || ' ' || ", "")
     s"""tok AS (

@@ -16,15 +16,9 @@ import json
 import sys
 
 
-def prelaunch_of(r):
-    """Pre-JVM loadavg of every contributing run. ADVICE r17: when an
-    input artifact predates the field, a bare [null] reads as idle-gate
-    evidence that is actually absent — emit an explicit marker."""
-    if r.get("loadavg_prelaunch_runs"):
-        return r["loadavg_prelaunch_runs"]
-    if r.get("loadavg_prelaunch") is not None:
-        return [r["loadavg_prelaunch"]]
-    return "unrecorded"
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from bench_common import prelaunch_of
 
 # name -> (budget_ratio, reason). Default budget mirrors mk_bench_sf1:
 # 12x for 10x data, flag needs big >= 2 s.
