@@ -27,6 +27,47 @@ object Bench {
     require(!outName.contains("BENCH_FULL"),
       "Bench never writes BENCH_FULL.json — min-merge raw runs via " +
         "tools/min_merge_bench.py instead")
+    // ---- idle gate (VERDICT r18 next #3): BENCH_r18.json was captured
+    // at loadavg 3.3–12.3 and overstated the suite ~45% vs the same
+    // code idle-gated, poisoning round-over-round comparison. The gate
+    // lives HERE — not only in the wrapper — so the per-round driver
+    // artifact gets the discipline the merge tools already enforce on
+    // their inputs: before the 32-thread warm-up taints the figure,
+    // poll the 1-min loadavg until it falls under the merge tools'
+    // strict prelaunch bound (< 2.0) or the bounded wait elapses, then
+    // record the post-gate reading as loadavg_prelaunch plus the gate
+    // trace (initial load, seconds waited, timed_out). A timed-out
+    // gate still runs — but the artifact then FLAGS its own weather
+    // instead of impersonating an idle measurement.
+    def loadavgNow(): Option[String] =
+      try Some(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim
+        .split(" ").take(3).mkString(" "))
+      catch { case _: Throwable => None }
+    val gateMax = sys.env.getOrElse("SPARK_GRAFT_IDLE_MAX", "2.0").toDouble
+    val gateWaitMax = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT", "600").toInt
+    val gateT0 = sys.env.get("SPARK_GRAFT_LOADAVG_T0").map { v =>
+      // shape-validated (digits/dots/spaces, ADVICE r14) and FAIL-FAST:
+      // the value is spliced into JSON verbatim, and a silently-dropped
+      // malformed value would let the mk_bench_* hygiene guards fall
+      // back to the lenient loadavg_start check, quietly admitting
+      // contended runs as scale evidence
+      require(v.matches("[0-9. ]{1,40}"),
+        s"SPARK_GRAFT_LOADAVG_T0 must be loadavg-shaped " +
+          s"(digits/dots/spaces), got '${v.take(60)}'")
+      v
+    }.orElse(loadavgNow())
+    def oneMin(s: String): Option[Double] =
+      s.split(" ").headOption.flatMap(_.toDoubleOption)
+    var gateWaited = 0
+    while (gateWaitMax > 0 &&
+        loadavgNow().flatMap(oneMin).exists(_ > gateMax) &&
+        gateWaited < gateWaitMax) {
+      Thread.sleep(10000)
+      gateWaited += 10
+    }
+    val gatePost = loadavgNow().orElse(gateT0)
+    val gateTimedOut = gatePost.flatMap(oneMin).exists(_ > gateMax)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -97,23 +138,18 @@ object Bench {
         .split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "unavailable" }
     val loadStart = loadavg()
-    // machine load BEFORE this JVM started (set by tools/run_bench.sh):
-    // loadStart above is read after ~30 s of 32-thread warm-up, which
-    // alone lifts the 1-min figure to ~2-4 on an idle box — the
-    // pre-launch number is the one that actually measures co-tenancy.
-    // Shape-validated (digits/dots/spaces only, ADVICE r14) and
-    // FAIL-FAST on mismatch: the value is spliced into JSON verbatim,
-    // so a quote would corrupt the artifact — but silently DROPPING a
-    // malformed value would be worse: the mk_bench_* hygiene guards
-    // fall back from the strict prelaunch < 2.0 bound to the lenient
-    // loadavg_start < 8 check when the field is absent, quietly
-    // admitting contended runs as scale evidence. A wrapper exporting
-    // a bad shape is a wrapper to fix, not to tolerate.
-    val loadPre = sys.env.get("SPARK_GRAFT_LOADAVG_T0").map { v =>
-      require(v.matches("[0-9. ]{1,40}"),
-        s"SPARK_GRAFT_LOADAVG_T0 must be loadavg-shaped " +
-          s"(digits/dots/spaces), got '${v.take(60)}'")
-      s""""loadavg_prelaunch":"$v","""
+    // machine load BEFORE this JVM's 32-thread warm-up: loadStart
+    // above is read after ~30 s of warm-up, which alone lifts the
+    // 1-min figure to ~2–4 on an idle box — the pre-warm-up number is
+    // the one that actually measures co-tenancy. The published figure
+    // is the POST-GATE reading (the load the measured passes actually
+    // started under); the gate trace keeps the initial reading so a
+    // reader can see what the gate absorbed.
+    val loadPre = gatePost.map { v =>
+      s""""loadavg_prelaunch":"$v",""" +
+        s""""idle_gate":{"t0":"${gateT0.getOrElse("unavailable")}",""" +
+        s""""max":$gateMax,"waited_sec":$gateWaited,""" +
+        s""""timed_out":$gateTimedOut},"""
     }.getOrElse("")
     // optional subset (comma-separated names): scale probes bench the
     // expensive tail without paying the whole suite at every factor

@@ -523,21 +523,30 @@ object DedupQualityProbe {
     // semantic tier: plant grouped with its source vector, per plant
     // type — embed_nudge (cosine ≈ 1) and PARAPHRASE (cosine ≈ 0.958,
     // the plant the text tiers measurably miss; see plantCorpus)
-    val sem = q("q_dedup_semantic")(s, scratch)
-      .select(col("vec_id"), col("sem_rep")).localCheckpoint(true)
-    val semHit = embPlants
-      .join(sem.select(col("vec_id").as("src_vec"),
-        col("sem_rep").as("rep_s")), "src_vec")
-      .join(sem.select(col("vec_id").as("plant_vec"),
-        col("sem_rep").as("rep_p")), "plant_vec")
-      .filter(col("rep_s") === col("rep_p"))
-      .groupBy("typ").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val semTot = embPlants.groupBy("typ").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val semLine = TierLine("semantic",
-      Seq("embed_nudge", "paraphrase").map(t =>
-        (t, semTot.getOrElse(t, 0L), semHit.getOrElse(t, 0L))), None)
+    def semTier(label: String, qname: String): TierLine = {
+      val sem = q(qname)(s, scratch)
+        .select(col("vec_id"), col("sem_rep")).localCheckpoint(true)
+      val semHit = embPlants
+        .join(sem.select(col("vec_id").as("src_vec"),
+          col("sem_rep").as("rep_s")), "src_vec")
+        .join(sem.select(col("vec_id").as("plant_vec"),
+          col("sem_rep").as("rep_p")), "plant_vec")
+        .filter(col("rep_s") === col("rep_p"))
+        .groupBy("typ").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val semTot = embPlants.groupBy("typ").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      TierLine(label,
+        Seq("embed_nudge", "paraphrase").map(t =>
+          (t, semTot.getOrElse(t, 0L), semHit.getOrElse(t, 0L))), None)
+    }
+    val semLine = semTier("semantic", "q_dedup_semantic")
+    // the occupancy-scaled tier (VERDICT r18 next #1 done-criterion:
+    // it must not LOSE the fixed fit's paraphrase detection) — at the
+    // sf0.1 probe corpus n > 1024 so K > 16 and this genuinely grades
+    // the scaled quantizer, not the shared floor fit
+    val semScaledLine =
+      semTier("semantic_scaled", "q_dedup_semantic_scaled")
 
     // the composed pipeline, on its own ALIGNED corpus (same docs,
     // vec_id == doc_id embeddings — see plantPipelineCorpus)
@@ -546,7 +555,7 @@ object DedupQualityProbe {
     val pipeLine = pipelineLine(s, scratch2, plants)
 
     (Seq(exLine, mhLine, mhK2Line, shLine, ngLine, ngDfLine, spLine,
-      semLine, pipeLine),
+      semLine, semScaledLine, pipeLine),
       minhashDial(s, scratch, plants))
   }
 
