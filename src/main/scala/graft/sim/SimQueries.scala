@@ -1132,10 +1132,18 @@ object SimQueries {
     * recursive min-label flooding is fine here because within-cell
     * cosine components are small at the oracle gates — the composed
     * pipeline's oracle, whose exact tier builds giant clusters, uses
-    * the unrolled propagate+jump instead. */
+    * the unrolled propagate+jump instead. `sedges` MUST be
+    * MATERIALIZED: a plain CTE referenced from inside the recursive
+    * sreach is re-inlined PER ITERATION, recomputing the whole
+    * upstream k-means + within-cell-pair chain each round — survivable
+    * at the fixed K = 16 chain's ~20 M intermediate rows, but the
+    * scaled K(20k) = 71 chain re-derives ~91 M-row distance joins per
+    * iteration and spilled DuckDB past the machine's disk at the 10×
+    * replica (measured r19: >44 GB and climbing before the kill). */
   private lazy val semDedupSqlTail: String =
     """
-      |sedges AS (SELECT v1 AS a, v2 AS b FROM sedges0
+      |sedges AS MATERIALIZED (
+      |           SELECT v1 AS a, v2 AS b FROM sedges0
       |           UNION SELECT v2 AS a, v1 AS b FROM sedges0),
       |sreach AS (
       |  SELECT vec_id AS node, vec_id AS lbl FROM embeddings
