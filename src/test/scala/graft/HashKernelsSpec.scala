@@ -413,4 +413,17 @@ class HashKernelsSpec extends AnyFunSuite {
         s"vec $v: tau=0.7 group not contained in its tau=0.4 group")
     }
   }
+
+  test("q_dedup_semantic_scaled == q_dedup_semantic below the ivfK " +
+    "floor (n <= 1024 => K = 16, the shared fixed fit — the scaled " +
+    "tier's bit-identical-at-small-n claim, pinned)") {
+    // SparkTestBase.sf is sf0.001 (50 vectors), deep under the floor:
+    // kmeansScaledShared resolves to the SAME shared K=16 artifact,
+    // so the two registered queries must agree row-for-row
+    val fixed = sim.SimQueries.dedupSemantic(spark, SparkTestBase.sf)
+      .collect().map(_.toString).toSeq
+    val scaled = sim.SimQueries.dedupSemanticScaled(spark, SparkTestBase.sf)
+      .collect().map(_.toString).toSeq
+    assert(scaled == fixed)
+  }
 }
