@@ -141,6 +141,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("span_clean"), p.take(4000))
   }
 
+  test("q_dedup_semantic_scaled: post-barrier consumer plan — no " +
+    "cartesian/nested-loop join, bounded exchanges (the scaled fit " +
+    "and CC clusters are barrier-pinned build-once artifacts, so the " +
+    "plan pinned here is labeling + sizes + fit join + sort)") {
+    val c = counts("q_dedup_semantic_scaled")
+    val p = planOf("q_dedup_semantic_scaled")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // measured 9 exchanges / 4 static smj (labeling left join + size
+    // join + fit join + presentation sort; AQE broadcasts the
+    // candidate-bounded sides at runtime). Ceilings, not pins.
+    assert(c("exchanges") <= 10, c.toString)
+    assert(c("smj") <= 5, c.toString)
+    assert(c("window") == 0, c.toString)
+  }
+
   test("q_dedup_simhash: the r12 adaptive common path — plain gather " +
     "kernel plan with NO window and no segment-cell join on a " +
     "sub-cap corpus") {
