@@ -34,7 +34,7 @@ object Bench {
     // artifact gets the discipline the merge tools already enforce on
     // their inputs: before the 32-thread warm-up taints the figure,
     // poll the 1-min loadavg until it falls under the merge tools'
-    // strict prelaunch bound (< 2.0) or the bounded wait elapses, then
+    // strict prelaunch bound (< 1.1) or the bounded wait elapses, then
     // record the post-gate reading as loadavg_prelaunch plus the gate
     // trace (initial load, seconds waited, timed_out). A timed-out
     // gate still runs — but the artifact then FLAGS its own weather
@@ -44,11 +44,12 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).trim
         .split(" ").take(3).mkString(" "))
       catch { case _: Throwable => None }
-    // default sits UNDER the merge tools' strict `< 2.0` input bound:
-    // a gate releasing at exactly 2.00 produced a run the skew merge
-    // then refused (measured r19) — the gate must be tighter than the
-    // downstream acceptance test, not equal to it
-    val gateMax = sys.env.getOrElse("SPARK_GRAFT_IDLE_MAX", "1.9").toDouble
+    // default sits UNDER the STRICTEST downstream acceptance bound:
+    // mk_bench_scale/sf1/skew demand < 1.1 on every contributing run's
+    // prelaunch loadavg (ADVICE r19 — the old 1.9 default produced
+    // full, expensive runs the scale merges then refused). The gate
+    // must be tighter than the tightest consumer, not just < 2.0.
+    val gateMax = sys.env.getOrElse("SPARK_GRAFT_IDLE_MAX", "1.0").toDouble
     val gateWaitMax = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT", "600").toInt
     val gateT0 = sys.env.get("SPARK_GRAFT_LOADAVG_T0").map { v =>
       // shape-validated (digits/dots/spaces, ADVICE r14) and FAIL-FAST:

@@ -23,7 +23,7 @@ import sys
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-from bench_common import prelaunch_of
+from bench_common import prelaunch_of, assert_idle
 
 # name -> (budget_ratio_fn(factor), reason)
 OVERRIDES = {
@@ -60,21 +60,14 @@ def main():
         # 1-min figure to ~2-4 on an idle box, so its fallback bound is
         # lenient — it exists to catch co-tenant storms (15+), not
         # self-warmup. GRAFT_BENCH_ALLOW_LOAD=1 overrides (debug only).
-        import os
         # VERDICT r16 next #3: the BENCH_FULL idle discipline (< 1.1)
         # applies to the replica ratio runs too — r16's 100x ratio rose
         # 5.28 -> 6.41 on UNCHANGED plans purely from run conditions.
         # For min-merged inputs every contributing run must be idle.
-        pres = [r.get("loadavg_prelaunch")]
-        if r.get("loadavg_prelaunch_runs"):
-            pres = r["loadavg_prelaunch_runs"]
-        if all(p is not None for p in pres):
-            ok = all(float(str(p).split()[0]) < 1.1 for p in pres)
-        else:
-            ok = float(str(r.get("loadavg_start", "0")).split()[0]) < 8.0
-        assert ok or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
-            f"{name} artifact started under load (prelaunch={pres!r}, " \
-            f"start={r.get('loadavg_start')!r}); re-run on an idle machine"
+        # ADVICE r19: guard hoisted into bench_common.assert_idle so
+        # runs-key presence uses the SAME is-not-None rule as
+        # prelaunch_of provenance.
+        assert_idle(name, r, pre_bound=1.1)
     qa, qb = big["queries"], base["queries"]
     rows = {}
     flagged = []

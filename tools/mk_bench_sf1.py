@@ -17,7 +17,7 @@ import sys
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-from bench_common import prelaunch_of
+from bench_common import prelaunch_of, assert_idle
 
 a = json.load(open(sys.argv[1]))  # 10x
 b = json.load(open(sys.argv[2]))  # sf0.1
@@ -33,16 +33,11 @@ assert not a.get("subset") and not b.get("subset"), \
 # JVM starts; must be near-idle); loadavg_start is self-inflated by the
 # in-JVM warm-up, so its fallback bound is lenient and only catches
 # co-tenant storms. GRAFT_BENCH_ALLOW_LOAD=1 overrides (debug only).
-import os
+# r20: shared guard (bench_common.assert_idle) — the old scalar-only
+# copy here ignored a min-merged input's per-run list, so one contended
+# contributing run could slip through.
 for name, r in (("10x", a), ("base", b)):
-    pre = r.get("loadavg_prelaunch")
-    if pre is not None:
-        ok = float(str(pre).split()[0]) < 2.0
-    else:
-        ok = float(str(r.get("loadavg_start", "0")).split()[0]) < 8.0
-    assert ok or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
-        f"{name} artifact started under load (prelaunch={pre!r}, " \
-        f"start={r.get('loadavg_start')!r}); re-run on an idle machine"
+    assert_idle(name, r, pre_bound=2.0)
 qa, qb = a["queries"], b["queries"]
 rows = {}
 flagged = []

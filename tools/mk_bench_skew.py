@@ -18,7 +18,7 @@ import sys
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-from bench_common import prelaunch_of
+from bench_common import prelaunch_of, assert_idle
 
 # name -> (budget_ratio, reason). Default budget mirrors mk_bench_sf1:
 # 12x for 10x data, flag needs big >= 2 s.
@@ -96,15 +96,9 @@ def main():
         # 1-min figure to ~2-4 on an idle box, so its fallback bound is
         # lenient — it exists to catch co-tenant storms (15+), not
         # self-warmup. GRAFT_BENCH_ALLOW_LOAD=1 overrides (debug only).
-        import os
-        pre = r.get("loadavg_prelaunch")
-        if pre is not None:
-            ok = float(str(pre).split()[0]) < 2.0
-        else:
-            ok = float(str(r.get("loadavg_start", "0")).split()[0]) < 8.0
-        assert ok or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
-            f"{name} artifact started under load (prelaunch={pre!r}, " \
-            f"start={r.get('loadavg_start')!r}); re-run on an idle machine"
+        # r20: shared guard (bench_common.assert_idle) — the old
+        # scalar-only copy ignored a min-merged input's per-run list.
+        assert_idle(name, r, pre_bound=2.0)
     # the probe numbers ARE the point: refuse to publish an artifact
     # whose replica did not actually cross the caps
     for fam in ("simhash", "ngram", "lsh"):
