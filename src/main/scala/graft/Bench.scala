@@ -79,6 +79,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's byte-based coalescing floor: the 1m default collapsed
+      // every kernel tier's post-shuffle stages to ONE task at bench
+      // scale (15 MB of sf0.1 text / 32 < 1 MB), serializing ~20M-op
+      // kernel stages — the k2 minhash tier measured 13.9 s where the
+      // DuckDB oracle needs 0.2 s, all in tasks=1 stages (r20 stage
+      // listener). 16k keeps parallelism-first coalescing honest for
+      // compute-heavy narrow rows; at replica/cluster byte sizes the
+      // floor is never the binding constraint.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "16k"))
       .config("spark.graft.barrier", barrier)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -23,6 +23,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep kernel stages parallel under AQE coalescing at fixture
+      // byte sizes (rationale in Bench.scala — same session contract)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "16k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -105,6 +105,72 @@ object MinHashDocBanded {
   }
 }
 
+/** `shingles_k(text, k)` — the shingle-extraction half of
+  * `minhash_doc_banded` on its own: distinct word-k-gram shingles in
+  * first-occurrence order. The DF-filtered minhash tier (r20) censuses
+  * these, drops chrome, and only THEN computes signatures — a fused
+  * text→signature kernel cannot express a corpus-dependent shingle
+  * filter. */
+case class ShinglesK(child: Expression, shingleK: Int)
+    extends UnaryExpression {
+  require(shingleK >= 1 && shingleK <= 16,
+    s"shingles_k: k must be in [1, 16], got $shingleK")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles_k"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.shinglesKRow(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      shingleK)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.shinglesKRow(" +
+        s"$c, $shingleK);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** `minhash_banded_from(shingles, seeds, rows_per_band)` — the
+  * signature/band half of `minhash_doc_banded` over a GIVEN shingle
+  * array (post-DF-filter). Byte-identical band keys to the fused
+  * kernel on the same shingle set. */
+case class MinHashBandedFrom(child: Expression, seeds: Int,
+    rowsPerBand: Int) extends UnaryExpression {
+  require(seeds >= 1 && seeds <= 64,
+    s"minhash_banded_from: seeds must be in [1, 64], got $seeds")
+  require(rowsPerBand >= 1 && seeds % rowsPerBand == 0,
+    s"minhash_banded_from: rows_per_band ($rowsPerBand) must divide " +
+      s"seeds ($seeds)")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_banded_from"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"minhash_banded_from expects array<string>, got " +
+          s"${t.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashBandedFromRow(
+      input.asInstanceOf[ArrayData], seeds, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.minhashBandedFromRow(" +
+        s"$c, $seeds, $rowsPerBand);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** Shared plan-time literal extraction for the parameterized
   * functions: a Long literal narrows via toIntExact, so an
   * out-of-range value that would WRAP into the valid range fails
@@ -938,6 +1004,14 @@ object GraftFunctions {
       es => MinHashDoc(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_doc_banded",
       es => MinHashDocBanded.build(es), "scala_udf")
+    reg.createOrReplaceTempFunction("shingles_k",
+      es => ShinglesK(es.head,
+        LiteralArg.int("shingles_k", es(1), "k")), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_banded_from",
+      es => MinHashBandedFrom(es.head,
+        LiteralArg.int("minhash_banded_from", es(1), "seeds"),
+        LiteralArg.int("minhash_banded_from", es(2), "rows_per_band")),
+      "scala_udf")
     reg.createOrReplaceTempFunction("min_fingerprint",
       es => MinFingerprint(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("ngram5_count",

@@ -161,8 +161,21 @@ object HashKernels {
     * the registered tier stays at the oracle-pinned k=3. */
   def minhashDocBanded(text: String, seeds: Int, rowsPerBand: Int,
       shingleK: Int): (Array[String], Array[String]) = {
+    val sh = shinglesK(text, shingleK)
+    if (sh.isEmpty) return (Array.empty, Array.empty)
+    (sh, bandedFromShingles(sh, seeds, rowsPerBand))
+  }
+
+  /** Distinct word-k-gram shingle array (first-occurrence order) — the
+    * shingle-extraction half of [[minhashDocBanded]], exposed on its
+    * own so the DF-filtered minhash tier can census/de-chrome the
+    * shingle sets BEFORE the signature is computed (r20: signatures
+    * over chrome-bearing sets put every chrome doc in the same band
+    * bucket — the k2 tier's measured 29.3× skew tail). Fewer than k
+    * words → empty array (caller filters). */
+  def shinglesK(text: String, shingleK: Int): Array[String] = {
     val ws = tokens(text)
-    if (ws.length < shingleK) return (Array.empty, Array.empty)
+    if (ws.length < shingleK) return Array.empty
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
     while (i <= ws.length - shingleK) {
@@ -172,18 +185,55 @@ object HashKernels {
       seen.add(sb.toString)
       i += 1
     }
-    val sh = seen.toArray(new Array[String](seen.size))
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** The signature/band half of [[minhashDocBanded]]: `seeds`-hash
+    * string-min MinHash signature + banded bucket keys over a GIVEN
+    * shingle array. Byte-identical to the fused kernel's output when
+    * fed the fused kernel's own shingle set (the shingle set is the
+    * only thing the DF tier changes). Empty input → empty bkeys.
+    *
+    * Hot-loop discipline ported from [[fingerprint]] (r20: this loop
+    * was the measured top cost of the k2 tier — 3.4 of its 10.7 s at
+    * sf0.1, ~20M digests each paying a concat String, a UTF-8 encode,
+    * a fresh digest array, a 32-char hex encode and a String compare):
+    * each shingle's UTF-8 bytes are encoded ONCE, every seed digests
+    * prefix-bytes + shingle-bytes into a reused 16-byte buffer, and
+    * the per-seed running minimum is raw digest bytes compared
+    * UNSIGNED — the identical total order to the hex-string compare
+    * (hex encoding is monotonic in unsigned byte order) — with only
+    * the `seeds` winners hex-encoded at the end. */
+  def bandedFromShingles(sh: Array[String], seeds: Int,
+      rowsPerBand: Int): Array[String] = {
+    if (sh.isEmpty) return Array.empty
+    val md = md5tl.get()
+    val shBytes = new Array[Array[Byte]](sh.length)
+    var j = 0
+    while (j < sh.length) {
+      shBytes(j) = sh(j).getBytes(StandardCharsets.UTF_8)
+      j += 1
+    }
     val mhs = new Array[String](seeds)
+    var cur = new Array[Byte](16)
+    var min = new Array[Byte](16)
     var k = 0
     while (k < seeds) {
-      var min: String = null
-      var j = 0
+      val prefix = (k.toString + ":").getBytes(StandardCharsets.UTF_8)
+      var haveMin = false
+      j = 0
       while (j < sh.length) {
-        val h = md5hex(k.toString + ":" + sh(j))
-        if (min == null || h.compareTo(min) < 0) min = h
+        md.reset()
+        md.update(prefix)
+        md.update(shBytes(j))
+        md.digest(cur, 0, 16)
+        if (!haveMin || unsignedLess(cur, min)) {
+          val t = min; min = cur; cur = t
+          haveMin = true
+        }
         j += 1
       }
-      mhs(k) = min
+      mhs(k) = hex16(min)
       k += 1
     }
     val nBands = seeds / rowsPerBand
@@ -199,7 +249,7 @@ object HashKernels {
       bkeys(band) = md5hex(sb.toString)
       band += 1
     }
-    (sh, bkeys)
+    bkeys
   }
 
   def minhashDocRow(text: UTF8String): InternalRow = {
@@ -216,6 +266,20 @@ object HashKernels {
     new GenericInternalRow(Array[Any](
       new GenericArrayData(sh.map(UTF8String.fromString(_: String))),
       new GenericArrayData(bkeys.map(UTF8String.fromString(_: String)))))
+  }
+
+  def shinglesKRow(text: UTF8String, shingleK: Int): GenericArrayData =
+    new GenericArrayData(shinglesK(text.toString, shingleK)
+      .map(UTF8String.fromString(_: String)))
+
+  def minhashBandedFromRow(sh: org.apache.spark.sql.catalyst.util.ArrayData,
+      seeds: Int, rowsPerBand: Int): GenericArrayData = {
+    val n = sh.numElements()
+    val arr = new Array[String](n)
+    var i = 0
+    while (i < n) { arr(i) = sh.getUTF8String(i).toString; i += 1 }
+    new GenericArrayData(bandedFromShingles(arr, seeds, rowsPerBand)
+      .map(UTF8String.fromString(_: String)))
   }
 
   /** Lexicographic-min md5 over all char 8-grams (whole text when

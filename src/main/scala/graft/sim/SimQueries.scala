@@ -3,6 +3,7 @@ package graft.sim
 import graft.util.Barrier.BarrierOps
 import graft.QueryDef
 import graft.rel.Tables
+import graft.util.Fanout
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -52,9 +53,9 @@ object SimQueries {
     * (norm² · 1e12 as BIGINT). */
   private def withNorm(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.embeddings(s, d)
+    Fanout.byKey(Tables.embeddings(s, d), col("vec_id"))
       // single parquet split → spread before the vector kernels
-      .repartition(col("vec_id"))
+      // (AQE-exempt explicit count — see Fanout scaladoc)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("n2s", expr(dotScaled("emb", "emb")))

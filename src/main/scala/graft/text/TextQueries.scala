@@ -4,6 +4,7 @@ import graft.util.Barrier.BarrierOps
 import graft.QueryDef
 import graft.rel.Tables
 import graft.util.Det.{ratio6, ratio6Sql}
+import graft.util.Fanout
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -53,11 +54,10 @@ object TextQueries {
   private def docShinglesAt(s: SparkSession, d: String, seeds: Int,
       rowsPerBand: Int, shingleK: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, d)
-      // documents is a single parquet split; spread it so the kernel
-      // runs at full core parallelism — the analog of the reference's
-      // frame-chunk fan-out
-      .repartition(col("doc_id"))
+    Fanout.byKey(Tables.documents(s, d), col("doc_id"))
+      // documents is a single parquet split; Fanout spreads it so the
+      // kernel runs at full core parallelism (AQE-exempt — see Fanout
+      // scaladoc) — the analog of the reference's frame-chunk fan-out
       .select(col("doc_id"),
         expr(s"minhash_doc_banded(text, $seeds, $rowsPerBand, " +
           s"$shingleK)").as("m"))
@@ -157,15 +157,21 @@ object TextQueries {
   /** The verified near-dup PAIR SET (unordered) — shared by the
     * registered pair query above and the cluster query below. */
   private[graft] def minhashPairsAt(s: SparkSession, d: String,
-      seeds: Int, rowsPerBand: Int, shingleK: Int = 3): DataFrame = {
+      seeds: Int, rowsPerBand: Int, shingleK: Int = 3): DataFrame =
     // lineage barrier: without it PushPredicateThroughJoin folds the
     // Jaccard filter into the self-join condition and the optimizer
     // re-derives the shingle/signature arrays per candidate PAIR
     // (interpreted HOFs, O(pairs × doc_len)). The barrier pins one
     // evaluation per doc. At cluster scale this would be a persisted
     // signature table instead of RDD-local blocks.
-    val ds = docShinglesAt(s, d, seeds, rowsPerBand, shingleK)
-      .graftBarrier
+    minhashPairsFromDs(
+      docShinglesAt(s, d, seeds, rowsPerBand, shingleK).graftBarrier)
+
+  /** The band-join + exact-Jaccard-verify tail shared by the fused
+    * tiers and the DF-filtered tier: `ds` must carry (doc_id,
+    * sh: array<string>, bkeys: array<string>), already
+    * barrier-pinned (FOUR consumers read it below). */
+  private def minhashPairsFromDs(ds: DataFrame): DataFrame = {
     val bands = ds.select(col("doc_id"),
       posexplode(col("bkeys")).as(Seq("band", "bkey")))
     val b1 = bands.select(col("doc_id").as("d1"), col("band"), col("bkey"))
@@ -192,8 +198,13 @@ object TextQueries {
     * pair, k2-dial, cluster and pipeline oracles. Only the shingle
     * construction depends on k; the signature/band/verify chain is
     * k-independent. */
-  private[graft] def minhashPairsCtesAt(k: Int): String = {
-    require(k >= 2, s"minhashPairsCtesAt: k must be >= 2 — k = 1 " +
+  private[graft] def minhashPairsCtesAt(k: Int): String =
+    minhashHeadAt(k) + "\n" + minhashPairsCtesTail
+
+  /** The k-dependent shingle-construction head (`tok`, `sh0`) shared
+    * by the fused-tier chains and the DF-filtered chain. */
+  private def minhashHeadAt(k: Int): String = {
+    require(k >= 2, s"minhashHeadAt: k must be >= 2 — k = 1 " +
       s"would emit the dangling invalid prefix \"w || ' ' || \", got $k")
     val shingle = (1 until k).map(i => s"lead(w, $i) OVER win")
       .mkString("w || ' ' || ", " || ' ' || ", "")
@@ -204,15 +215,20 @@ object TextQueries {
       |sh0 AS (
       |  SELECT doc_id,
       |    $shingle AS shingle
-      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),""".stripMargin +
-      "\n" + minhashPairsCtesTail
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),""".stripMargin
   }
 
   private[graft] lazy val minhashPairsCtes: String = minhashPairsCtesAt(3)
 
   private val minhashPairsCtesTail =
-    """shd AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL),
-      |sig AS (
+    "shd AS (SELECT DISTINCT doc_id, shingle FROM sh0 " +
+      "WHERE shingle IS NOT NULL),\n" + minhashTailAfterShd
+
+  /** The k-independent signature/band/verify chain downstream of
+    * `shd`(doc_id, shingle) — shared by the fused-tier tail above and
+    * the DF-filtered tier (whose `shd` drops chrome shingles first). */
+  private lazy val minhashTailAfterShd =
+    """sig AS (
       |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
       |  FROM shd, (SELECT unnest(range(8)) AS seed) seeds
       |  GROUP BY doc_id, seed),
@@ -270,6 +286,103 @@ object TextQueries {
 
   private val dedupMinhashK2Sql =
     s"WITH ${minhashPairsCtesAt(2)}\n" +
+      "SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2"
+
+  // ------------------------------------------------ minhash + DF filter
+
+  /** The de-chromed minhash tier (VERDICT r19 next #1): the k2 dial's
+    * word_swap recall WITH the chrome tail bounded. q_dedup_minhash_k2
+    * is the suite's most expensive query (10.3 s = 18% of sf0.1,
+    * BENCH_FULL r19) and its 29.3× answer-bound skew ratio is
+    * chrome-driven: a shared template's shingles dominate every doc's
+    * min-hash minima, so whole chrome cohorts agree on band keys and
+    * the candidate join walks cohort² pairs whose Jaccard is
+    * template-only. This tier applies the SAME document-frequency
+    * standard as [[dedupNgramDf]] / [[decontaminateDf]] (C4/CCNet:
+    * a feature present in > [[ChromeDfFrac]] of the corpus is
+    * boilerplate) one stage EARLIER than the ngram tier had to — at
+    * the shingle sets, BEFORE signatures exist. That placement fixes
+    * both halves at once: signatures over de-chromed sets no longer
+    * collide on template minima (the blocking tail), and the
+    * exact-Jaccard verify no longer counts template overlap (the
+    * predicate tail). The ngram tier needed a separate de-chromed
+    * fingerprint construction because its blocking key was an
+    * independent min-over-8-grams; here the band keys ARE functions of
+    * the shingle set, so one filter bounds everything downstream.
+    *
+    * Scale shape: the census is one map-side-combinable count over
+    * per-doc DISTINCT shingles, and the hot set is broadcast-safe BY
+    * CONSTRUCTION (> dfFrac·n docs per qualifying shingle ⇒ ≤ L/dfFrac
+    * distinct hot shingles, L = avg shingles/doc — corpus-size
+    * independent). Docs whose every shingle is chrome drop out of the
+    * tier (the C4 convention; the oracle's sig CTE drops them
+    * identically by having no surviving rows). shingleK = 2 keeps the
+    * measured word_swap dial (DEDUP_QUALITY minhash_dial: 0.23 → 1.00)
+    * — this is the PRODUCTION form of the k2 tier, with the fixed-fit
+    * k2 query staying registered as its oracle-pinned reference twin
+    * (the q_sim_ann_ivf → _scaled precedent). */
+  def dedupMinhashDf(s: SparkSession, d: String): DataFrame =
+    minhashDfPairsAt(s, d, shingleK = 2, dfFrac = ChromeDfFrac)
+      .orderBy("d1", "d2")
+
+  /** The tier's unordered verified pair set (presentation sort split
+    * off for composed consumers, the [[ngramDfPairsAt]] idiom). */
+  private[graft] def minhashDfPairsAt(s: SparkSession, d: String,
+      shingleK: Int, dfFrac: Double): DataFrame = {
+    require(dfFrac > 0.0 && dfFrac <= 1.0,
+      s"dedup_minhash_df: dfFrac must be in (0, 1], got $dfFrac")
+    graft.functions.GraftFunctions.register(s)
+    val docs = Fanout.byKey(Tables.documents(s, d), col("doc_id"))
+    val nDocs = memoMaxBucket(s, s"minhash-df-ndocs-$d")(docs.count())
+    // ONE shingle-extraction pass, barrier-pinned: the census and the
+    // de-chromed re-gather both read it (without the barrier the
+    // anti-join's two sides would each re-run the kernel)
+    val rows0 = docs.select(col("doc_id"),
+        expr(s"shingles_k(text, $shingleK)").as("sh0"))
+      .filter(size(col("sh0")) > 0)
+      .graftBarrier
+    val ex = rows0.select(col("doc_id"), explode(col("sh0")).as("g"))
+    val hot = ex.groupBy("g").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") > lit(nDocs * dfFrac))
+      .select("g")
+    // de-chrome via broadcast anti-join + linear re-gather (the
+    // measured ngramDf discipline: array_except against a broadcast
+    // hot array rebuilds the hot hash set per ROW), then compute the
+    // signature from the SURVIVING set — sort_array pins a
+    // deterministic shingle order (collect_list is not ordered;
+    // the signature is order-independent but the verified sh arrays
+    // feed array_intersect and the barrier snapshot should be stable)
+    val ds = ex.join(broadcast(hot), Seq("g"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("g"))).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        expr("minhash_banded_from(sh, 8, 2)").as("bkeys"))
+      .graftBarrier // four consumers in the pair tail
+    minhashPairsFromDs(ds)
+  }
+
+  /** Oracle twin: the k-parameterized shingle head, a DF census over
+    * the distinct per-doc shingle sets, then the SAME k-independent
+    * signature/band/verify tail as the fused tiers — `shd` is the only
+    * stage that changes (hot shingles anti-joined out). */
+  private[graft] def minhashDfCtesAt(k: Int, dfFrac: Double): String =
+    minhashHeadAt(k) + "\n" +
+      s"""shd0 AS (SELECT DISTINCT doc_id, shingle FROM sh0
+        |        WHERE shingle IS NOT NULL),
+        |ndm AS (SELECT count(*) AS n FROM documents),
+        |hotm AS (
+        |  SELECT shingle FROM shd0 GROUP BY shingle
+        |  HAVING count(*) > (SELECT n FROM ndm) * $dfFrac),
+        |shd AS (
+        |  SELECT doc_id, shingle FROM shd0
+        |  WHERE shingle NOT IN (SELECT shingle FROM hotm)),""".stripMargin +
+      "\n" + minhashTailAfterShd
+
+  // lazy: ChromeDfFrac is declared below (object-init order — an eager
+  // val here would interpolate the uninitialized 0.0 into the oracle)
+  private lazy val dedupMinhashDfSql =
+    s"WITH ${minhashDfCtesAt(2, ChromeDfFrac)}\n" +
       "SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2"
 
   // ---------------------------------------------------- dedup clusters
@@ -387,9 +500,8 @@ object TextQueries {
       span: Int): DataFrame = {
     require(span >= 2, s"span_dedup: span must be >= 2, got $span")
     graft.functions.GraftFunctions.register(s)
-    val docs = docs0
-      .select(col("doc_id"), col("arr"))
-      .repartition(col("doc_id"))
+    val docs = Fanout.byKey(
+      docs0.select(col("doc_id"), col("arr")), col("doc_id"))
     // per-window 128-bit fingerprints straight off the token array —
     // the kernel hashes each token once and mixes 5 multiply-adds per
     // window; the r12 form materialized every gram STRING (array_join
@@ -473,8 +585,7 @@ object TextQueries {
     * of md5 hex h: floor(nibble(h, b div 4) / 2^(b mod 4)) mod 2. */
   private def simhashSig(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, d)
-      .repartition(col("doc_id"))
+    Fanout.byKey(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), expr("simhash64(text)").as("sig"))
       .select(col("doc_id"), col("sig.sim_lo").as("sim_lo"),
         col("sig.sim_hi").as("sim_hi"))
@@ -919,7 +1030,7 @@ object TextQueries {
   private[graft] def dedupNgramAt(s: SparkSession, d: String,
       blockCap: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val docs = Tables.documents(s, d).repartition(col("doc_id"))
+    val docs = Fanout.byKey(Tables.documents(s, d), col("doc_id"))
     // ONE pass: blocking key + packed gram set (|grams| rides as the
     // array length — no separate count kernel)
     val rows = docs.select(col("doc_id"),
@@ -1115,7 +1226,7 @@ object TextQueries {
     require(dfFrac > 0.0 && dfFrac <= 1.0,
       s"dedup_ngram_df: dfFrac must be in (0, 1], got $dfFrac")
     graft.functions.GraftFunctions.register(s)
-    val docs = Tables.documents(s, d).repartition(col("doc_id"))
+    val docs = Fanout.byKey(Tables.documents(s, d), col("doc_id"))
     val nDocs = memoMaxBucket(s, s"ngram-df-ndocs-$d")(docs.count())
     val rows0 = docs.select(col("doc_id"),
       floor(length(col("text")) / 100).cast("long").as("lenb"),
@@ -1479,7 +1590,7 @@ object TextQueries {
     * broadcast dimension; scoring is one keyed join + aggregate. */
   def langIdNgram(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val docs = Tables.documents(s, d).repartition(col("doc_id"))
+    val docs = Fanout.byKey(Tables.documents(s, d), col("doc_id"))
     // The lineage barrier holds per-doc gram ARRAYS, not exploded rows
     // (r13): the r12 plan checkpointed the exploded relation — ~400
     // distinct trigrams per doc means corpus × 400 ROWS through the
@@ -1555,8 +1666,7 @@ object TextQueries {
     * one keyed min-aggregation. */
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, d)
-      .repartition(col("doc_id"))
+    Fanout.byKey(Tables.documents(s, d), col("doc_id"))
       // native single-pass kernel (see graft.functions.MinFingerprint)
       .select(col("doc_id"),
         expr("min_fingerprint(text)").as("fingerprint"))
@@ -2078,6 +2188,7 @@ object TextQueries {
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("q_dedup_minhash_k2", dedupMinhashK2, Some(dedupMinhashK2Sql)),
+    QueryDef("q_dedup_minhash_df", dedupMinhashDf, Some(dedupMinhashDfSql)),
     QueryDef("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QueryDef("q_dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     QueryDef("q_dedup_ngram_df", dedupNgramDf, Some(dedupNgramDfSql)),
