@@ -214,15 +214,22 @@ object DedupQualityProbe {
     * tier's verify predicate without its LSH candidate stage (k = 3
     * for the default tier, k = 2 for the registered dial). Pairs
     * via a shared-shingle inverted index (complete for J > 0). */
-  def minhashTruth(uDocs: DataFrame, k: Int = 3): DataFrame = {
+  def minhashTruth(uDocs: DataFrame, k: Int = 3,
+      hot: Option[DataFrame] = None): DataFrame = {
     val parts = (1 to k).map(j => s"element_at(arr, i + $j)")
       .mkString(", ")
-    val sh = uDocs.select(col("doc_id"), explode(array_distinct(expr(
+    val sh0 = uDocs.select(col("doc_id"), explode(array_distinct(expr(
       s"""IF(size(arr) >= $k,
         |  transform(sequence(0, size(arr) - $k), i -> concat_ws(' ',
         |    $parts)),
         |  CAST(array() AS ARRAY<STRING>))""".stripMargin)))
-      .as("sh")).persist()
+      .as("sh"))
+    // DF-filtered variant (r20): the de-chromed tier's predicate is
+    // J ≥ 0.8 over the SURVIVING shingle sets — drop the corpus-hot
+    // shingles before the inverted index, like ngramDfTruth
+    val sh = hot.fold(sh0)(h => sh0.join(
+      broadcast(h.withColumnRenamed("g", "sh")), Seq("sh"),
+      "left_anti")).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.withColumnRenamed("doc_id", "doc2").as("b"),
@@ -238,6 +245,22 @@ object DedupQualityProbe {
     val pinned = out.localCheckpoint(true)
     sh.unpersist(false)
     pinned
+  }
+
+  /** Corpus-wide hot word-k-gram shingle set at the tier's own census
+    * (distinct per-doc shingles, df > ChromeDfFrac·n) — feeds
+    * [[minhashTruth]]'s DF-filtered variant so truth and tier share
+    * the hot definition bit-for-bit. */
+  def minhashHotSet(s: SparkSession, scratch: String, k: Int)
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = graft.rel.Tables.documents(s, scratch)
+    val nDocs = docs.count()
+    docs.select(explode(expr(s"shingles_k(text, $k)")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") >
+        lit(nDocs * graft.text.TextQueries.ChromeDfFrac))
+      .select("g")
   }
 
   /** All-pairs J ≥ 0.5 over (doc_id, sorted packed grams) rows via the
@@ -481,6 +504,17 @@ object DedupQualityProbe {
       .localCheckpoint(true)
     val mhK2Line = TierLine("minhash_k2", detection(mhK2, plants),
       Some(prVsTruth(uPairs(mhK2), minhashTruth(uDocs, k = 2))))
+    // the DF-filtered k2 tier (VERDICT r19 next #1): its predicate is
+    // J ≥ 0.8 over DE-CHROMED shingle sets, so it gets its OWN truth
+    // with the tier's hot census; at probe density the planted chrome
+    // IS hot, so tail_chrome plants become near-copies to this tier
+    // while word_swap detection must hold (~1.0 — the k2 dial's
+    // whole point, now without the chrome tail)
+    val mhDf = q("q_dedup_minhash_df")(s, scratch).select("d1", "d2")
+      .localCheckpoint(true)
+    val mhDfLine = TierLine("minhash_df", detection(mhDf, plants),
+      Some(prVsTruth(uPairs(mhDf), minhashTruth(uDocs, k = 2,
+        hot = Some(minhashHotSet(s, scratch, 2))))))
     val shLine = TierLine("simhash", detection(sh, plants),
       Some(prVsTruth(uPairs(sh), simhashTruth(uDocs))))
     val ngLine = TierLine("ngram", detection(ng, plants),
@@ -554,8 +588,8 @@ object DedupQualityProbe {
     plantPipelineCorpus(s, d, scratch, scratch2, plants)
     val pipeLine = pipelineLine(s, scratch2, plants)
 
-    (Seq(exLine, mhLine, mhK2Line, shLine, ngLine, ngDfLine, spLine,
-      semLine, semScaledLine, pipeLine),
+    (Seq(exLine, mhLine, mhK2Line, mhDfLine, shLine, ngLine, ngDfLine,
+      spLine, semLine, semScaledLine, pipeLine),
       minhashDial(s, scratch, plants))
   }
 

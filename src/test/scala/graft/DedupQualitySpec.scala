@@ -150,6 +150,17 @@ class DedupQualitySpec extends AnyFunSuite {
       "the dial's whole point — word_swap over the J≥0.8 bar at k=2")
   }
 
+  test("the de-chromed k=2 tier (q_dedup_minhash_df) keeps the dial's " +
+    "word_swap recall with exact-verify precision vs its OWN " +
+    "de-chromed truth (VERDICT r19 next #1)") {
+    val (p, r) = pr("minhash_df")
+    assert(p == 1.0, s"minhash_df precision $p — verify leaked")
+    assert(r >= 0.95, s"minhash_df recall $r — banding lost pairs")
+    assert(rate("minhash_df", "copy") == 1.0)
+    assert(rate("minhash_df", "word_swap") >= 0.9,
+      "de-chroming must not cost the k2 dial's word_swap recall")
+  }
+
   test("the composed pipeline dominates its constituent tiers per " +
     "plant type and covers the cross-tier blind spots (VERDICT r17 " +
     "next #1)") {
