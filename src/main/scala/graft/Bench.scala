@@ -90,6 +90,11 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "16k"))
       .config("spark.graft.barrier", barrier)
+      // the fixed-fit SemDeDup reference twin is registered and
+      // benched DELIBERATELY (oracle-pinned; its scaled production
+      // twin runs alongside) — opt in past the quadratic guard
+      // (SimQueries.quadraticGuard)
+      .config("spark.graft.allowQuadratic", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

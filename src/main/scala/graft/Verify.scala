@@ -27,6 +27,10 @@ object Verify {
       // byte sizes (rationale in Bench.scala — same session contract)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         "16k")
+      // the driver gate verifies the oracle-pinned fixed-fit
+      // reference twin on purpose — opt in past the quadratic
+      // guard (SimQueries.quadraticGuard)
+      .config("spark.graft.allowQuadratic", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

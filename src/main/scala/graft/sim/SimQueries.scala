@@ -984,8 +984,43 @@ object SimQueries {
     * anyway (SCALING.md placement rule — a second barrier on the raw
     * pairs would be pure added write cost). */
   private[graft] def semPairsAt(s: SparkSession, d: String,
-      tau: Double): DataFrame =
+      tau: Double): DataFrame = {
+    quadraticGuard(s, d)
     semPairsOn(s, d, kmeansShared(s, d)._2, tau)
+  }
+
+  /** Runtime guardrail on the fixed-fit pair tiers (VERDICT r19 next
+    * #2): the fixed K = 16 fit's within-cell pair work is Σk² ≈ n²/16
+    * — quadratic at ANY corpus size, and the cost cliff is measured,
+    * not theoretical (SEMDEDUP_SCALE.json: 878 s first-touch at 200k
+    * vectors vs the scaled fit's 44.6 s; nothing would have stopped a
+    * user running the same plan at 2M). Above the [[ivfK]] floor —
+    * EXACTLY the regime where the scaled twin stops being
+    * bit-identical and starts being the production answer — the fixed
+    * fit refuses to plan unless the session opts in explicitly with
+    * `spark.graft.allowQuadratic=true` (the measurement-harness
+    * setting: Bench/Verify run the oracle-pinned reference twin
+    * deliberately and say so in their builders). Below the floor
+    * (n ≤ 1024, the sf0.01 driver-gate regime) the tiers are
+    * bit-identical by construction and the guard never engages. The
+    * count is the memoized nvecs scalar the scaled fit already plans
+    * with — no extra job. */
+  private def quadraticGuard(s: SparkSession, d: String): Unit = {
+    val n = shared(s, d, "nvecs") {
+      java.lang.Long.valueOf(vecsShared(s, d).count())
+    }.longValue()
+    if (ivfK(n) > 16 &&
+        !s.conf.get("spark.graft.allowQuadratic", "false").toBoolean)
+      throw new IllegalStateException(
+        s"graft: the fixed K = 16 SemDeDup fit is quadratic in corpus " +
+          s"size (within-cell pair work ~ n^2/16; measured 878 s at " +
+          s"200k vectors, SEMDEDUP_SCALE.json) and this corpus has " +
+          s"n = $n > 1024 vectors (ivfK(n) = ${ivfK(n)} > 16, so the " +
+          s"occupancy-scaled fit is no longer identical). Use the " +
+          s"scaled tier (q_dedup_semantic_scaled / semPairsScaled, " +
+          s"pair work ~ 2n^1.5) or opt in explicitly with " +
+          s"spark.graft.allowQuadratic=true.")
+  }
 
   /** The within-cell pair set over the OCCUPANCY-SCALED fit
     * (K = ivfK(n) ∝ √n, the simAnnIvfScaled quantizer policy) — the

@@ -12,6 +12,8 @@ object CcProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // probes measure the fixed-fit reference twin deliberately
+      .config("spark.graft.allowQuadratic", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

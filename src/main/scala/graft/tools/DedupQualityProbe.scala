@@ -639,6 +639,8 @@ object DedupQualityProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // probes measure the fixed-fit reference twin deliberately
+      .config("spark.graft.allowQuadratic", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
