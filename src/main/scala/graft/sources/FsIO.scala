@@ -182,6 +182,13 @@ object FsIO {
 
   def length(p: String): Long = fs(p).getFileStatus(new Path(p)).getLen
 
+  /** (length, modification time) — the frame-index sidecar's
+    * invalidation pair (FrameIndexCache). */
+  def statFile(p: String): (Long, Long) = {
+    val st = fs(p).getFileStatus(new Path(p))
+    (st.getLen, st.getModificationTime)
+  }
+
   /** One listed entry; `path` keeps the scheme of the listed dir. */
   final case class Entry(name: String, path: String, isFile: Boolean,
       len: Long)
@@ -221,8 +228,19 @@ object FsIO {
   def openStream(p: String): InputStream =
     new BufferedInputStream(fs(p).open(new Path(p)), 1 << 16)
 
+  /** Positioned-reader open counter — lets the frame-index sidecar
+    * spec assert "a second load of the same path plans with ZERO
+    * header walks" as a hard number instead of a timing heuristic. */
+  private val randomOpenCounter =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  def randomOpens: Long = randomOpenCounter.get()
+
   /** Seekable positioned reader — the RandomAccessFile("r") analog. */
-  def openRandom(p: String): FsRandom = new FsRandom(p)
+  def openRandom(p: String): FsRandom = {
+    randomOpenCounter.incrementAndGet()
+    new FsRandom(p)
+  }
 
   /** Whole-file read for small metadata files (dtr `metadata`, .stk
     * lists, topology headers) — NOT for trajectory payloads, which are

@@ -101,9 +101,10 @@ private[sources] object TrrFormat {
     * make TRR non-seek-addressable without this — the index IS the
     * `load_chunks` planning step (core/dask_traj.py:86-120) for a
     * variable-record binary. Cost is O(frames) tiny reads with seeks,
-    * far below the text sources' full prefix scans; at 100 TB the
-    * production path is persisting this index as a sidecar once per
-    * immutable file (SCALING.md §sources). `maxFrames` lets pushed
+    * far below the text sources' full prefix scans; the 100 TB
+    * production path — persisting this index as a sidecar once per
+    * immutable file — is [[indexCached]]/[[FrameIndexCache]] (r20;
+    * SCALING.md §sources). `maxFrames` lets pushed
     * frame-range/limit bounds stop the walk early.
     *
     * Returns (byteOffset, rowsBefore, header) per frame; frames with no
@@ -143,6 +144,31 @@ private[sources] object TrrFormat {
       out.result()
     } finally raf.close()
   }
+
+  /** [[index]] through [[FrameIndexCache]] (VERDICT r19 next #3):
+    * in-session memo always; on-disk sidecar when
+    * `spark.graft.index.dir` is set — one header walk per immutable
+    * file EVER, invalidated on (length, mtime) change. */
+  def indexCached(path: String, mode: String, maxFrames: Long)
+      : IndexedSeq[(Long, Long, TrrFrameHeader)] =
+    FrameIndexCache.cached("trr", path, mode, maxFrames,
+      writeHeader, readHeaderMeta)(mf => index(path, mode, mf))
+
+  private def writeHeader(o: java.io.DataOutputStream,
+      h: TrrFrameHeader): Unit = {
+    o.writeInt(h.boxSize); o.writeInt(h.virSize); o.writeInt(h.presSize)
+    o.writeInt(h.xSize); o.writeInt(h.vSize); o.writeInt(h.fSize)
+    o.writeInt(h.nAtoms); o.writeLong(h.step)
+    o.writeDouble(h.time); o.writeDouble(h.lambda)
+    o.writeInt(h.realSize); o.writeInt(h.headerBytes)
+    o.writeLong(h.payloadBytes)
+  }
+
+  private def readHeaderMeta(i: java.io.DataInputStream): TrrFrameHeader =
+    TrrFrameHeader(i.readInt(), i.readInt(), i.readInt(), i.readInt(),
+      i.readInt(), i.readInt(), i.readInt(), i.readLong(),
+      i.readDouble(), i.readDouble(), i.readInt(), i.readInt(),
+      i.readLong())
 }
 
 /** DataSourceV2 connector for the GROMACS TRR binary trajectory format
@@ -359,7 +385,7 @@ class TrrScan(paths: Seq[String], chunks: Int, unitScale: Double,
     var budget = budget0
     files.foreach { p =>
       if (budget > 0 && off < frameHi) {
-        val idx = TrrFormat.index(p, mode,
+        val idx = TrrFormat.indexCached(p, mode,
           if (frameHi == Long.MaxValue) Long.MaxValue else frameHi - off)
         val (parts, rows) = planFile(p, idx, off, budget)
         out ++= parts

@@ -18,7 +18,7 @@ class TrrMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
     extends ShardDirMicroBatchStream(dir, Seq(".trr")) {
 
   override protected def probeFrames(path: String): Long =
-    TrrFormat.index(path, mode, Long.MaxValue).length.toLong
+    TrrFormat.indexCached(path, mode, Long.MaxValue).length.toLong
 
   override protected def planShard(path: String, base: Long)
       : Array[InputPartition] =

@@ -16,7 +16,7 @@ class XtcMicroBatchStream(dir: String, chunks: Int, unitScale: Double,
     extends ShardDirMicroBatchStream(dir, Seq(".xtc")) {
 
   override protected def probeFrames(path: String): Long =
-    XtcFormat.index(path, mode, Long.MaxValue).length.toLong
+    XtcFormat.indexCached(path, mode, Long.MaxValue).length.toLong
 
   override protected def planShard(path: String, base: Long)
       : Array[InputPartition] =
