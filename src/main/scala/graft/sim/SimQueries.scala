@@ -620,23 +620,22 @@ object SimQueries {
     * occupancy-scaled IVF passes 25·K(n). */
   private def kmeansFitAt(vecs: DataFrame,
       seedMax: Long): (DataFrame, DataFrame) = {
-    // assignment of every vector to its nearest centroid, exact-integer
-    def assign(cent: DataFrame): DataFrame = {
-      // argmin via min(struct(d2s, cluster)) — the same (d2s, cluster)
-      // total order the previous window form used, but as a map-side-
-      // combinable aggregation instead of a per-key sort
-      vecs.select(col("vec_id"), col("emb"), col("n2s"))
+    // assignment of every `src` vector to its nearest centroid,
+    // exact-integer: argmin via min(struct(d2s, cluster)) — the same
+    // (d2s, cluster) total order the previous window form used, but
+    // as a map-side-combinable aggregation instead of a per-key sort
+    def assignOf(src: DataFrame, cent: DataFrame): DataFrame =
+      src.select(col("vec_id"), col("emb"), col("n2s"))
         .crossJoin(broadcast(cent))
         .withColumn("d2s", col("n2s") + col("c_n2s") -
           expr(s"2 * ${dotScaled("emb", "cemb")}"))
         .groupBy("vec_id")
         .agg(min(struct(col("d2s"), col("cluster"))).getField("cluster")
           .as("cluster"))
-    }
 
     // Lloyd update: exact scaled-integer per-dimension means
-    def update(asg: DataFrame): DataFrame =
-      vecs.join(asg, "vec_id")
+    def updateOf(src: DataFrame, asg: DataFrame): DataFrame =
+      src.join(asg, "vec_id")
         .select(col("cluster"),
           posexplode(col("emb")).as(Seq("idx", "v")))
         .groupBy("cluster", "idx")
@@ -648,13 +647,28 @@ object SimQueries {
           " x -> x.m)").as("cemb"))
         .withColumn("c_n2s", expr(dotScaled("cemb", "cemb")))
 
+    // FAISS-style sample training (VERDICT r19 next #5): the Lloyd
+    // iterations train on a deterministic ~256·K-vector sample
+    // (vec_id % m = 0, m = ⌊n / (256·K)⌋ floored at 1 — a pure
+    // function of corpus size both engines derive identically) and
+    // only the FINAL assignment pays full-corpus cost. Below
+    // n = 256·K the sample IS the corpus (m = 1) and the fit is
+    // bit-identical to the unsampled form — the sf0.01/sf0.1 oracle
+    // gates sit entirely in that regime; at the 100× replica the
+    // fixed fit trains on n/48 and the scaled fit on n/3.
+    val k = math.max(1L, seedMax / 25L)
+    val n = vecs.count()
+    val m = math.max(1L, n / (256L * k))
+    val train = if (m > 1) vecs.filter(col("vec_id") % m === 0)
+                else vecs
+
     val seeds = vecs
       .filter(col("vec_id") % 25 === 0 && col("vec_id") < seedMax)
       .select(col("vec_id").as("cluster"), col("emb").as("cemb"),
         col("n2s").as("c_n2s"))
-    val c1 = update(assign(seeds)).graftBarrier
-    val c2 = update(assign(c1)).graftBarrier
-    (c2, assign(c2))
+    val c1 = updateOf(train, assignOf(train, seeds)).graftBarrier
+    val c2 = updateOf(train, assignOf(train, c1)).graftBarrier
+    (c2, assignOf(vecs, c2))
   }
 
   def simAnnIvf(s: SparkSession, d: String): DataFrame =
@@ -805,6 +819,11 @@ object SimQueries {
       |  SELECT vec_id, sum(CAST(round(v * v * 1e12, 0) AS BIGINT)) AS n2s,
       |    sqrt(sum(CAST(round(v * v * 1e12, 0) AS BIGINT)) / 1e12) AS nrm
       |  FROM e GROUP BY vec_id),
+      |km AS (
+      |  SELECT GREATEST(1, CAST(floor(count(*)
+      |    / (256.0 * 16)) AS BIGINT)) AS m
+      |  FROM embeddings),
+      |es AS (SELECT * FROM e WHERE vec_id % (SELECT m FROM km) = 0),
       |c0 AS (
       |  SELECT vec_id AS cluster, idx, v AS cv
       |  FROM e WHERE vec_id % 25 = 0 AND vec_id < 400),
@@ -814,7 +833,7 @@ object SimQueries {
       |d0 AS (
       |  SELECT e.vec_id, c.cluster,
       |    sum(CAST(round(e.v * c.cv * 1e12, 0) AS BIGINT)) AS dot
-      |  FROM e JOIN c0 c ON c.idx = e.idx GROUP BY 1, 2),
+      |  FROM es e JOIN c0 c ON c.idx = e.idx GROUP BY 1, 2),
       |a0 AS (
       |  SELECT vec_id, cluster FROM (
       |    SELECT d.vec_id, d.cluster, row_number() OVER (
@@ -834,7 +853,7 @@ object SimQueries {
       |d1 AS (
       |  SELECT e.vec_id, c.cluster,
       |    sum(CAST(round(e.v * c.cv * 1e12, 0) AS BIGINT)) AS dot
-      |  FROM e JOIN c1 c ON c.idx = e.idx GROUP BY 1, 2),
+      |  FROM es e JOIN c1 c ON c.idx = e.idx GROUP BY 1, 2),
       |a1 AS (
       |  SELECT vec_id, cluster FROM (
       |    SELECT d.vec_id, d.cluster, row_number() OVER (
@@ -879,18 +898,29 @@ object SimQueries {
     require(kmeansCtes.contains(anchor),
       "kmeansCtes seed-bound anchor not found — the fit chain was " +
         "reformatted; update kmeansCtesScaled's substitution anchor")
-    // kk carries BOTH scale knobs: smax = 25·K(n) (mirrors [[ivfK]])
-    // and np = ⌈√(2K)⌉ (mirrors [[ivfNprobe]]), each derived from the
-    // same count(*) so the oracle checks whatever widths the corpus
-    // size implies
+    // r20: the training-sample width must scale with the SAME K the
+    // seed bound does (m = ⌊n / (256·K)⌋; the fixed chain pins the
+    // literal 16) — guarded like the seed anchor, for the same
+    // divergence-the-floor-gate-cannot-see reason
+    val kmAnchor = "256.0 * 16"
+    require(kmeansCtes.contains(kmAnchor),
+      "kmeansCtes sample-width anchor not found — the km CTE was " +
+        "reformatted; update kmeansCtesScaled's substitution anchor")
+    // kk carries the scale knobs: kval = K(n) (mirrors [[ivfK]]),
+    // smax = 25·K(n), np = ⌈√(2K)⌉ (mirrors [[ivfNprobe]]), each
+    // derived from the same count(*) so the oracle checks whatever
+    // widths the corpus size implies
     """kk AS (
-      |  SELECT 25 * GREATEST(16,
+      |  SELECT GREATEST(16,
+      |    CAST(ceil(sqrt(count(*)) / 2.0) AS BIGINT)) AS kval,
+      |  25 * GREATEST(16,
       |    CAST(ceil(sqrt(count(*)) / 2.0) AS BIGINT)) AS smax,
       |  CAST(ceil(sqrt(2 * GREATEST(16,
       |    CAST(ceil(sqrt(count(*)) / 2.0) AS BIGINT)))) AS BIGINT) AS np
       |  FROM embeddings),
       |""".stripMargin +
       kmeansCtes.replace(anchor, "AND vec_id < (SELECT smax FROM kk)")
+        .replace(kmAnchor, "256.0 * (SELECT kval FROM kk)")
   }
 
   /** Probe + rank tail shared by the fixed and scaled IVF oracles
