@@ -116,6 +116,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf("q_dedup_ngram_df").contains("ngram_close_pairs"))
   }
 
+  test("q_dedup_minhash_df: post-barrier pair plan — band self-join " +
+    "plus the two shingle verify joins, censuses behind the barrier") {
+    val c = counts("q_dedup_minhash_df")
+    // The DF census + anti-join + signature kernel live BEHIND the
+    // ds barrier; the consumer plan pinned here is band-explode →
+    // bucket self-join → distinct → two shingle joins → Jaccard →
+    // sort. TWO Generates: each side of the bucket self-join explodes
+    // the persisted bkeys from the barrier scan (cheap — a third
+    // would mean the census chain stopped being cut by the barrier).
+    // Measured 5 exchanges / 3 joins / 0 smj at fixture scale.
+    assert(c("generate") <= 2, c.toString)
+    assert(!planOf("q_dedup_minhash_df").contains("Cartesian"),
+      "cartesian in the pair plan")
+    assert(c("exchanges") <= 6, c.toString)
+    assert(c("smj") + c("bhj") <= 3, c.toString)
+  }
+
   test("q_dedup_pipeline: composed-plan budget — no cartesian/nested-" +
     "loop join anywhere, one window for cluster sizes, bounded " +
     "exchanges (VERDICT r17 next #1)") {
