@@ -220,8 +220,15 @@ object TextQueries {
 
   private[graft] lazy val minhashPairsCtes: String = minhashPairsCtesAt(3)
 
+  // `shd` is read FOUR times downstream (sig, sizes, inter s1/s2) and
+  // `buckets` twice (the band self-join): DuckDB 1.0 inlines plain
+  // CTEs per reference, so without MATERIALIZED each read re-derives
+  // the whole token→window→distinct chain — at the 10× replica that
+  // re-derivation was the bulk of the k2 oracle's ~25 min (the same
+  // boundary-materialization lesson as the r19 recursive-CTE fix,
+  // commit 84b5936, applied to the non-recursive multi-ref case).
   private val minhashPairsCtesTail =
-    "shd AS (SELECT DISTINCT doc_id, shingle FROM sh0 " +
+    "shd AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM sh0 " +
       "WHERE shingle IS NOT NULL),\n" + minhashTailAfterShd
 
   /** The k-independent signature/band/verify chain downstream of
@@ -237,7 +244,7 @@ object TextQueries {
       |         min(CASE WHEN seed % 2 = 0 THEN mh END) AS mh0,
       |         min(CASE WHEN seed % 2 = 1 THEN mh END) AS mh1
       |  FROM sig GROUP BY 1, 2),
-      |buckets AS (
+      |buckets AS MATERIALIZED (
       |  SELECT doc_id, band,
       |    md5(CAST(band AS VARCHAR) || '|' || mh0 || '|' || mh1) AS bkey
       |  FROM bands),
@@ -368,13 +375,16 @@ object TextQueries {
     * stage that changes (hot shingles anti-joined out). */
   private[graft] def minhashDfCtesAt(k: Int, dfFrac: Double): String =
     minhashHeadAt(k) + "\n" +
-      s"""shd0 AS (SELECT DISTINCT doc_id, shingle FROM sh0
+      // shd0 feeds both the census and the de-chromed re-gather, and
+      // shd is read 4× by the shared tail — materialize both
+      // boundaries (see minhashPairsCtesTail rationale)
+      s"""shd0 AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM sh0
         |        WHERE shingle IS NOT NULL),
         |ndm AS (SELECT count(*) AS n FROM documents),
         |hotm AS (
         |  SELECT shingle FROM shd0 GROUP BY shingle
         |  HAVING count(*) > (SELECT n FROM ndm) * $dfFrac),
-        |shd AS (
+        |shd AS MATERIALIZED (
         |  SELECT doc_id, shingle FROM shd0
         |  WHERE shingle NOT IN (SELECT shingle FROM hotm)),""".stripMargin +
       "\n" + minhashTailAfterShd
