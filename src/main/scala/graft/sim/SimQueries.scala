@@ -806,16 +806,22 @@ object SimQueries {
 
   /** DuckDB twin of [[kmeansFit]] — CTE chain ending in `a2`
     * (vec_id → cluster), shared by the IVF and SemDeDup oracles. */
+  // Multi-reference CTE boundaries are MATERIALIZED (the 84b5936
+  // lesson extended to the non-recursive case: DuckDB 1.0 inlines
+  // plain CTEs per reference, so e.g. each read of a2 re-ran the
+  // ENTIRE two-iteration Lloyd chain — the within-cell self-join
+  // alone paid it twice, and the pipeline oracle's 10×-replica cost
+  // lived in exactly these re-derivations).
   private val kmeansCtes =
-    """e AS (
+    """e AS MATERIALIZED (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
       |         CAST(unnest(embedding) AS DOUBLE) AS v
       |  FROM embeddings),
-      |sc AS (
+      |sc AS MATERIALIZED (
       |  SELECT vec_id, idx, v,
       |    CAST(round(v * 1e12, 0) AS BIGINT) AS vs
       |  FROM e),
-      |n2 AS (
+      |n2 AS MATERIALIZED (
       |  SELECT vec_id, sum(CAST(round(v * v * 1e12, 0) AS BIGINT)) AS n2s,
       |    sqrt(sum(CAST(round(v * v * 1e12, 0) AS BIGINT)) / 1e12) AS nrm
       |  FROM e GROUP BY vec_id),
@@ -823,7 +829,7 @@ object SimQueries {
       |  SELECT GREATEST(1, CAST(floor(count(*)
       |    / (256.0 * 16)) AS BIGINT)) AS m
       |  FROM embeddings),
-      |es AS (SELECT * FROM e WHERE vec_id % (SELECT m FROM km) = 0),
+      |es AS MATERIALIZED (SELECT * FROM e WHERE vec_id % (SELECT m FROM km) = 0),
       |c0 AS (
       |  SELECT vec_id AS cluster, idx, v AS cv
       |  FROM e WHERE vec_id % 25 = 0 AND vec_id < 400),
@@ -843,7 +849,7 @@ object SimQueries {
       |    JOIN n2 ON n2.vec_id = d.vec_id
       |    JOIN cn0 cn ON cn.cluster = d.cluster) t
       |  WHERE rn = 1),
-      |c1 AS (
+      |c1 AS MATERIALIZED (
       |  SELECT a.cluster, s.idx,
       |    (CAST(sum(s.vs) AS DOUBLE) / count(*)) / 1e12 AS cv
       |  FROM a0 a JOIN sc s ON s.vec_id = a.vec_id GROUP BY 1, 2),
@@ -863,18 +869,18 @@ object SimQueries {
       |    JOIN n2 ON n2.vec_id = d.vec_id
       |    JOIN cn1 cn ON cn.cluster = d.cluster) t
       |  WHERE rn = 1),
-      |c2 AS (
+      |c2 AS MATERIALIZED (
       |  SELECT a.cluster, s.idx,
       |    (CAST(sum(s.vs) AS DOUBLE) / count(*)) / 1e12 AS cv
       |  FROM a1 a JOIN sc s ON s.vec_id = a.vec_id GROUP BY 1, 2),
-      |cn2 AS (SELECT cluster,
+      |cn2 AS MATERIALIZED (SELECT cluster,
       |    sum(CAST(round(cv * cv * 1e12, 0) AS BIGINT)) AS c_n2s
       |  FROM c2 GROUP BY cluster),
       |d2 AS (
       |  SELECT e.vec_id, c.cluster,
       |    sum(CAST(round(e.v * c.cv * 1e12, 0) AS BIGINT)) AS dot
       |  FROM e JOIN c2 c ON c.idx = e.idx GROUP BY 1, 2),
-      |a2 AS (
+      |a2 AS MATERIALIZED (
       |  SELECT vec_id, cluster FROM (
       |    SELECT d.vec_id, d.cluster, row_number() OVER (
       |        PARTITION BY d.vec_id

@@ -1303,26 +1303,33 @@ object TextQueries {
     * ChromeDfFrac), shared by the registered query and the composed
     * pipeline oracle. CTE names are unique across the pipeline's
     * combined chains (minhash, k-means/semantic, span). */
+  // Multi-reference CTE boundaries are MATERIALIZED (the same DuckDB
+  // 1.0 per-reference-inlining lesson as minhashPairsCtesTail): g0's
+  // gram extraction is read by ex and g, ex by the census and the
+  // re-gather, g by both sides of the scored join, e8 by the 8-gram
+  // census / distinct-gram packing / fingerprint gather, and gb four
+  // times by the two-band candidate self-joins — at the 10× replica
+  // the re-derivations dominated the pipeline oracle's runtime.
   private[graft] lazy val ngramDfCtes: String =
-    s"""g0 AS (
+    s"""g0 AS MATERIALIZED (
       |  SELECT doc_id, CAST(floor(length(text) / 100) AS BIGINT) AS lenb,
       |    list_distinct(list_transform(
       |      range(1, greatest(length(text) - 4, 1) + 1),
       |      i -> substr(text, CAST(i AS INT), 5))) AS grams
       |  FROM documents),
       |nd AS (SELECT count(*) AS n FROM documents),
-      |ex AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+      |ex AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM g0),
       |hot AS (
       |  SELECT gram FROM ex GROUP BY gram
       |  HAVING count(*) > (SELECT n FROM nd) * $ChromeDfFrac),
       |kept AS (
       |  SELECT e.doc_id, e.gram FROM ex e
       |  ANTI JOIN hot h ON h.gram = e.gram),
-      |g AS (
+      |g AS MATERIALIZED (
       |  SELECT k.doc_id, g0.lenb, array_agg(k.gram) AS grams
       |  FROM kept k JOIN g0 ON g0.doc_id = k.doc_id
       |  GROUP BY 1, 2),
-      |e8 AS (
+      |e8 AS MATERIALIZED (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
       |    range(1, greatest(length(text) - 7, 1) + 1),
       |    i -> substr(text, CAST(i AS INT), 8)))) AS g8
@@ -1372,8 +1379,11 @@ object TextQueries {
       |  JOIN g8v v ON v.g8 = e.g8
       |  ANTI JOIN hot8 h ON h.g8 = e.g8
       |  GROUP BY 1),
-      |gb AS (
-      |  SELECT g.doc_id, g.lenb, g.grams, fp.fp0, fp.fp1
+      |gb AS MATERIALIZED (
+      |  -- narrow: the candidate self-joins below never read the gram
+      |  -- arrays (scored re-joins g for those), so the 4×-scanned
+      |  -- materialized block carries only the blocking keys
+      |  SELECT g.doc_id, g.lenb, fp.fp0, fp.fp1
       |  FROM g JOIN fp ON fp.doc_id = g.doc_id),
       |gcand AS (
       |  -- either band matches: two hash-joinable equi-joins, not an
