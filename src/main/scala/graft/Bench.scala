@@ -158,6 +158,21 @@ object Bench {
         .split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "unavailable" }
     val loadStart = loadavg()
+    // hypervisor steal accounting: loadavg CANNOT see co-tenant CPU
+    // steal (measured r20: prelaunch 0.22 yet the suite ran 3× slow
+    // with vmstat showing 8–10% st — the host withheld cycles while
+    // the guest looked idle). Sample /proc/stat's aggregate cpu line
+    // around the measured passes and publish the steal share of total
+    // ticks, so a poisoned run carries the evidence loadavg misses.
+    def cpuTicks(): Option[(Long, Long)] =
+      try {
+        val f = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        // user nice system idle iowait irq softirq STEAL guest gnice
+        Some((f.sum, if (f.length > 7) f(7) else 0L))
+      } catch { case _: Throwable => None }
+    val cpu0 = cpuTicks()
     // machine load BEFORE this JVM's 32-thread warm-up: loadStart
     // above is read after ~30 s of warm-up, which alone lifts the
     // 1-min figure to ~2–4 on an idle box — the pre-warm-up number is
@@ -199,6 +214,12 @@ object Bench {
       }
     }
     val loadEnd = loadavg()
+    val stealCtx = (for ((t0, s0) <- cpu0; (t1, s1) <- cpuTicks()
+        if t1 > t0) yield {
+      val pct = 100.0 * (s1 - s0) / (t1 - t0)
+      s""","steal_pct":${String.format(java.util.Locale.ROOT, "%.1f",
+        Double.box(pct))}"""
+    }).getOrElse("")
     // per-pass suite totals: the contention fingerprint — a clean run
     // has near-equal passes, a co-tenant spike inflates exactly one
     val passTotals = passes.map(
@@ -250,6 +271,7 @@ object Bench {
       s""","pass_totals":[${passTotals.map(t => String.format(
         java.util.Locale.ROOT, "%.2f", Double.box(t))).mkString(",")}]""" +
       s""","barrier":"$barrier"""" +
+      stealCtx +
       subsetCtx
     // RAW runs land in BENCH_RAW_LAST.json (gitignored), NEVER in
     // BENCH_FULL.json: that name is reserved for the min-merged

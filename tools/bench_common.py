@@ -51,3 +51,16 @@ def assert_idle(name, r, pre_bound, start_bound=8.0):
     assert ok or os.environ.get("GRAFT_BENCH_ALLOW_LOAD"), \
         f"{name} artifact started under load (prelaunch={pres!r}, " \
         f"start={r.get('loadavg_start')!r}); re-run on an idle machine"
+
+
+def steal_of(r):
+    """Hypervisor steal share over the run's measured passes (r20:
+    Bench samples /proc/stat around the passes — loadavg cannot see
+    co-tenant steal). A min-merged input carries the per-run list;
+    a raw run the scalar; inputs predating the field read as
+    'unrecorded'."""
+    if r.get("steal_pct_runs") is not None:
+        return r["steal_pct_runs"]
+    if r.get("steal_pct") is not None:
+        return [r["steal_pct"]]
+    return "unrecorded"

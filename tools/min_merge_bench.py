@@ -46,5 +46,10 @@ base["loadavg_runs"] = [
 # these: EVERY run of a merged ratio input must have started idle)
 base["loadavg_prelaunch_runs"] = [
     r.get("loadavg_prelaunch") for r in runs]
+# hypervisor steal share over each run's measured passes (r20: loadavg
+# cannot see co-tenant steal — prelaunch 0.22 with the suite 3x slow;
+# Bench samples /proc/stat around the passes). Carried per run so a
+# reader can tell which contributing windows were stolen from.
+base["steal_pct_runs"] = [r.get("steal_pct") for r in runs]
 json.dump(base, open(sys.argv[1], "w"), indent=1)
 print(f"merged {len(runs)} runs -> total {base['value']:.1f}s")

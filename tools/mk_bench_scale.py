@@ -23,7 +23,7 @@ import sys
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-from bench_common import prelaunch_of, assert_idle
+from bench_common import prelaunch_of, assert_idle, steal_of
 
 # name -> (budget_ratio_fn(factor), reason)
 OVERRIDES = {
@@ -99,6 +99,8 @@ def main():
         # pre-JVM loadavg of EVERY contributing run, as asserted above
         "loadavg_prelaunch": {"big": prelaunch_of(big),
                               "sf01": prelaunch_of(base)},
+    "steal_pct": {"big": steal_of(big),
+                  "sf01": steal_of(base)},
         "codegen_error_total": [big.get("codegen_error_total"),
                                 base.get("codegen_error_total")],
         "errors": [big.get("errors"), base.get("errors")],

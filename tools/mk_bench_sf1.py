@@ -17,7 +17,7 @@ import sys
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-from bench_common import prelaunch_of, assert_idle
+from bench_common import prelaunch_of, assert_idle, steal_of
 
 a = json.load(open(sys.argv[1]))  # 10x
 b = json.load(open(sys.argv[2]))  # sf0.1
@@ -59,6 +59,8 @@ out = {
                 "sf01": [b.get("loadavg_start"), b.get("loadavg_end")]},
     # pre-JVM loadavg of every contributing run (the idle-gate evidence)
     "loadavg_prelaunch": {"sf1": prelaunch_of(a), "sf01": prelaunch_of(b)},
+    "steal_pct": {"sf1": steal_of(a),
+                  "sf01": steal_of(b)},
     "codegen_error_total": [a.get("codegen_error_total"),
                             b.get("codegen_error_total")],
     "flag_threshold": "ratio > 12 and sf1 >= 2s",

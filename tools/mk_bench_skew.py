@@ -18,7 +18,7 @@ import sys
 
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-from bench_common import prelaunch_of, assert_idle
+from bench_common import prelaunch_of, assert_idle, steal_of
 
 # name -> (budget_ratio, reason). Default budget mirrors mk_bench_sf1:
 # 12x for 10x data, flag needs big >= 2 s.
@@ -134,6 +134,8 @@ def main():
         # pre-JVM loadavg of every contributing run (idle-gate evidence)
         "loadavg_prelaunch": {"skew": prelaunch_of(skewed),
                               "sf01": prelaunch_of(base)},
+    "steal_pct": {"skew": steal_of(skewed),
+                  "sf01": steal_of(base)},
         "codegen_error_total": [skewed.get("codegen_error_total"),
                                 base.get("codegen_error_total")],
         "errors": [skewed.get("errors"), base.get("errors")],
