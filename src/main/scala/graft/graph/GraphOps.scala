@@ -126,9 +126,26 @@ object GraphOps {
     var round = 0
     var converged = t("init-empty?")(edges.isEmpty)
     while (!converged && round < maxRounds) {
-      edges = t(s"round $round")(
-        smallStar(largeStar(edges)).graftBarrierEager)
-      converged = t(s"probe $round")(starProbe(edges).isEmpty)
+      // ONE action per round (r20-opt): the round's edge set and its
+      // star-shapedness violations materialize in the same job — the
+      // probe's subtree is the round's own output, so exchange reuse
+      // shares the star computation between the two union branches
+      // instead of the old second probe job re-reading the pinned
+      // edges. Each round previously paid two full job round-trips
+      // (barrier + probe); on the hot loop of every near-dup
+      // clustering run the probe job's fixed latency was pure
+      // overhead. The convergence check and the next round's input
+      // are then block-reads of the pinned union — no recompute.
+      val next = smallStar(largeStar(edges))
+      val pinned = t(s"round $round")(
+        next.select(col("lo"), col("hi"), lit(true).as("e"))
+          .unionByName(starProbe(next)
+            .select(col("n").as("lo"), col("n").as("hi"),
+              lit(false).as("e")))
+          .graftBarrierEager)
+      converged = t(s"probe $round")(
+        pinned.filter(!col("e")).isEmpty)
+      edges = pinned.filter(col("e")).select("lo", "hi")
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")

@@ -19,7 +19,14 @@ object RelQueries {
     * single global aggregate. At scale this is a pure map-side pipeline:
     * parquet column pruning keeps the scan to 3 columns. */
   def scanLineitem(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d).agg(
+    // countDistinct plans through Expand (a per-distinct-column row
+    // replica) inside the SCAN stage; on the single-row-group fixture
+    // files that stage is serial — spread the 4 needed columns first
+    // (identity at production row-group counts, Fanout scaladoc)
+    graft.util.Fanout.spreadScan(
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_partkey"),
+      col("l_orderkey"), s"$d/lineitem.parquet").agg(
       count(lit(1)).as("n_rows"),
       sumMoney(col("l_quantity")).as("sum_qty"),
       min("l_orderkey").as("min_orderkey"),
@@ -130,7 +137,14 @@ object RelQueries {
       .cast(DecimalType(4, 2))
     val onePlusTax = (lit(1).cast(DecimalType(1, 0)) + tax)
       .cast(DecimalType(4, 2))
-    Tables.lineitem(s, d)
+    // the DECIMAL partial aggregation fuses into the scan stage, which
+    // is serial on the single-row-group fixture file (measured: one
+    // 936 ms task = the whole query) — spread the 7 needed columns
+    // first (identity at production row-group counts, Fanout scaladoc)
+    graft.util.Fanout.spreadScan(Tables.lineitem(s, d)
+        .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax"),
+        col("l_orderkey"), s"$d/lineitem.parquet")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(qty).cast("double").as("sum_qty"),
@@ -334,7 +348,11 @@ object RelQueries {
     * exact same expression runs in DuckDB (whose json extension may not
     * be loadable offline). */
   def stringDateJson(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(
+    // the per-row regexp/date/concat work fuses into the serial
+    // single-row-group scan stage — spread first (identity at
+    // production row-group counts, Fanout.spreadScan scaladoc)
+    graft.util.Fanout.spreadScan(Tables.events(s, d),
+      col("event_id"), s"$d/events.parquet").select(
       col("event_id"),
       upper(col("event_type")).as("et_upper"),
       substring(col("event_type"), 1, 3).as("et_pre"),
@@ -365,7 +383,11 @@ object RelQueries {
     * raw timestamp. */
   def eventsTumbling(s: SparkSession, d: String): DataFrame =
     graft.streaming.EventStreams
-      .tumblingCounts(Tables.events(s, d), streaming = false)
+      // batch arm only: spread the serial single-row-group scan so the
+      // window partial aggregation parallelizes (Fanout.spreadScan
+      // scaladoc); the streaming arm's micro-batches are source-split
+      .tumblingCounts(graft.util.Fanout.spreadScan(Tables.events(s, d),
+        col("event_id"), s"$d/events.parquet"), streaming = false)
       .orderBy("hour_epoch", "event_type")
 
   private val eventsTumblingSql =
@@ -463,7 +485,11 @@ object RelQueries {
     * binned-statistics shape (feature histograms, length
     * distributions) a training pipeline runs corpus-wide. */
   def histogramPrice(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+    // serial-scan partial aggregation, same treatment as
+    // aggPricingSummary (Fanout.spreadScan scaladoc)
+    graft.util.Fanout.spreadScan(
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+      col("l_orderkey"), s"$d/lineitem.parquet")
       .withColumn("bucket",
         expr("CAST(floor(l_extendedprice) AS BIGINT) DIV 5000"))
       .groupBy("bucket")
@@ -622,7 +648,10 @@ object RelQueries {
     * arithmetically on epoch seconds. */
   def eventsSliding(s: SparkSession, d: String): DataFrame =
     graft.streaming.EventStreams
-      .slidingCounts(Tables.events(s, d), streaming = false)
+      // batch arm only — see eventsTumbling: the ×4 window explode +
+      // partial aggregation otherwise run inside the serial scan stage
+      .slidingCounts(graft.util.Fanout.spreadScan(Tables.events(s, d),
+        col("event_id"), s"$d/events.parquet"), streaming = false)
       .orderBy("win_epoch", "event_type")
 
   private val eventsSlidingSql =
@@ -646,6 +675,11 @@ object RelQueries {
     * run uses rsd = 0.02 so the bound has wide margin; the sketch is
     * deterministic for fixed data, so a local pass ⇒ a driver pass. */
   def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    // NOT spread (r20-opt, measured): countDistinct's Expand partials
+    // collapse map-side in the scan stage and a pre-agg spread
+    // exchange made the query ~0.5 s SLOWER (0.80 → 1.3) — the
+    // opposite verdict from aggPricingSummary's unexpandable DECIMAL
+    // partials, so the serial-scan rule is per-operator, not blanket
     val li = Tables.lineitem(s, d)
     // exact counts and sketches aggregate SEPARATELY: countDistinct
     // plans through Expand (one replica per distinct column), and an

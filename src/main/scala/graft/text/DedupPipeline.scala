@@ -77,9 +77,11 @@ object DedupPipeline {
     // 2) near-dup edges: the shared minhash artifact + the DF-blocked
     //    de-chromed ngram tier (unordered pair sets)
     val mh = TextQueries.minhashPairsProbe(s, d).select("d1", "d2")
-    val ng = TextQueries.ngramDfPairsAt(s, d,
-      TextQueries.NgramBlockCap, TextQueries.ChromeDfFrac)
-      .select("d1", "d2")
+    // the SHARED tier artifact (r20-opt): q_dedup_ngram_df reads the
+    // same build-once pair set, so the pipeline no longer re-derives
+    // the census + two-alphabet gather + pair enumeration (~2.3 s of
+    // its warm pass) — the minhash-pair sharing contract, extended
+    val ng = TextQueries.ngramDfPairsShared(s, d).select("d1", "d2")
 
     // 3) semantic edges (vec_id ≡ doc_id contract) — over the
     //    OCCUPANCY-SCALED fit (K ∝ √n, the IVF quantizer policy):

@@ -25,6 +25,13 @@ object QueryProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Bench's AQE coalescing floor (r20): without it the byte-based
+      // coalescer collapses kernel-tier post-shuffle stages to one
+      // task at fixture byte sizes and the probe measures a serialized
+      // plan Bench never runs (q_dedup_minhash_df probed 14 s here vs
+      // 1.4 s under Bench's own config — the instrument, not the plan)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "16k"))
       // probes measure the fixed-fit reference twin deliberately
       .config("spark.graft.allowQuadratic", "true")
       .config("spark.ui.enabled", "false")
