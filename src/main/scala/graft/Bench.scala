@@ -198,6 +198,19 @@ object Bench {
         s"SPARK_GRAFT_BENCH_QUERIES names unknown queries: $unknown")
     }
     val passes = (1 to reps).map { _ =>
+      // shared-artifact accounting (VERDICT r20 "what's wrong" #1): the
+      // build-once tier artifacts (minhash/ngram-DF pair sets, CC
+      // clusters, normalized vectors, k-means fits, PQ training) are
+      // evicted before EVERY pass, so each pass pays each tier build
+      // exactly once and the per-query min keeps the build cost on the
+      // tier's first consumer instead of reporting a warm cache read
+      // (r20: q_dedup_ngram_df measured 0.15 s as a pass-2 cache hit
+      // vs 2.4 s real tier cost). TrajModel's shared positions view is
+      // NOT evicted: the reference baseline itself reports the (lazy)
+      // trajectory load separately from compute (BASELINE.md), and the
+      // warm-up above materializes it untimed on purpose.
+      graft.text.TextQueries.evictShared(spark)
+      graft.sim.SimQueries.evictShared(spark)
       named.map { case (name, fn) =>
         val cg0 = graft.util.CodegenErrors.snapshot()
         val t0 = System.nanoTime()
@@ -296,7 +309,19 @@ object Bench {
       System.err.println(s"[bench] $outName write failed: $e")
     }
     // raw stdout (build.sbt routes forked run output through StdoutOutput,
-    // so this line arrives unprefixed for the driver's JSON parse)
+    // so this line arrives unprefixed for the driver's JSON parse).
+    // TWO lines, full-then-totals (VERDICT r20 next #2, driver-visible
+    // per-query results): the driver's capture window is 2000 chars
+    // (measured: every BENCH_r*.json tail is exactly 2000), and a
+    // 95-query map is ~2.6 KB — it can never fit whole. So the full
+    // per-query line goes FIRST (available to any reader with the whole
+    // stream, e.g. a log file or a wider future window) and the ~700-
+    // byte totals line goes LAST, guaranteed inside the window — tail
+    // truncation can only ever cut the full line's head, never the
+    // parseable totals line. Per-query minima are also committed at
+    // round close (BENCH_RAW_LAST.json, un-gitignored r21) and
+    // min-merged into BENCH_FULL.json.
+    println(full)
     println(line)
     spark.stop()
     // delete reliable-checkpoint files only after the context is gone

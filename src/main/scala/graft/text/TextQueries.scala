@@ -139,6 +139,16 @@ object TextQueries {
     }
   }
 
+  /** Bench-pass eviction (VERDICT r20 "what's wrong" #1 — shared-
+    * artifact accounting): drop this session's build-once tier
+    * artifacts so the NEXT pass pays each tier build again. Called by
+    * graft.Bench between suite passes — the min across passes then
+    * keeps the tier cost on its first consumer instead of reporting a
+    * warm cache read. Production/Verify semantics are unchanged (one
+    * build per application). */
+  private[graft] def evictShared(s: SparkSession): Unit =
+    textCache.keySet.removeIf(_._1 eq s)
+
   private def minhashPairsShared(s: SparkSession, d: String): DataFrame =
     textShared(s, d, "pairs")(
       minhashPairsAt(s, d, 8, 2).graftBarrier)
