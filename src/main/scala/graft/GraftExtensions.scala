@@ -53,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("dot_scaled",
       "dot_scaled(a, b) - exact sum of round(a_i*b_i*1e12) as bigint",
       es => DotScaled(es(0), es(1))))
+    ext.injectFunction(fn("dot_floor_scaled",
+      "dot_floor_scaled(a, b) - exact sum of floor(a_i*b_i*1e12 + 0.5) as bigint",
+      es => DotFloorScaled(es(0), es(1))))
     ext.injectFunction(fn("lsh16_code",
       "lsh16_code(v) - 16-bit sign-LSH hyperplane code",
       es => Lsh16Code(es.head)))

@@ -803,6 +803,30 @@ case class DotScaled(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `dot_floor_scaled(a, b)` — Σ floor(a_i·b_i·1e12 + 0.5) as BIGINT,
+  * the PQ-training oracle's exact term form (HashKernels.dotFloorScaled
+  * scaladoc explains why this is NOT dot_scaled's rounding). */
+case class DotFloorScaled(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_floor_scaled"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    HashKernels.dotFloorScaled(
+      l.asInstanceOf[ArrayData].toDoubleArray(),
+      r.asInstanceOf[ArrayData].toDoubleArray())
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashKernels.dotFloorScaled(" +
+        s"$a.toDoubleArray(), $b.toDoubleArray());")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `xyz_sum_scaled(xyz, axis)` — scaled-BIGINT axis sum over a wide
   * frame's `array<array<double>>` coordinates (GeomKernels.xyzSumScaled
   * scaladoc has the arithmetic contract). `axis` must be a literal in
@@ -1026,6 +1050,8 @@ object GraftFunctions {
       es => SortedIntersectCount(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_scaled",
       es => DotScaled(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_floor_scaled",
+      es => DotFloorScaled(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("xyz_sum_scaled",
       es => XyzSumScaled.build(es), "scala_udf")
     reg.createOrReplaceTempFunction("com_sums_scaled",

@@ -513,6 +513,24 @@ object HashKernels {
     s
   }
 
+  /** Σ floor(a_i · b_i · 1e12 + 0.5) as a long — the single-pass twin
+    * of sum(CAST(floor(x * y * 1e12 + 5e-1) AS BIGINT)), the exact
+    * term form the PQ-training oracle SQL is written in. NOT the same
+    * as [[dotScaled]]: floor(x + 0.5) rounds an exact negative half
+    * toward +∞ while roundHalfUp rounds it away from zero, so the two
+    * can differ by 1 per term on negative products — the PQ chain
+    * must reproduce the oracle's floor form bit-for-bit. */
+  def dotFloorScaled(a: Array[Double], b: Array[Double]): Long = {
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(a(i) * b(i) * 1e12 + 0.5).toLong
+      i += 1
+    }
+    s
+  }
+
   /** 16-bit sign-LSH code: bit p = [Σ_i round(v_i · sin(997p + 31i) ·
     * 1e12) > 0] with 1-based i — the kernel form of the HOF expression
     * in SimQueries (same Math.sin the expression form evaluates). */

@@ -1355,45 +1355,82 @@ object SimQueries {
         expr("idx0 % 8").as("pos"), col("v"),
         expr("CAST(floor(v * 1e12 + 5e-1) AS BIGINT)").as("vs"))
       .graftBarrier
-    val sn2 = e.groupBy("vec_id", "sub")
-      .agg(sum(expr("CAST(floor(v * v * 1e12 + 5e-1) AS BIGINT)"))
-        .as("sub_n2s"))
+    // ARRAY-form training (r21, guide §2.3 / §1.2 step 1 — the tier
+    // build is on the bench's books per pass now that shared
+    // artifacts are evicted between passes). The old assign() joined
+    // the (n×64)-row long layout against the 1024-row centroid table
+    // on (sub, pos) — an (n×64×16)-row intermediate — then
+    // re-aggregated it twice (dot groupBy, argmin groupBy) with two
+    // more joins for the norm terms: ~4 exchanges per assignment, run
+    // twice (seed pass, trained pass). But nearest-centroid is a
+    // purely per-(vector, subspace) decision over 16 candidates: with
+    // the per-sub centroid arrays gathered into 8 broadcast rows, the
+    // argmin is ONE codegen'd expression per (vector, subspace) row —
+    // ZERO exchanges per assignment, and the corpus-sized relation
+    // never carries more than (vec_id, sub, 8 doubles). Every
+    // scaled-integer term keeps the oracle's exact
+    // floor(x·1e12 + 5e-1) form via the native dot_floor_scaled
+    // kernel (the HOF zip_with/aggregate spelling of the same sum
+    // runs interpreted per element; dot_scaled rounds negative halves
+    // differently — see HashKernels.dotFloorScaled).
+    val e2 = vecs.select(col("vec_id"),
+      posexplode(expr(
+        "transform(sequence(0, 7), i -> slice(emb, i * 8 + 1, 8))"))
+        .as(Seq("sub0", "varr")))
+      // long sub, matching e's `idx0 DIV 8` (DIV yields BIGINT) so
+      // consumers joining codes against e never coerce
+      .select(col("vec_id"), col("sub0").cast("long").as("sub"),
+        col("varr"))
 
-    // exact-integer nearest-centroid assignment per (vector, subspace)
-    def assign(cent: DataFrame): DataFrame = {
-      val cn = cent.groupBy("sub", "cid")
-        .agg(sum(expr("CAST(floor(cv * cv * 1e12 + 5e-1) AS BIGINT)"))
-          .as("c_n2s"))
-      val dots = e.join(broadcast(cent), Seq("sub", "pos"))
-        .groupBy("vec_id", "sub", "cid")
-        .agg(sum(expr("CAST(floor(v * cv * 1e12 + 5e-1) AS BIGINT)"))
-          .as("dot"))
-      // argmin as an AGGREGATION, not a window: min over the struct
-      // (d2s, cid) is the lexicographic minimum — the same total order
-      // the window form sorts by — but ObjectHashAggregate partials
-      // combine map-side, where a window must sort its partition
-      dots.join(sn2, Seq("vec_id", "sub"))
-        .join(broadcast(cn), Seq("sub", "cid"))
-        .withColumn("d2s", col("sub_n2s") + col("c_n2s") - col("dot") * 2)
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("d2s"), col("cid"))).getField("cid")
-          .as("cid"))
-    }
+    // (sub, cid, cvarr) → one broadcast row per sub: cid-sorted
+    // centroid structs with their exact scaled self-dots
+    def gather(cent: DataFrame): DataFrame =
+      cent
+        .withColumn("c_n2s", expr("dot_floor_scaled(cvarr, cvarr)"))
+        .groupBy("sub")
+        .agg(sort_array(collect_list(
+          struct(col("cid"), col("c_n2s"), col("cvarr")))).as("cents"))
 
-    val c0 = e.filter(col("vec_id") % 31 === 0 && col("vec_id") < 496)
-      .select(col("sub"), col("vec_id").as("cid"), col("pos"),
-        col("v").as("cv"))
-    // one Lloyd pass: exact scaled-integer per-position means
-    val c1 = e.join(assign(c0), Seq("vec_id", "sub"))
+    // exact-integer nearest-centroid assignment per (vector,
+    // subspace): argmin over the 16 gathered centroids as one
+    // expression — min over struct (d2s, cid) is the same
+    // lexicographic total order the old aggregation minimized
+    def assignArr(gathered: DataFrame): DataFrame =
+      e2.join(broadcast(gathered), Seq("sub"))
+        .withColumn("sn2", expr("dot_floor_scaled(varr, varr)"))
+        .select(col("vec_id"), col("sub"), col("varr"),
+          expr("array_min(transform(cents, c -> struct(" +
+            "sn2 + c.c_n2s - 2 * dot_floor_scaled(varr, c.cvarr) " +
+            "AS d2s, c.cid AS cid)))").getField("cid").as("cid"))
+
+    val c0g = gather(
+      e2.filter(col("vec_id") % 31 === 0 && col("vec_id") < 496)
+        .select(col("sub"), col("vec_id").as("cid"),
+          col("varr").as("cvarr")))
+    // one Lloyd pass: exact scaled-integer per-position means — the
+    // assignment rows carry their own subvectors, so the means need
+    // NO join back to the corpus (the old plan shuffled the full long
+    // layout against the assignment table); the vs terms re-derive
+    // from varr with e's exact floor(v·1e12 + 5e-1) formula and the
+    // one remaining exchange is the map-side-combined (sub, cid, pos)
+    // aggregation — 1024 groups at any corpus size
+    val c1 = assignArr(c0g)
+      .select(col("sub"), col("cid"),
+        posexplode(col("varr")).as(Seq("pos", "v")))
       .groupBy("sub", "cid", "pos")
-      .agg(sum("vs").as("sv"), count(lit(1)).as("cnt"))
+      .agg(sum(expr("CAST(floor(v * 1e12 + 5e-1) AS BIGINT)")).as("sv"),
+        count(lit(1)).as("cnt"))
       .select(col("sub"), col("cid"), col("pos"),
         (col("sv").cast("double") / col("cnt") / expr(S)).as("cv"))
       .graftBarrier
+    val c1g = gather(c1.groupBy("sub", "cid")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cv))), " +
+        "x -> x.cv)").as("cvarr")))
     // codes behind the barrier too: both PQ queries and every action
     // within one query reuse the assignment instead of re-running the
     // broadcast-join + argmin per consumer
-    val codes = assign(c1).graftBarrier
+    val codes = assignArr(c1g).select("vec_id", "sub", "cid")
+      .graftBarrier
     (vecs, e, c1, codes)
   }
 

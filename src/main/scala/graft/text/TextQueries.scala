@@ -1303,6 +1303,14 @@ object TextQueries {
     val hot = ex.groupBy("tag", "g").agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") > lit(nDocs * dfFrac))
       .select("tag", "g")
+    // NO nHot == 0 plan dial here, deliberately (r21): the
+    // q_dedup_minhash_df dial pays off because WORD-shingle censuses
+    // are frequently empty (sf0.1: 931 distinct shingles, max DF
+    // 6.8%), but this tier's alphabet is CHAR 5/8-grams — on any
+    // real English corpus grams like " the " clear the 25% DF bar in
+    // every document, so the census is never empty and a dial would
+    // only add the memo's census-count job (measured r21: +~1 s cold
+    // for a branch that never fires outside synthetic spec corpora).
     // de-chrome via explode → broadcast ANTI-join → re-collect, NOT a
     // per-row array_except against a broadcast hot array: array_except
     // rebuilds the hot hash set for EVERY row (measured 5.3 s on the
@@ -1673,10 +1681,27 @@ object TextQueries {
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))))
       .filter(col("rk") <= 20)
       .select(col("lang").as("plang"), col("gram"))
+    // hits side WITHOUT the gram explode (r21, guide §2.3 — shuffle
+    // rows are the wrong currency here): the old plan exploded every
+    // doc's full distinct-gram array (corpus × ~10³ rows), hash-joined
+    // each gram row against the broadcast profile and re-aggregated by
+    // (doc_id, plang). But the profile is ≤ 20 grams × #langs, so the
+    // per-(doc, lang) hit count is exactly
+    // |gs ∩ profile(lang)| — computable as one codegen'd
+    // array_intersect per (doc, lang) pair (docs × #langs rows total,
+    // zero extra shuffle; ngram3_set arrays are DISTINCT by kernel
+    // contract, so the intersect size equals the old per-gram join
+    // count). The profile gathers into one tiny per-lang array row
+    // (sorted for determinism) and broadcast-cross-joins the barriered
+    // gram arrays. Oracle SQL unchanged — same counts by construction.
+    val profArr = prof.groupBy("plang")
+      .agg(sort_array(collect_list(col("gram"))).as("pgrams"))
     val hits = base
-      .select(col("doc_id"), explode(col("gs")).as("gram"))
-      .join(broadcast(prof), "gram")
-      .groupBy("doc_id", "plang").agg(count(lit(1)).as("nhit"))
+      .crossJoin(broadcast(profArr))
+      .select(col("doc_id"), col("plang"),
+        size(array_intersect(col("gs"), col("pgrams"))).cast("long")
+          .as("nhit"))
+      .filter(col("nhit") > 0)
     val best = hits.withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("nhit").desc, col("plang"))))
       .filter(col("rn") === 1)
